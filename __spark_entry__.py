@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference's two-phase
+filter-then-verify fuzzy search — SURVEY.md §3.1 — over the documents
+table) at sf0.001. ``queries()`` / ``oracle_sql()`` expose the full
+operator inventory registry (scout_spark/inventory/*) — one entry per
+implemented operator from SURVEY.md §2 plus the training-data pipeline
+extensions (dedup, ANN, text analysis, temporal).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from scout_spark.inventory import load_all  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: filter-then-verify fuzzy search, top-10 over documents."""
+    registry = load_all()
+    return registry["flagship_fuzzy_search"].spark(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: item.spark for name, item in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI SQL mirror for every SQL-expressible query.
+
+    Rows-only ops (engine-specific hashing / approximate algorithms —
+    see each item's doc) are omitted; their correctness is pinned by
+    exact-ground-truth tests in tests/.
     """
-    return {}
+    return {
+        name: item.oracle for name, item in load_all().items() if item.oracle
+    }

@@ -1,0 +1,151 @@
+"""Temporal operator inventory over the events table: as-of join,
+tumbling-window aggregation (the batch shape of Structured Streaming's
+window() — see scout_spark/streaming for the readStream versions), and
+gap-based sessionization (batch shape of session_window).
+
+The reference is batch-built and served read-only (SURVEY.md §2.10) —
+these are additions required by the build brief, not ports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scout_spark.inventory import register
+from scout_spark.inventory.core import _t
+
+
+@register(
+    "asof_join_last_purchase_before_error",
+    "Backward as-of join (SURVEY.md §2.3 J4): for every 'error' event, "
+    "the same user's most recent 'purchase' at or before it. Implemented "
+    "as the scalable union+window carry-forward (one shuffle on user_id + "
+    "one sort — cost independent of time density, unlike a range "
+    "theta-join). Oracle uses DuckDB's native ASOF JOIN.",
+    oracle="""
+      SELECT e.event_id, e.user_id, e.ts AS error_ts,
+             p.ts AS right_ts, round(p.value, 2) AS right_value
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("error_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_ts="error_ts",
+        right_ts="ts",
+        right_payload=["value"],
+        how="inner",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "error_ts",
+        "right_ts",
+        F.round("right_value", 2).alias("right_value"),
+    )
+
+
+@register(
+    "window_tumbling_10min",
+    "Tumbling 10-minute window aggregation — the batch shape of "
+    "Structured Streaming's window() (SURVEY.md §2.10; streaming version "
+    "in scout_spark/streaming/events.py). Epoch-aligned buckets; "
+    "low-cardinality groupBy → map-side partial agg carries the shuffle.",
+    oracle="""
+      SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000)
+               AS window_start,
+             event_type,
+             count(*) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY 1, 2
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sessionize_30min_gap",
+    "Gap-based sessionization (batch shape of session_window; SURVEY.md "
+    "§2.10): per-user sessions split at >30-minute silence, via "
+    "gaps-and-islands (lag + conditional cumulative sum) — two window "
+    "passes over one shuffle-by-user.",
+    oracle="""
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - coalesce(lag(ts) OVER w, ts) > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS session_id
+        FROM flagged
+      )
+      SELECT user_id, session_id,
+             count(*) AS n_events,
+             min(ts) AS session_start,
+             max(ts) AS session_end,
+             round(sum(value), 2) AS session_value
+      FROM sessions
+      GROUP BY user_id, session_id
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.col("ts").cast("double") - F.coalesce(
+        F.lag("ts").over(w), F.col("ts")
+    ).cast("double")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(gap > 1800, 1).otherwise(0).alias("new_session"),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wsum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )

@@ -1,0 +1,141 @@
+"""Embedding / similarity-search inventory (training-data pipeline
+extensions per the build brief): brute-force cosine top-k (baseline), an
+LSH-bucketed scale path, embedding near-dup pairs, and MinHash/SimHash
+near-dup (rows-only — engine hash functions are not portable to the
+oracle; their correctness is pinned by tests/test_dedup.py against exact
+Jaccard ground truth instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scout_spark.functions.vectors import cosine_similarity
+from scout_spark.inventory import register
+from scout_spark.inventory.core import _t
+
+QUERY_VEC_ID = 0
+
+
+@register(
+    "ann_cosine_topk_bruteforce",
+    "Brute-force cosine top-k over the embedding column — the exact ANN "
+    "baseline. The 1-row query side is broadcast; dot products run via "
+    "zip_with/aggregate higher-order functions (JVM-side, no Python); "
+    "TakeOrderedAndProject merges per-partition top-k. At 100 TB the scan "
+    "is embarrassingly parallel with no shuffle.",
+    oracle=f"""
+      SELECT e.vec_id, e.label,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = {QUERY_VEC_ID}) q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY cos_sim DESC, e.vec_id
+      LIMIT 10
+    """,
+)
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    return (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    "Embedding-cosine near-duplicate pairs, blocked by cluster label "
+    "(filter-then-verify at n×m scale: the label equi-join prunes the "
+    "cross product; cosine verifies). At 100 TB the label comes from LSH "
+    "hyperplane signatures (see ann_lsh_bucketed) instead of ground truth.",
+    oracle="""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.30
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos > 0.30)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    "LSH-bucketed approximate nearest neighbors — the 100 TB scale path: "
+    "sign-of-projection onto deterministic pseudo-random hyperplanes "
+    "(derived from dimension index arithmetic, no RNG state) buckets "
+    "vectors; candidates share the query's bucket; exact cosine re-ranks "
+    "within it. Recall vs brute force is pinned in tests/test_ann.py. "
+    "Rows-only check: bucket membership isn't oracle-expressible.",
+    tags=("rows-only",),
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.ann import lsh_bucket_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(e, query_vec_id=QUERY_VEC_ID, k=10, n_planes=4)
+
+
+@register(
+    "dedup_minhash_lsh",
+    "MinHash + LSH banding near-dup candidates over word shingles "
+    "(training-data dedup at 100 TB: shingle → k minhashes via seeded "
+    "murmur3 → band buckets → bucket equi-join → exact-Jaccard verify). "
+    "Rows-only: murmur3 isn't reproducible in the oracle; candidate "
+    "completeness vs exact Jaccard is pinned in tests/test_dedup.py.",
+    tags=("rows-only",),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, id_col="doc_id", text_col="text", num_hashes=16, bands=4, threshold=0.8
+    )
+
+
+@register(
+    "dedup_simhash",
+    "SimHash near-dup fingerprints over tokens: 32-bit signature via "
+    "per-token murmur3 bit-voting, grouped by signature band for "
+    "candidate generation. Arrow-batched pandas UDF computes the bit "
+    "votes (numpy-vectorized); everything else stays DataFrame ops. "
+    "Rows-only (engine-specific hashing).",
+    tags=("rows-only",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.dedup import simhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_signatures(d, id_col="doc_id", text_col="text")

@@ -1,0 +1,100 @@
+"""Approximate nearest-neighbor search over embedding columns
+(build-brief extension).
+
+Two strategies:
+  - ``brute_force_topk``: exact cosine scan — the correctness baseline.
+    Broadcast query side, zip_with/aggregate dot products, distributed
+    top-k. No shuffle; scales linearly with the table.
+  - ``lsh_bucket_topk``: random-hyperplane LSH. Signatures are
+    deterministic (hyperplane coefficients derived from (dim, plane)
+    index arithmetic — reproducible across executors with no RNG state).
+    At 100 TB the bucketed table is written partitioned by signature so a
+    query probes one partition (partition pruning) instead of scanning.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scout_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    qvec_col: str = "qv",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of ``embeddings`` against a 1-row ``query``."""
+    return (
+        embeddings.join(F.broadcast(query))
+        .select(
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(qvec_col)), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), id_col)
+        .limit(k)
+    )
+
+
+def _plane_coef(dim_index: Column, plane: int) -> Column:
+    """Deterministic pseudo-random coefficient in [-1, 1] for
+    (dimension, plane) — the fract(sin(x)·C) construction; pure Column
+    math, identical on every executor."""
+    x = F.sin(dim_index.cast("double") * 12.9898 + F.lit(plane * 78.233)) * 43758.5453
+    return (x - F.floor(x)) * 2.0 - 1.0
+
+
+def hyperplane_signature(vec: Column, n_planes: int) -> Column:
+    """LSH bucket id: integer of sign bits of projections onto
+    ``n_planes`` deterministic hyperplanes."""
+    # transform's optional second lambda parameter is the element index —
+    # exactly the (value, dimension) pair the projection needs.
+    def _projection(plane: int) -> Column:
+        return F.aggregate(
+            F.transform(vec, lambda x, i: x.cast("double") * _plane_coef(i, plane)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = F.lit(0)
+    for p in range(n_planes):
+        sig = sig + F.when(_projection(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket;
+    exact cosine re-ranks within the bucket. Expected candidate fraction
+    ~ 2^-n_planes of the table."""
+    sig = hyperplane_signature(F.col(vec_col), n_planes)
+    bucketed = embeddings.select(id_col, vec_col, sig.alias("bucket"))
+    q = bucketed.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        bucketed.where(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), F.col("qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), id_col)
+        .limit(k)
+    )

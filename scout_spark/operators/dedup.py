@@ -1,0 +1,196 @@
+"""Deduplication operators for the training-data pipeline (build-brief
+extensions; generalize the reference's filter-then-verify core,
+SURVEY.md §4 O7, to n×m near-dup scale).
+
+Scale design:
+  - exact: hash-groupBy — one shuffle on the fingerprint, map-side
+    partial agg makes the shuffle tiny when dup rate is low.
+  - MinHash-LSH: signatures computed row-local in the scan stage (no
+    explode shuffle — array higher-order functions); only (band, bucket)
+    pairs shuffle; verify joins arrays back per candidate pair.
+  - SimHash: Arrow-batched pandas UDF (numpy bit-voting), then banding.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from scout_spark.functions.text import word_shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
+    """Keep the lowest id per exact-duplicate group. Returns
+    (fingerprint, keeper id, group_size)."""
+    return (
+        df.select(F.col(id_col), key.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(f"keeper_{id_col}"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def _minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
+    """k min-hashes via seeded murmur3 over the shingle array — computed
+    per-row with transform/array_min (no explode, no shuffle)."""
+
+    # single-parameter lambda via closure helper: pyspark infers HOF arity
+    # from the Python signature, so `lambda s, h=h:` would bind the
+    # element index to h instead of the seed.
+    def _mh(seed: int) -> Column:
+        prefix = F.lit(f"{seed}|")
+        return F.array_min(
+            F.transform(shingles, lambda s: F.hash(F.concat(prefix, s)))
+        ).alias(f"mh{seed}")
+
+    return [_mh(h) for h in range(num_hashes)]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash + LSH-banding near-duplicate pairs, verified by exact
+    Jaccard over distinct shingle sets.
+
+    Pipeline: shingle → k row-local minhashes → ``bands`` band keys →
+    explode to (band_idx, band_hash) → self-join on the band bucket
+    (candidate generation — the only shuffle) → exact Jaccard verify →
+    filter ≥ threshold. Probability a pair with Jaccard j collides in
+    ≥1 band: 1-(1-j^r)^b with r = num_hashes/bands.
+    """
+    rows_per_band = num_hashes // bands
+    sh = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+    sig = df.select(
+        F.col(id_col), sh.alias("shingles"), *_minhash_signature(sh, num_hashes)
+    )
+    band_cols = [
+        F.hash(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        id_col,
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "shingles", "band.band_idx", "band.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    isect = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = isect.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - isect
+    )
+    return (
+        cand.where(jac >= threshold)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens: Column,
+    block_on: list[Column],
+    threshold: float,
+) -> DataFrame:
+    """Exact distinct-token Jaccard over pairs sharing a blocking key —
+    the oracle-expressible near-dup baseline (blocked self-join)."""
+    d = df.select(
+        F.col(id_col), *[c for c in block_on], F.array_distinct(tokens).alias("toks")
+    )
+    block_names = [c._jc.toString().split(" AS ")[-1].strip("`") for c in block_on]  # noqa: SLF001
+    a, b = d.alias("a"), d.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for n in block_names:
+        cond = cond & (F.col(f"a.{n}") == F.col(f"b.{n}"))
+    isect = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    jac = isect.cast("double") / (
+        F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - isect
+    )
+    return (
+        a.join(b, cond)
+        .where(jac >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def _simhash32(texts: pd.Series) -> pd.Series:
+    """32-bit SimHash per text: stable FNV-1a token hashes, numpy bit
+    voting. Deterministic across runs/executors (no PYTHONHASHSEED
+    dependence)."""
+    import numpy as np
+
+    def fnv1a(token: str) -> int:
+        h = 0x811C9DC5
+        for ch in token.encode("utf-8"):
+            h = ((h ^ ch) * 0x01000193) & 0xFFFFFFFF
+        return h
+
+    out = []
+    for text in texts:
+        votes = np.zeros(32, dtype=np.int64)
+        for tok in (text or "").lower().split():
+            h = fnv1a(tok)
+            bits = (h >> np.arange(32)) & 1
+            votes += np.where(bits == 1, 1, -1)
+        sig = int(((votes > 0).astype(np.uint32) << np.arange(32, dtype=np.uint32)).sum())
+        out.append(sig)
+    return pd.Series(out, dtype="int64")
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash, 4×8-bit bands) — band equality is the candidate
+    blocking key for hamming-distance near-dup search at scale."""
+    simhash_udf = F.pandas_udf(_simhash32, LongType())
+    sig = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+    return sig.select(
+        id_col,
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 8 * b)
+            .bitwiseAND(F.lit(0xFF))
+            .cast("int")
+            .alias(f"band{b}")
+            for b in range(4)
+        ],
+    )

@@ -1,0 +1,55 @@
+"""Parquet table sources for the driver-provided TPC-H-ish testdata.
+
+The reference ingests OSM PBF via a QuackOSM subprocess into DuckDB
+(reference scripts/build_gazetteer.py:159-180); here all sources are
+columnar Parquet read through the DataSource V2 path so Catalyst pushes
+filters and prunes columns into the scan (check .explain for
+PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS), which the vectorized parquet
+    # reader rejects; read nanos as long and truncate to microseconds —
+    # exactly what the DuckDB oracle does when it loads the same file.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer division — double division loses µs precision on
+            # int64 nanosecond values (> 2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view (mirrors the oracle harness's
+    pre-registered DuckDB views) so SQL-path queries can run verbatim."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
