@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Headline benchmark for the scout_spark engine.
+
+Runs the representative query set at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full computation, no driver
+collect) so timings measure the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+# Headline set: one per operator family, weighted toward the scale-relevant
+# shapes (scans+aggs, multi-way joins, windows, as-of, dedup, ANN, flagship).
+HEADLINE = [
+    "flagship_fuzzy_search",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "agg_rollup_region_nation",
+    "agg_count_distinct",
+    "window_rank_lag_running",
+    "topk_orders_by_price",
+    "asof_join_last_purchase_before_error",
+    "window_tumbling_10min",
+    "sessionize_30min_gap",
+    "dedup_exact_fingerprint",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk_bruteforce",
+    "text_langid_heuristic",
+    "scalar_json_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    from scout_spark.inventory import load_all
+    from scout_spark.session import get_spark
+
+    spark = get_spark("scout-spark-bench")
+    registry = load_all()
+
+    # Warm the JVM/codegen once with a trivial job so q1 isn't charged
+    # session startup.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        item = registry[name]
+        t0 = time.time()
+        df = item.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

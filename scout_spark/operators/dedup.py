@@ -34,20 +34,26 @@ def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     )
 
 
-def _minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
-    """k min-hashes via seeded murmur3 over the shingle array — computed
-    per-row with transform/array_min (no explode, no shuffle)."""
+def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """array<int> of k min-hashes via seeded murmur3 over the shingle
+    array — one fold pass, row-local (no explode, no shuffle).
 
-    # single-parameter lambda via closure helper: pyspark infers HOF arity
-    # from the Python signature, so `lambda s, h=h:` would bind the
-    # element index to h instead of the seed.
-    def _mh(seed: int) -> Column:
-        prefix = F.lit(f"{seed}|")
-        return F.array_min(
-            F.transform(shingles, lambda s: F.hash(F.concat(prefix, s)))
-        ).alias(f"mh{seed}")
+    Single-pass matters: emitting k separate array_min(transform(...))
+    columns re-inlines the whole shingle expression tree k times and
+    blows up codegen (measured 7× slower). Here each shingle is hashed
+    into a k-vector once and folded with an elementwise min.
+    """
 
-    return [_mh(h) for h in range(num_hashes)]
+    def _hash_vector(s: Column) -> Column:
+        return F.array(
+            *[F.hash(F.concat(F.lit(f"{h}|"), s)) for h in range(num_hashes)]
+        )
+
+    return F.aggregate(
+        F.transform(shingles, _hash_vector),
+        F.array(*[F.lit(2147483647)] * num_hashes),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+    )
 
 
 def minhash_lsh_pairs(
@@ -71,28 +77,30 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sh = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
     sig = df.select(
-        F.col(id_col), sh.alias("shingles"), *_minhash_signature(sh, num_hashes)
+        F.col(id_col),
+        sh.alias("shingles"),
+        _minhash_signature(sh, num_hashes).alias("mh"),
     )
-    band_cols = [
-        F.hash(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
+    # band bucket = hash of the band's slice of the signature; explode to
+    # (id, band_idx, bucket) WITHOUT the shingle payload so the candidate
+    # self-join and pair-dedup shuffle only ids and two ints.
     banded = sig.select(
         id_col,
-        "shingles",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("bucket"))
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.hash(
+                            F.slice(F.col("mh"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
                     for b in range(bands)
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "shingles", "band.band_idx", "band.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    ).select(id_col, "band.band_idx", "band.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
@@ -103,22 +111,29 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    isect = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = isect.cast("double") / (
-        F.size("sh_a") + F.size("sh_b") - isect
+    # verify: re-attach distinct shingle sets and compute exact Jaccard —
+    # only for the (few) candidate pairs that collided in ≥1 band.
+    shingle_sets = sig.select(id_col, "shingles")
+    cand = cand.join(
+        shingle_sets.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+            "shingles", "sh_a"
+        ),
+        "id_a",
+    ).join(
+        shingle_sets.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+            "shingles", "sh_b"
+        ),
+        "id_b",
     )
-    return (
-        cand.where(jac >= threshold)
-        .select(
-            F.col("id_a").alias("doc_a"),
-            F.col("id_b").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
+    isect = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = isect.cast("double") / (F.size("sh_a") + F.size("sh_b") - isect)
+    return cand.where(jac >= threshold).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round(jac, 6).alias("jaccard"),
     )
 
 

@@ -1,0 +1,96 @@
+"""Fuzzy similarity scoring (SURVEY.md §2.9 X3) — the one genuinely
+non-SQL kernel in the reference (rapidfuzz ``fuzz.WRatio``,
+reference ranking.py:73-76).
+
+Two paths:
+  - ``best_sim_udf``: Arrow-batched pandas UDF. Uses rapidfuzz when
+    importable (bit-parity with the reference's scores; rapidfuzz is C++
+    and releases the GIL, so Arrow batches amortize the crossing). Falls
+    back to a pure-Python WRatio approximation (difflib ratio × the same
+    token-sort/token-set heuristics) when rapidfuzz is absent — clearly
+    deterministic, same [0,1] scale.
+  - ``proxy_similarity``: pure Column expression (levenshtein + distinct-
+    token Jaccard blend) — codegen-able, oracle-expressible, and the
+    scale path when Python crossing is unwanted.
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+try:  # gate: not installed in this container; baked-in on real deploys
+    from rapidfuzz import fuzz as _rf_fuzz
+
+    HAVE_RAPIDFUZZ = True
+except ImportError:
+    _rf_fuzz = None
+    HAVE_RAPIDFUZZ = False
+
+
+def _wratio_fallback(q: str, t: str) -> float:
+    """Approximation of rapidfuzz WRatio on [0,100]: max of plain ratio,
+    token-sort ratio, and (length-ratio-scaled) partial token-set ratio —
+    the same structural heuristics WRatio blends."""
+    if not q or not t:
+        return 0.0
+    base = SequenceMatcher(None, q, t).ratio() * 100
+    ts_q, ts_t = " ".join(sorted(q.split())), " ".join(sorted(t.split()))
+    token_sort = SequenceMatcher(None, ts_q, ts_t).ratio() * 100
+    sq, st = set(q.split()), set(t.split())
+    inter = " ".join(sorted(sq & st))
+    token_set = 0.0
+    if inter:
+        token_set = max(
+            SequenceMatcher(None, inter, ts_q).ratio(),
+            SequenceMatcher(None, inter, ts_t).ratio(),
+        ) * 100
+    return max(base, token_sort, token_set)
+
+
+def _score_series(queries: list[str], targets: pd.Series) -> pd.Series:
+    """max over query texts of WRatio(q, target)/100 for each target."""
+    if HAVE_RAPIDFUZZ:
+        scorer = _rf_fuzz.WRatio
+    else:
+        scorer = _wratio_fallback
+    out = []
+    for t in targets:
+        if not t:
+            out.append(0.0)
+            continue
+        out.append(max((scorer(q, t) for q in queries), default=0.0) / 100.0)
+    return pd.Series(out, dtype="float64")
+
+
+def best_sim_udf(query_texts: list[str]):
+    """pandas UDF: best_sim against a fixed list of normalized query
+    candidates (reference ranking.py:66-77 — max over candidates of max
+    over name columns happens by applying this to each name column and
+    taking ``greatest``)."""
+    queries = [q for q in query_texts if q]
+
+    @F.pandas_udf(DoubleType())
+    def _best_sim(target: pd.Series) -> pd.Series:
+        return _score_series(queries, target.fillna(""))
+
+    return _best_sim
+
+
+def proxy_similarity(target_norm: Column, query_norm: str) -> Column:
+    """Oracle-expressible fuzzy proxy (SURVEY.md §2.9 X3 second row):
+    0.5·(1 - levenshtein/maxlen) + 0.5·token-set Jaccard, on [0,1]."""
+    q = F.lit(query_norm)
+    t = F.coalesce(target_norm, F.lit(""))
+    lev = F.levenshtein(t, q).cast("double")
+    sim_lev = F.lit(1.0) - lev / F.greatest(F.length(t), F.length(q))
+    ttoks = F.array_distinct(F.filter(F.split(t, " "), lambda x: x != ""))
+    qtoks = F.array_distinct(F.filter(F.split(q, " "), lambda x: x != ""))
+    isect = F.size(F.array_intersect(ttoks, qtoks))
+    union = F.size(ttoks) + F.size(qtoks) - isect
+    jac = F.when(union > 0, isect.cast("double") / union).otherwise(F.lit(0.0))
+    return 0.5 * F.greatest(sim_lev, F.lit(0.0)) + 0.5 * jac

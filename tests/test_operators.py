@@ -1,0 +1,165 @@
+"""Operator correctness against exact ground truth (SURVEY.md §5.2):
+as-of join vs per-row brute force, MinHash-LSH candidates vs exact
+Jaccard, LSH-ANN recall vs brute force, grouped top-k, SimHash
+determinism and Hamming locality."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from scout_spark.operators.ann import brute_force_topk, lsh_bucket_topk
+from scout_spark.operators.asof import asof_join
+from scout_spark.operators.dedup import minhash_lsh_pairs, simhash_signatures
+from scout_spark.operators.topk import grouped_top_k, top_k
+
+
+# ------------------------------------------------------------------ as-of
+def test_asof_join_matches_bruteforce(spark):
+    base = dt.datetime(2024, 1, 1)
+    lefts = [(i, k, base + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(
+        [(1, 10), (1, 25), (1, 5), (2, 40), (2, 3), (3, 7)]
+    )]
+    rights = [(k, base + dt.timedelta(minutes=m), float(v)) for k, m, v in
+              [(1, 8, 1.0), (1, 20, 2.0), (1, 25, 3.0), (2, 39, 4.0), (3, 60, 5.0)]]
+    l = spark.createDataFrame(lefts, "lid int, k int, ts timestamp")
+    r = spark.createDataFrame(rights, "k int, ts timestamp, v double")
+    out = {
+        row["lid"]: (row["right_ts"], row["right_v"])
+        for row in asof_join(
+            l, r, on="k", left_ts="ts", right_ts="ts", right_payload=["v"]
+        ).collect()
+    }
+    # brute force expectations
+    expected = {}
+    for lid, k, lts in lefts:
+        best = None
+        for rk, rts, v in rights:
+            if rk == k and rts <= lts and (best is None or rts > best[0]):
+                best = (rts, v)
+        if best:
+            expected[lid] = best
+    assert out == expected
+    # exact-timestamp match included (lid=1 ts=25 → right ts=25 v=3.0)
+    assert out[1] == (base + dt.timedelta(minutes=25), 3.0)
+
+
+def test_asof_left_outer(spark):
+    l = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1))], "lid int, k int, ts timestamp"
+    )
+    r = spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1), 9.0)], "k int, ts timestamp, v double"
+    )
+    inner = asof_join(l, r, "k", "ts", "ts", ["v"], how="inner").count()
+    left = asof_join(l, r, "k", "ts", "ts", ["v"], how="left").collect()
+    assert inner == 0
+    assert len(left) == 1 and left[0]["right_v"] is None
+
+
+# ------------------------------------------------------------------ top-k
+def test_top_k_and_grouped_top_k(spark):
+    # unique v per (g, i) so expected ordering is unambiguous
+    df = spark.createDataFrame(
+        [(g, i, float((g * 41 + i * 7) % 97)) for g in (1, 2) for i in range(20)],
+        "g int, i int, v double",
+    )
+    got = top_k(df, [F.col("v").desc(), F.col("i")], 3).collect()
+    all_rows = sorted(df.collect(), key=lambda r: (-r["v"], r["i"]))
+    assert [(r["g"], r["i"]) for r in got] == [(r["g"], r["i"]) for r in all_rows[:3]]
+
+    grouped = grouped_top_k(df, ["g"], [F.col("v").desc(), F.col("i")], 2)
+    per_group = {}
+    for r in grouped.collect():
+        per_group.setdefault(r["g"], []).append((r["v"], r["i"]))
+    for g in (1, 2):
+        exp = sorted(
+            [(r["v"], r["i"]) for r in all_rows if r["g"] == g],
+            key=lambda t: (-t[0], t[1]),
+        )[:2]
+        assert sorted(per_group[g], key=lambda t: (-t[0], t[1])) == exp
+
+
+# ------------------------------------------------------------- MinHash-LSH
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "near the warm fire and dreams of chasing mice in the old barn"
+    )
+    near = base.replace("warm fire", "warm stove")  # high Jaccard
+    far = "completely different text about spark dataframes and parquet files with no overlap at all whatsoever in any shingle"
+    rows = [(0, base), (1, near), (2, far), (3, base + " tonight"), (4, far + " indeed")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_near_dups(docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs_df, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5
+    assert (0, 3) in pairs
+    assert not any({a, b} & {2} and {a, b} & {0, 1, 3} for a, b in pairs)
+
+
+def test_minhash_jaccard_values_exact(spark, docs_df):
+    """Verified pairs report EXACT Jaccard (the verify phase recomputes
+    from shingle sets — LSH only prunes)."""
+    from scout_spark.functions.text import word_shingles
+
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs_df.select(
+            "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh")
+        ).collect()
+    }
+    pairs = minhash_lsh_pairs(
+        docs_df, "doc_id", "text", num_hashes=16, bands=8, threshold=0.3
+    ).collect()
+    for r in pairs:
+        a, b = sets[r["doc_a"]], sets[r["doc_b"]]
+        exact = len(a & b) / len(a | b)
+        assert r["jaccard"] == pytest.approx(exact, abs=1e-6)
+
+
+# ------------------------------------------------------------------- ANN
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact = [
+        r["vec_id"]
+        for r in brute_force_topk(
+            emb.where(F.col("vec_id") != 0), q, k=10
+        ).collect()
+    ]
+    approx = [
+        r["vec_id"] for r in lsh_bucket_topk(emb, 0, k=10, n_planes=2).collect()
+    ]
+    # 2 planes → 4 buckets → ~125 candidates of 500; recall isn't 1.0 but
+    # must be substantial and the result must be a valid subset ordering
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.2, (exact, approx)
+    assert len(approx) == 10
+
+
+def test_simhash_deterministic_and_local(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+         (2, "alpha beta gamma epsilon"), (3, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df, "doc_id", "text").collect()}
+    assert sig[0] == sig[1]  # identical text → identical signature
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sig[0], sig[2]) < ham(sig[0], sig[3])  # locality
+    # second run identical (no PYTHONHASHSEED dependence)
+    sig2 = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df, "doc_id", "text").collect()}
+    assert sig == sig2
