@@ -1,0 +1,139 @@
+"""Multimodal (image/audio/video) column plumbing (build-brief extension).
+
+Media are opaque ``binary`` columns + a typed metadata struct; decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages so bytes never round-trip through Python row
+objects. The actual codec step is STUBBED: the image/audio libraries are
+not in this container, so ``decode_fn=None`` uses a deterministic fake
+decoder (byte-hash-derived dimensions) and a real codec can be injected.
+Everything around the stub — schema, batch iteration, partitioning,
+output explode — is real and tested.
+
+Scale notes: decode parallelism = partition count; blobs should be
+repartitioned to ~executor-core multiples before the mapInPandas stage;
+``spark.sql.execution.arrow.maxRecordsPerBatch`` caps batch memory for
+large blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary,"
+    " meta struct<source:string, declared_frames:int>"
+)
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, width int, height int, channels int,"
+    " n_bytes long, checksum string"
+)
+
+FRAME_SCHEMA = "media_id long, frame_index int, frame_checksum string"
+
+
+def pack_blobs(
+    df: DataFrame, id_col: str, payload_col: str, kind: str, source_col: str,
+    declared_frames: int = 8,
+) -> DataFrame:
+    """Wrap an arbitrary column as a media blob table (test/fixture path —
+    production ingests real bytes from object storage)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col(payload_col).cast("binary").alias("payload"),
+        F.struct(
+            F.col(source_col).cast("string").alias("source"),
+            F.lit(declared_frames).alias("declared_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real image decode — dimensions derived
+    from a content digest. Replace via ``decode_fn`` with e.g. PIL:
+    ``lambda b: Image.open(io.BytesIO(b)).size + (3,)``."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return 16 + digest[0] % 240, 16 + digest[1] % 240, 1 + digest[2] % 4
+
+
+def decode_media(
+    blobs: DataFrame,
+    decode_fn: Callable[[bytes], tuple[int, int, int]] | None = None,
+) -> DataFrame:
+    """Decode each blob to (width, height, channels, n_bytes, checksum).
+
+    ``decode_fn`` is the injected codec; None → deterministic fake (the
+    container has no image/audio libs — see module docstring)."""
+    fn = decode_fn or _fake_decode
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [fn(p if p is not None else b"") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "checksum": [
+                        hashlib.sha256(p or b"").hexdigest()[:16]
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return blobs.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def resize_stub(blobs: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Resize stage — REAL resize requires an image library absent here.
+
+    The Spark-side contract (binary in → binary out, same rows) is kept;
+    the payload transform raises until a codec is injected upstream via
+    ``decode_media(decode_fn=...)``-style wiring.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "resize requires an image codec (e.g. pillow) not present in "
+            "this container; inject a real transform here"
+        )
+        yield  # pragma: no cover
+
+    return blobs.mapInPandas(resize_batches, blobs.schema)
+
+
+def sample_frames(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video-kind blobs: emits ``n_frames`` evenly
+    spaced frame rows per blob (row-expanding mapInPandas). Frame decode
+    is the deterministic fake; the explode shape, schema, and batch
+    iteration are the real plumbing."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                declared = max(int(meta["declared_frames"]), 1)
+                step = max(declared // n_frames, 1)
+                payload = payload or b""
+                for fi in range(0, min(declared, n_frames * step), step):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    sums.append(
+                        hashlib.sha256(payload + fi.to_bytes(4, "big")).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame_checksum": sums}
+            )
+
+    return blobs.mapInPandas(frame_batches, FRAME_SCHEMA)

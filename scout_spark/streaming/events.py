@@ -1,0 +1,129 @@
+"""Structured Streaming over the events stream (SURVEY.md §2.10 — the
+reference has no streaming; these are the build-brief extensions, built
+on watermarks + windowed state so they run unbounded).
+
+Each transformation takes a streaming DataFrame and returns one, so the
+same logic composes under readStream → ... → writeStream. The batch
+shapes of these queries live in scout_spark/inventory/temporal.py and
+are oracle-checked; streaming parity with those batch results is pinned
+by tests/test_streaming.py (availableNow trigger over file source).
+
+Scale notes: watermarks bound state; tumbling/sliding aggs keep one
+state row per (window, key); session windows merge state on arrival;
+dropDuplicatesWithinWatermark evicts seen-keys past the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of event parquet/json drops (at 100 TB this is
+    the landing-zone pattern: object-store prefix, bounded per-trigger
+    file count to cap micro-batch size)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming twin of inventory item window_tumbling_10min: per-window
+    per-type counts and value sums; late rows beyond the watermark drop."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_value_sums(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window aggregation — each event lands in window/slide
+    overlapping windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "user_id")
+        .agg(F.round(F.sum("value"), 2).alias("window_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "window_value",
+        )
+    )
+
+
+def sessionized_activity(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming session windows (gap-close semantics match the batch
+    gaps-and-islands item sessionize_30min_gap): state merges as events
+    arrive, sessions emit once the watermark passes the gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon — the streaming
+    variant of exact dedup (state = seen keys, evicted past watermark)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion with the availableNow
+    trigger into an in-memory table; returns the materialized result.
+    (Test/driver helper — production sinks are writeStream.format(
+    'parquet'/'delta') or foreachBatch for merge semantics.)"""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,68 @@
+"""Multimodal plumbing tests: binary columns through mapInPandas —
+deterministic fake decode, frame-sample explode shape, stub behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scout_spark.operators.multimodal import (
+    decode_media,
+    pack_blobs,
+    resize_stub,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    return pack_blobs(
+        docs.withColumn("payload", F.encode("text", "utf-8")),
+        id_col="doc_id",
+        payload_col="payload",
+        kind="image",
+        source_col="source",
+        declared_frames=8,
+    ).cache()
+
+
+def test_blob_schema(blobs):
+    kinds = dict(blobs.dtypes)
+    assert kinds["payload"] == "binary"
+    assert kinds["meta"].startswith("struct<source:string")
+
+
+def test_decode_deterministic(blobs):
+    a = {r["media_id"]: (r["width"], r["height"], r["channels"], r["checksum"])
+         for r in decode_media(blobs).collect()}
+    b = {r["media_id"]: (r["width"], r["height"], r["channels"], r["checksum"])
+         for r in decode_media(blobs).collect()}
+    assert a == b and len(a) == 50
+    for w, h, c, _ in a.values():
+        assert 16 <= w < 256 and 16 <= h < 256 and 1 <= c <= 4
+
+
+def test_decode_injectable(blobs):
+    fixed = decode_media(blobs, decode_fn=lambda b: (640, 480, 3)).collect()
+    assert all(r["width"] == 640 and r["height"] == 480 for r in fixed)
+
+
+def test_frame_sampling_shape(blobs):
+    frames = sample_frames(blobs, n_frames=4)
+    out = frames.collect()
+    assert len(out) == 50 * 4  # declared_frames=8, step=2 → 4 frames each
+    per = {}
+    for r in out:
+        per.setdefault(r["media_id"], []).append(r["frame_index"])
+    for idxs in per.values():
+        assert sorted(idxs) == [0, 2, 4, 6]
+    # frame checksums differ across frames of the same blob
+    sums = {r["frame_checksum"] for r in out}
+    assert len(sums) > 50
+
+
+def test_resize_stub_raises(blobs):
+    with pytest.raises(Exception) as exc:
+        resize_stub(blobs).collect()
+    assert "NotImplementedError" in str(exc.value) or "image codec" in str(exc.value)

@@ -1,0 +1,156 @@
+"""Structured Streaming tests: file-source → watermarked transformations
+→ availableNow → memory sink, checked against the oracle-verified BATCH
+shapes of the same queries (inventory/temporal.py) — streaming results
+must equal batch results once the stream drains."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scout_spark.streaming.events import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory_sink,
+    sessionized_activity,
+    sliding_value_sums,
+    tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    """Re-shard the events table into several files so availableNow
+    processes multiple micro-batches."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    from scout_spark.sources import load_table
+
+    load_table(spark, SF_DIR, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, events_path):
+    return spark.read.parquet(events_path).cache()
+
+
+def test_tumbling_stream_equals_batch(spark, events_batch, events_path):
+    stream = read_events_stream(spark, events_path, max_files_per_trigger=2)
+    got = run_to_memory_sink(tumbling_counts(stream), "t_tumbling", output_mode="complete").collect()
+    exp = (
+        events_batch.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    assert len(exp) > 0
+
+
+def test_sliding_stream_equals_batch(spark, events_batch, events_path):
+    stream = read_events_stream(spark, events_path)
+    got = run_to_memory_sink(sliding_value_sums(stream), "t_sliding", output_mode="complete").collect()
+    exp = (
+        events_batch.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "user_id"
+        )
+        .agg(F.round(F.sum("value"), 2).alias("window_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "window_value",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    # sliding: every event in exactly 2 windows
+    n_events = events_batch.count()
+    assert sum(r["window_value"] is not None for r in exp) >= 1
+    total_win_events = (
+        events_batch.select(F.explode(F.sequence(F.lit(0), F.lit(1))).alias("x")).count()
+    )
+    assert total_win_events == 2 * n_events
+
+
+def test_session_stream_equals_batch_islands(spark, events_batch, events_path):
+    """session_window(gap=30m) must produce the same per-user session
+    count as the batch gaps-and-islands formulation."""
+    stream = read_events_stream(spark, events_path)
+    got = run_to_memory_sink(sessionized_activity(stream), "t_sessions", output_mode="complete")
+    got_per_user = {
+        r["user_id"]: r["n"]
+        for r in got.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.coalesce(F.lag("ts").over(w), F.col("ts")).cast("double")
+    islands = (
+        events_batch.select(
+            "user_id", F.when(gap > 1800, 1).otherwise(0).alias("new_session")
+        )
+        .groupBy("user_id")
+        .agg((F.sum("new_session") + 1).alias("n"))
+    )
+    exp_per_user = {r["user_id"]: r["n"] for r in islands.collect()}
+    assert got_per_user == exp_per_user
+
+
+def test_dedup_within_watermark(spark, events_batch, events_path, tmp_path_factory):
+    """Duplicate the stream input → dedup must restore original counts."""
+    dup_path = str(tmp_path_factory.mktemp("events_dup"))
+    df = spark.read.parquet(events_path)
+    df.unionAll(df).repartition(4).write.mode("overwrite").parquet(dup_path)
+    stream = read_events_stream(spark, dup_path)
+    got = run_to_memory_sink(dedup_within_watermark(stream), "t_dedup").count()
+    assert got == events_batch.count()
+
+
+def test_stateful_running_totals(spark, events_batch, events_path):
+    """applyInPandasWithState: final per-user totals must equal batch
+    aggregation once the stream drains (last update per user wins)."""
+    from scout_spark.streaming.stateful import running_user_totals
+
+    stream = read_events_stream(spark, events_path)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per user per micro-batch: the LAST row
+    # per user is the final state
+    got_df = spark.table("t_stateful").toPandas()
+    got = {
+        int(r.user_id): (int(r.total_events), r.total_value)
+        for r in got_df.itertuples()
+    }  # later rows overwrite earlier → final state
+    exp = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in events_batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
+        )
+        .collect()
+    }
+    assert got == exp
