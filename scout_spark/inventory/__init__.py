@@ -41,6 +41,12 @@ def register(
 
 def load_all() -> dict[str, Item]:
     """Import all inventory modules (side-effect: fills REGISTRY)."""
-    from scout_spark.inventory import core, text_ops, vector_ops, temporal  # noqa: F401
+    from scout_spark.inventory import (  # noqa: F401
+        core,
+        extended,
+        temporal,
+        text_ops,
+        vector_ops,
+    )
 
     return REGISTRY

@@ -127,17 +127,21 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_anti_customers_without_orders",
-    "Left-anti join: customers with no orders at all (SURVEY.md §2.3 J3).",
+    "join_anti_customers_without_big_orders",
+    "Left-anti join: customers with no order above 400k (SURVEY.md §2.3 "
+    "J3). The filter keeps the result non-empty so the check is "
+    "non-vacuous at every scale factor.",
     oracle="""
       SELECT c_custkey, c_name
       FROM customer c
-      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 400000)
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

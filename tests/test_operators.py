@@ -163,3 +163,28 @@ def test_simhash_deterministic_and_local(spark):
     # second run identical (no PYTHONHASHSEED dependence)
     sig2 = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df, "doc_id", "text").collect()}
     assert sig == sig2
+
+
+# ------------------------------------------------------- sketch aggregates
+def test_approx_sketches_within_tolerance(spark):
+    """approx_count_distinct (HLL++) and percentile_approx are rows-only
+    inventory items — pin them against exact values here."""
+    from scout_spark.inventory import load_all
+
+    item = load_all()["agg_approx_distinct_and_percentile"]
+    got = {r["status"]: r for r in item.spark(spark, "/root/testdata/sf0.01").collect()}
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    exact = {
+        r["o_orderstatus"]: r
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("nd"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    for status, row in got.items():
+        nd, p50 = exact[status]["nd"], exact[status]["p50"]
+        # HLL++ default rsd is 0.05 → allow 2 sigma
+        assert abs(row["approx_customers"] - nd) / nd < 0.10
+        assert abs(row["approx_p50"] - p50) / p50 < 0.05
