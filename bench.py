@@ -52,9 +52,14 @@ def main() -> None:
     spark = get_spark("scout-spark-bench")
     registry = load_all()
 
-    # Warm the JVM/codegen once with a trivial job so q1 isn't charged
-    # session startup.
+    # JMH-style warm-up: one untimed pass per query amortizes JVM/codegen
+    # compilation and parquet footer reads, so timings reflect steady-state
+    # execution (what matters at 100 TB), not session cold-start.
     spark.range(1000).count()
+    for name in HEADLINE:
+        registry[name].spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
