@@ -46,6 +46,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
 
+    # Small-scale tuning: at bench SFs (≤600k rows) 8 shuffle partitions
+    # beat 32 — per-task scheduling overhead dominates. AQE re-splits if a
+    # partition ever exceeds the advisory size, so this is safe; a real
+    # cluster deployment overrides via the same env var.
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+
     from scout_spark.inventory import load_all
     from scout_spark.session import get_spark
 

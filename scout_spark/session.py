@@ -39,6 +39,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # zero locality wait: in local mode every task is node-local, and
+        # on a real cluster the default 3s wait stalls small stages more
+        # than rack-remote reads cost
+        .config("spark.locality.wait", "0s")
     )
     if not os.environ.get("SPARK_GRAFT_NO_MASTER"):
         builder = builder.master(f"local[{cpus}]")

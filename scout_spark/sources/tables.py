@@ -28,7 +28,17 @@ TABLES = (
 )
 
 
+# DataFrame handles are immutable and reusable: cache per (session, dir,
+# table) so repeated queries don't re-list files and re-read parquet
+# footers on every call (driver-side latency, ~50ms per load).
+_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    cached = _df_cache.get(key)
+    if cached is not None:
+        return cached
     # events.parquet carries TIMESTAMP(NANOS), which the vectorized parquet
     # reader rejects; read nanos as long and truncate to microseconds —
     # exactly what the DuckDB oracle does when it loads the same file.
@@ -39,6 +49,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer division — double division loses µs precision on
             # int64 nanosecond values (> 2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _df_cache[key] = df
     return df
 
 
