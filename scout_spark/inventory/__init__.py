@@ -44,6 +44,7 @@ def load_all() -> dict[str, Item]:
     from scout_spark.inventory import (  # noqa: F401
         core,
         extended,
+        extended2,
         temporal,
         text_ops,
         vector_ops,

@@ -1,0 +1,103 @@
+"""Scale-layout proofs: these tests assert PLAN PROPERTIES, not just
+results — bucketed joins must be shuffle-free, salted joins must match
+unsalted results, scans must show pushed filters.
+
+They encode the 100 TB design claims so a regression (a new Exchange, a
+lost pushdown) fails CI instead of silently degrading at scale.
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from scout_spark.operators.skew import salted_join, write_bucketed
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_join_is_shuffle_free(spark, warehouse):
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_bucketed(o, "orders_b", "o_orderkey", 8, sort_col="o_orderkey")
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        "o_orderkey",
+        8,
+        sort_col="o_orderkey",
+    )
+    joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    # co-located buckets: no shuffle exchange anywhere in the join plan
+    assert "Exchange" not in plan, plan
+    # sanity: same result as plain join
+    plain = o.join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+    ).count()
+    assert joined.count() == plain
+
+
+def test_unbucketed_join_does_shuffle(spark, warehouse):
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    joined = o.join(li, o.o_orderkey == li.l_orderkey)
+    assert "Exchange" in _plan(joined)
+
+
+def test_salted_join_matches_unsalted(spark):
+    # skewed big side: 90% of rows share key 1
+    big = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    salted = salted_join(big, small, "k", salt=8)
+    plain = big.join(small, "k")
+    assert salted.count() == plain.count()
+    s = {(r["k"], r["payload"], r["v"]) for r in salted.collect()}
+    p = {(r["k"], r["payload"], r["v"]) for r in plain.collect()}
+    assert s == p
+
+
+def test_aqe_skew_join_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_scan_pushdown_token_filter(spark):
+    from scout_spark.inventory import load_all
+
+    item = load_all()["filter_token_like"]
+    plan = _plan(item.spark(spark, "/root/testdata/sf0.001"))
+    assert "StringContains(text,spark)" in plan.replace("'", "")
+
+
+def test_scan_column_pruning(spark):
+    """A 2-column projection must not read all columns (ReadSchema)."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plan = _plan(li.select("l_orderkey", "l_quantity"))
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) == {"l_orderkey", "l_quantity"}
