@@ -108,6 +108,24 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    "IVF approximate nearest neighbors — the partition-pruned scale "
+    "path: deterministic coarse centroids (strided sample standing in "
+    "for k-means), broadcast argmax assignment, query probes nprobe "
+    "cells so the scan touches ~nprobe/n_centroids of the table (at "
+    "100 TB the assignment is written partitioned by centroid_id and "
+    "pruning is physical). Rows-only; recall pinned vs brute force in "
+    "tests/test_operators.py.",
+    tags=("rows-only",),
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.ann import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, query_vec_id=QUERY_VEC_ID, k=10, n_centroids=8, nprobe=2)
+
+
+@register(
     "dedup_minhash_lsh",
     "MinHash + LSH banding near-dup candidates over word shingles "
     "(training-data dedup at 100 TB: shingle → k minhashes via seeded "

@@ -70,6 +70,102 @@ def hyperplane_signature(vec: Column, n_planes: int) -> Column:
     return sig
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    ``centroids``: (centroid_id, cv). Broadcast-joined; argmin by cosine
+    distance via one grouped max_by — at 100 TB this runs once at index
+    build time and the assignment is written partitioned by centroid_id
+    so queries prune to nprobe partitions.
+    """
+    scored = embeddings.join(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine_similarity(F.col(vec_col), F.col("cv")).alias("_sim"),
+    )
+    # argmax via max_by on (sim, -centroid_id) struct for deterministic ties
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col("centroid_id"), F.struct(F.col("_sim"), -F.col("centroid_id"))
+        ).alias("centroid_id")
+    )
+    return embeddings.join(best, id_col)
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic coarse centroids: evenly strided sample by id rank.
+    (A production index would run k-means; a strided sample is an
+    unbiased, fully deterministic stand-in with the same plumbing.)"""
+    from pyspark.sql.window import Window
+
+    ranked = embeddings.select(
+        id_col, vec_col, F.row_number().over(Window.orderBy(id_col)).alias("_rn")
+    )
+    total = embeddings.count()
+    stride = max(total // n_centroids, 1)
+    return (
+        ranked.where((F.col("_rn") - 1) % stride == 0)
+        .limit(n_centroids)
+        .select(
+            ((F.col("_rn") - 1) / stride).cast("int").alias("centroid_id"),
+            F.col(vec_col).alias("cv"),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
+    query, exact cosine within their cells only (candidate fraction ≈
+    nprobe/n_centroids)."""
+    cents = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    assigned = ivf_assign(embeddings, cents, vec_col, id_col)
+    q = embeddings.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qv")
+    )
+    probe_cells = (
+        cents.join(F.broadcast(q))
+        .select(
+            "centroid_id",
+            cosine_similarity(F.col("cv"), F.col("qv")).alias("_sim"),
+        )
+        .orderBy(F.col("_sim").desc(), "centroid_id")
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe_cells), "centroid_id")
+        .where(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), F.col("qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), id_col)
+        .limit(k)
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query_vec_id: int,

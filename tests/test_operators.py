@@ -188,3 +188,24 @@ def test_approx_sketches_within_tolerance(spark):
         # HLL++ default rsd is 0.05 → allow 2 sigma
         assert abs(row["approx_customers"] - nd) / nd < 0.10
         assert abs(row["approx_p50"] - p50) / p50 < 0.05
+
+
+def test_ivf_topk_recall(spark):
+    from scout_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    exact = [
+        r["vec_id"]
+        for r in brute_force_topk(emb.where(F.col("vec_id") != 7), q, k=10).collect()
+    ]
+    approx = ivf_topk(emb, query_vec_id=7, k=10, n_centroids=8, nprobe=3).collect()
+    ids = [r["vec_id"] for r in approx]
+    assert len(ids) == 10 and len(set(ids)) == 10
+    recall = len(set(exact) & set(ids)) / 10
+    assert recall >= 0.2, (exact, ids)
+    # cos_sim descending and deterministic across runs
+    sims = [r["cos_sim"] for r in approx]
+    assert sims == sorted(sims, reverse=True)
+    again = [r["vec_id"] for r in ivf_topk(emb, 7, 10, 8, 3).collect()]
+    assert ids == again

@@ -154,3 +154,36 @@ def test_stateful_running_totals(spark, events_batch, events_path):
         .collect()
     }
     assert got == exp
+
+
+def test_parquet_sink_checkpoint_resume(spark, events_batch, events_path, tmp_path_factory):
+    """Exactly-once file sink: run a windowed aggregation to a parquet
+    sink with a checkpoint, then re-run with the SAME checkpoint — the
+    second run must process nothing new and the sink must not double."""
+    sink = str(tmp_path_factory.mktemp("sink"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+
+    def run_once():
+        stream = read_events_stream(spark, events_path)
+        q = (
+            tumbling_counts(stream, watermark="5 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(sink).count()
+    run_once()  # same checkpoint: no new input → no new output
+    second = spark.read.parquet(sink).count()
+    assert first == second
+    # append mode emits only watermark-finalized windows: strictly fewer
+    # than the complete batch result, but nonzero
+    total_windows = (
+        events_batch.groupBy(F.window("ts", "10 minutes"), "event_type").count().count()
+    )
+    assert 0 < first < total_windows
