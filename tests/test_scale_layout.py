@@ -9,6 +9,7 @@ lost pushdown) fails CI instead of silently degrading at scale.
 from __future__ import annotations
 
 import io
+import os
 import contextlib
 
 import pytest
@@ -26,6 +27,15 @@ def _plan(df) -> str:
 
 @pytest.fixture(scope="module")
 def warehouse(spark, tmp_path_factory):
+    # a previous session's managed-table directories survive in
+    # ./spark-warehouse while the in-memory catalog forgets them —
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS; clean both.
+    import shutil
+
+    warehouse_dir = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse_dir, t), ignore_errors=True)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     yield
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
