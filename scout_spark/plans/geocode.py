@@ -59,6 +59,10 @@ class GeocodeSettings:
     proximity_km: float = 25.0
     limit_scan: int = 10_000
     use_pandas_udf: bool = True  # False → pure-Column proxy scorer
+    # opt-in token inverted index (SURVEY.md §4 O8): whole-token match
+    # semantics instead of the reference's substring LIKE — see
+    # operators/inverted_index.py for the documented difference
+    use_token_index: bool = False
 
 
 class ScoutEngine:
@@ -77,6 +81,11 @@ class ScoutEngine:
         self.settings = settings or GeocodeSettings()
         self.pois = pois
         self.admin = admin.cache()
+        self.token_index = None
+        if self.settings.use_token_index:
+            from scout_spark.operators.inverted_index import build_token_index
+
+            self.token_index = build_token_index(pois).cache()
 
     # -- area resolution (reference repo.py:16-45) -----------------------
     def resolve_area_bbox(
@@ -127,19 +136,24 @@ class ScoutEngine:
         bbox: tuple | None,
         limit_scan: int | None = None,
     ) -> DataFrame:
-        pred = F.lit(True)
-        if name_tokens:
-            pred = reduce(
-                and_,
-                [
-                    (
-                        F.coalesce(F.col("name_local_norm"), F.lit("")).contains(t)
-                        | F.coalesce(F.col("name_en_norm"), F.lit("")).contains(t)
-                    )
-                    for t in name_tokens
-                ],
-            )
-        df = self.pois.where(pred)
+        if name_tokens and self.token_index is not None:
+            from scout_spark.operators.inverted_index import indexed_candidate_scan
+
+            df = indexed_candidate_scan(self.pois, self.token_index, name_tokens)
+        else:
+            pred = F.lit(True)
+            if name_tokens:
+                pred = reduce(
+                    and_,
+                    [
+                        (
+                            F.coalesce(F.col("name_local_norm"), F.lit("")).contains(t)
+                            | F.coalesce(F.col("name_en_norm"), F.lit("")).contains(t)
+                        )
+                        for t in name_tokens
+                    ],
+                )
+            df = self.pois.where(pred)
         if bbox:
             minx, miny, maxx, maxy, _, _ = bbox
             df = df.where(
