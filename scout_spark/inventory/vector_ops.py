@@ -108,6 +108,39 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "crossmodal_doc_embedding_join",
+    "Cross-modal equi join: documents ⋈ embeddings on id, aggregating "
+    "embedding L2 norms and doc lengths per language — the shape of a "
+    "text+vector training-data pipeline stage (join key co-partitioning "
+    "applies at 100 TB: both tables bucketed on the id).",
+    oracle="""
+      SELECT d.lang,
+             count(*) AS n_docs,
+             round(avg(sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                             e.embedding::DOUBLE[]))), 6)
+               AS avg_l2_norm,
+             round(avg(d.n_chars), 4) AS avg_chars
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      GROUP BY d.lang
+    """,
+)
+def crossmodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.functions.vectors import l2_norm
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(l2_norm(F.col("embedding"))), 6).alias("avg_l2_norm"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@register(
     "ann_ivf_topk",
     "IVF approximate nearest neighbors — the partition-pruned scale "
     "path: deterministic coarse centroids (strided sample standing in "

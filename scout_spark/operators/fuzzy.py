@@ -84,7 +84,13 @@ def best_sim_udf(query_texts: list[str]):
 def proxy_similarity(target_norm: Column, query_norm: str) -> Column:
     """Oracle-expressible fuzzy proxy (SURVEY.md §2.9 X3 second row):
     0.5·(1 - levenshtein/maxlen) + 0.5·token-set Jaccard, on [0,1]."""
-    q = F.lit(query_norm)
+    return proxy_similarity_col(target_norm, F.lit(query_norm))
+
+
+def proxy_similarity_col(target_norm: Column, query_norm: Column) -> Column:
+    """proxy_similarity with a per-row query column — the batched-geocode
+    form where each row carries its own request text."""
+    q = query_norm
     t = F.coalesce(target_norm, F.lit(""))
     lev = F.levenshtein(t, q).cast("double")
     sim_lev = F.lit(1.0) - lev / F.greatest(F.length(t), F.length(q))
