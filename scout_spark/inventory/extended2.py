@@ -92,6 +92,78 @@ def scalar_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_group_topk_shipping_priority",
+    "TPC-H Q3-shaped composite: 3-way join → grouped revenue → global "
+    "top-10 (join + agg + TakeOrderedAndProject in one plan).",
+    oracle="""
+      SELECT l.l_orderkey AS orderkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             o.o_orderdate AS orderdate
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+      GROUP BY l.l_orderkey, o.o_orderdate
+      ORDER BY revenue DESC, orderkey
+      LIMIT 10
+    """,
+)
+def join_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "orderkey")
+        .limit(10)
+        .select("orderkey", "revenue", "orderdate")
+    )
+
+
+@register(
+    "agg_having_filter",
+    "HAVING — post-aggregation predicate (TPC-H Q18 shape): customers "
+    "whose total order volume exceeds a threshold.",
+    oracle="""
+      SELECT o_custkey AS custkey,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_spend
+      FROM orders
+      GROUP BY o_custkey
+      HAVING sum(o_totalprice) > 3500000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.sum("o_totalprice").alias("_raw"),
+        )
+        .where(F.col("_raw") > 3500000)
+        .drop("_raw")
+    )
+
+
 _GEO_ENGINE_CACHE: dict[int, object] = {}
 
 

@@ -101,6 +101,35 @@ def flagship_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_wratio_pandas_udf",
+    "The reference's actual fuzzy kernel (rapidfuzz fuzz.WRatio, "
+    "reference ranking.py:73-76; SURVEY.md §2.9 X3) as an Arrow-batched "
+    "pandas UDF over the filter-then-verify candidate set. Rows-only: "
+    "WRatio is a composite heuristic with no SQL equivalent — the "
+    "oracle-expressible proxy is flagship_fuzzy_search; structural "
+    "properties of this scorer are pinned in tests/test_fuzzy.py.",
+    tags=("rows-only",),
+)
+def fuzzy_wratio_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.fuzzy import best_sim_udf
+
+    d = _t(spark, sf_dir, "documents")
+    pred = reduce(and_, [F.col("text").contains(t) for t in FLAGSHIP_TOKENS])
+    sim = best_sim_udf([FLAGSHIP_QUERY])
+    return (
+        d.where(pred)
+        .select(
+            "doc_id",
+            F.round(sim(_canon_col(F.substring("text", 1, 80))), 6).alias(
+                "wratio_sim"
+            ),
+        )
+        .orderBy(F.col("wratio_sim").desc(), "doc_id")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------- normalizer
 @register(
     "text_canon_normalize",

@@ -111,3 +111,23 @@ def test_scan_column_pruning(spark):
     assert m, plan
     cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
     assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
+    """Date-partitioned layout: a one-day query must show PartitionFilters
+    and scan only that partition's files (physical partition pruning —
+    the 100 TB substitute for indexes on time)."""
+    out = str(tmp_path_factory.mktemp("events_part"))
+    from scout_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(out)
+    q = spark.read.parquet(out).where(F.col("day") == "2024-01-05")
+    plan = _plan(q)
+    assert "PartitionFilters" in plan
+    assert "2024-01-05" in plan.replace("'", "")
+    got = q.count()
+    exp = ev.where(F.to_date("ts") == "2024-01-05").count()
+    assert got == exp and got > 0
