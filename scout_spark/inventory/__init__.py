@@ -45,6 +45,7 @@ def load_all() -> dict[str, Item]:
         core,
         extended,
         extended2,
+        extended3,
         temporal,
         text_ops,
         vector_ops,

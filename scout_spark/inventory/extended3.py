@@ -1,0 +1,135 @@
+"""Third extension wave: outer-join family completeness (SURVEY.md §2.3
+— left/full outer with NULL extension), date/time arithmetic family
+(§2.8 F18), and conditional aggregation with FILTER.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scout_spark.inventory import register
+from scout_spark.inventory.core import _t
+
+
+@register(
+    "join_left_outer_customer_orders",
+    "Left outer join + aggregation with NULL-extension semantics "
+    "(SURVEY.md §2.3): every customer appears, order-less customers get "
+    "zero counts — coalesce over the null-extended side.",
+    oracle="""
+      SELECT c.c_custkey,
+             count(o.o_orderkey) AS n_big_orders,
+             round(coalesce(sum(o.o_totalprice), 0.0), 2) AS big_spend
+      FROM customer c
+      LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "big_spend"
+            ),
+        )
+    )
+
+
+@register(
+    "join_full_outer_users_customers",
+    "Full outer join: event-user activity vs customer order activity on "
+    "the shared id space — rows survive from BOTH unmatched sides "
+    "(SURVEY.md §2.3).",
+    oracle="""
+      WITH u AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+           c AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+                 WHERE o_custkey <= 30 GROUP BY o_custkey)
+      SELECT coalesce(u.user_id, c.o_custkey) AS id,
+             coalesce(u.n_events, 0) AS n_events,
+             coalesce(c.n_orders, 0) AS n_orders
+      FROM u FULL OUTER JOIN c ON u.user_id = c.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 30)
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    c = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        u.join(c, u.user_id == c.o_custkey, "full_outer")
+        .select(
+            F.coalesce(F.col("user_id"), F.col("o_custkey")).alias("id"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "scalar_date_arithmetic",
+    "Date/time arithmetic family (SURVEY.md §2.8 F18): extract parts, "
+    "day difference, month shift, truncation — engine-portable forms "
+    "(dayofweek numbering differs between engines, so ISO extract is "
+    "used on both sides).",
+    oracle="""
+      SELECT o_orderkey,
+             CAST(extract(year  FROM o_orderdate) AS INTEGER) AS y,
+             CAST(extract(month FROM o_orderdate) AS INTEGER) AS m,
+             CAST(extract(day   FROM o_orderdate) AS INTEGER) AS d,
+             CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT)
+               AS days_to_2002,
+             strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+             strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start
+      FROM orders WHERE o_orderkey < 200
+    """,
+)
+def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("days_to_2002"),
+        # string-format dates on both sides: pandas renders DATE columns
+        # as midnight timestamps, which breaks value canonicalization
+        F.date_format(F.add_months(F.col("o_orderdate"), 3), "yyyy-MM-dd").alias(
+            "plus3m"
+        ),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias(
+            "quarter_start"
+        ),
+    )
+
+
+@register(
+    "agg_filtered_conditional",
+    "Conditional aggregation with FILTER clauses — multiple disjoint "
+    "aggregates in one pass over one shuffle (SURVEY.md §2.4 A4).",
+    oracle="""
+      SELECT l_linestatus,
+             count(*) FILTER (l_discount > 0.05)                 AS n_discounted,
+             count(*) FILTER (l_tax = 0)                         AS n_taxfree,
+             round(sum(l_extendedprice) FILTER (l_quantity > 25), 2) AS big_qty_price
+      FROM lineitem
+      GROUP BY l_linestatus
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
+        F.round(
+            F.sum(F.when(F.col("l_quantity") > 25, F.col("l_extendedprice"))), 2
+        ).alias("big_qty_price"),
+    )
