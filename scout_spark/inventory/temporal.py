@@ -61,6 +61,63 @@ def asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_range_purchases_after_clicks",
+    "Time-bounded range join: purchases matched to the same user's "
+    "clicks within the preceding 30 minutes — the batch twin of the "
+    "watermarked stream-stream join (scout_spark/streaming/events.py::"
+    "purchases_after_clicks; equality on user_id carries the shuffle, "
+    "the time band is a post-join filter — never a cross product).",
+    oracle="""
+      SELECT p.event_id AS purchase_id, p.user_id,
+             p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def join_range_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+@register(
+    "dedup_transitive_groups",
+    "Transitive dedup groups: MinHash-LSH near-dup pairs closed under "
+    "connectivity (iterative min-label propagation with per-round "
+    "lineage checkpoints) → (id, component, keeper, is_duplicate). "
+    "Rows-only: iterative algorithm, not SQL-expressible; group "
+    "structure pinned on planted chains in tests/test_operators.py.",
+    tags=("rows-only",),
+)
+def dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.dedup import dedup_groups, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", 16, 4, 0.8)
+    return dedup_groups(pairs)
+
+
+@register(
     "window_tumbling_10min",
     "Tumbling 10-minute window aggregation — the batch shape of "
     "Structured Streaming's window() (SURVEY.md §2.10; streaming version "

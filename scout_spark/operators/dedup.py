@@ -224,6 +224,76 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pair edges → (id, component)
+    with component = smallest reachable id. Turns pairwise matches into
+    transitive dedup groups (A~B, B~C ⇒ {A,B,C} share one keeper).
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors; converges in
+    O(diameter) rounds. Lineage is truncated per round with
+    localCheckpoint — without it the iterative plan tree grows
+    exponentially and the driver, not the data, becomes the bottleneck.
+    (The label-propagation join shape is the standard scalable CC
+    formulation for Spark; GraphX/GraphFrames are not available in
+    pure-PySpark deployments.)
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """(id, component, keeper) — keeper = min id of the component; rows
+    with id != keeper are the deletions a dedup pass would apply."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.select(
+        "id", "component", F.col("component").alias("keeper"),
+        (F.col("id") != F.col("component")).alias("is_duplicate"),
+    )
+
+
 def _simhash32(texts: pd.Series) -> pd.Series:
     """32-bit SimHash per text: stable FNV-1a token hashes, numpy bit
     voting. Deterministic across runs/executors (no PYTHONHASHSEED

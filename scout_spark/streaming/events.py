@@ -101,6 +101,45 @@ def sessionized_activity(
     )
 
 
+def purchases_after_clicks(
+    events: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same user's
+    clicks in the preceding ``max_gap``. Both sides carry watermarks so
+    the join state is bounded — Spark evicts click state once the
+    watermark passes click_ts + max_gap.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    gap_expr = f"""
+        c_user = user_id AND
+        click_ts <= purchase_ts AND
+        click_ts >= purchase_ts - INTERVAL {max_gap}
+    """
+    return purchases.join(clicks, F.expr(gap_expr), "inner").select(
+        "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts", "value"
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
 ) -> DataFrame:

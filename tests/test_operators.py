@@ -209,3 +209,33 @@ def test_ivf_topk_recall(spark):
     assert sims == sorted(sims, reverse=True)
     again = [r["vec_id"] for r in ivf_topk(emb, 7, 10, 8, 3).collect()]
     assert ids == again
+
+
+# ------------------------------------------------------ connected components
+def test_connected_components_transitive_groups(spark):
+    from scout_spark.operators.dedup import connected_components, dedup_groups
+
+    # chain 1-2-3-4, pair 10-11, chain 20-21-22 (via 21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    cc = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert {cc[1], cc[2], cc[3], cc[4]} == {1}
+    assert {cc[10], cc[11]} == {10}
+    assert {cc[20], cc[21], cc[22]} == {20}
+    groups = dedup_groups(pairs).collect()
+    dups = {r["id"] for r in groups if r["is_duplicate"]}
+    assert dups == {2, 3, 4, 11, 21, 22}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from scout_spark.operators.dedup import connected_components
+
+    n = 30  # diameter ~30 > default-ish naive row count; still < max_iter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    cc = connected_components(pairs, max_iter=40).collect()
+    assert {r["component"] for r in cc} == {0}
+    assert len(cc) == n + 1

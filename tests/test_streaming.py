@@ -187,3 +187,39 @@ def test_parquet_sink_checkpoint_resume(spark, events_batch, events_path, tmp_pa
         events_batch.groupBy(F.window("ts", "10 minutes"), "event_type").count().count()
     )
     assert 0 < first < total_windows
+
+
+def test_stream_stream_join_equals_batch(spark, events_batch, events_path):
+    """Watermarked stream-stream join must equal the batch range join
+    once the stream drains."""
+    from scout_spark.streaming.events import purchases_after_clicks
+
+    stream = read_events_stream(spark, events_path)
+    got = run_to_memory_sink(purchases_after_clicks(stream), "t_ssj").collect()
+
+    clicks = events_batch.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events_batch.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    exp = (
+        purchases.join(
+            clicks,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+            ),
+        )
+        .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts", "value")
+        .collect()
+    )
+    assert len(exp) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
