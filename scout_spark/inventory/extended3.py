@@ -112,6 +112,73 @@ def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_map_functions",
+    "Map construction + manipulation family (SURVEY.md §2.8 F12/F18 — "
+    "the reference's tags MAP column semantics): map_from_entries over "
+    "grouped counts, NULL-safe key lookup (try_element_at ≙ DuckDB "
+    "map_extract[1], both NULL→default on missing), sorted key list, "
+    "cardinality.",
+    oracle="""
+      WITH per AS (SELECT user_id, event_type, count(*) AS c
+                   FROM events GROUP BY 1, 2),
+      m AS (SELECT user_id, map_from_entries(list({'key': event_type, 'value': c}))
+                     AS mp
+            FROM per GROUP BY user_id)
+      SELECT user_id,
+             array_to_string(list_sort(map_keys(mp)), ',') AS types,
+             coalesce(map_extract(mp, 'purchase')[1], 0) AS n_purchases,
+             CAST(cardinality(mp) AS BIGINT) AS n_types
+      FROM m
+    """,
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("event_type").alias("key"), F.col("c").alias("value"))
+            )
+        ).alias("mp")
+    )
+    return m.select(
+        "user_id",
+        F.array_join(F.array_sort(F.map_keys("mp")), ",").alias("types"),
+        F.coalesce(F.try_element_at(F.col("mp"), F.lit("purchase")), F.lit(0)).alias(
+            "n_purchases"
+        ),
+        F.size("mp").cast("bigint").alias("n_types"),
+    )
+
+
+@register(
+    "udtf_python_table_function",
+    "Python UDTF (SURVEY.md §2.9 X6 — Spark 3.5+ table function): "
+    "expands each document into (doc_id, sentence_index, n_tokens) rows "
+    "with per-row Python logic that a scalar UDF can't express "
+    "(variable-arity output). Rows-only: Python UDTFs have no oracle "
+    "equivalent; output shape pinned here by the deterministic split.",
+    tags=("rows-only",),
+)
+def udtf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, chunk_index: int, n_tokens: int")
+    class ChunkCounter:
+        def eval(self, doc_id: int, text: str):
+            toks = (text or "").split()
+            for i in range(0, len(toks), 50):
+                yield doc_id, i // 50, len(toks[i : i + 50])
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    d.select("doc_id", "text").createOrReplaceTempView("_udtf_in")
+    spark.udtf.register("chunk_counter", ChunkCounter)
+    return spark.sql(
+        "SELECT c.* FROM _udtf_in, LATERAL chunk_counter(doc_id, text) c"
+    )
+
+
+@register(
     "agg_filtered_conditional",
     "Conditional aggregation with FILTER clauses — multiple disjoint "
     "aggregates in one pass over one shuffle (SURVEY.md §2.4 A4).",
