@@ -5,6 +5,7 @@
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -175,6 +176,37 @@ def udtf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register("chunk_counter", ChunkCounter)
     return spark.sql(
         "SELECT c.* FROM _udtf_in, LATERAL chunk_counter(doc_id, text) c"
+    )
+
+
+@register(
+    "udaf_grouped_pandas_weighted_avg",
+    "Custom UDAF via pandas GROUPED_AGG (SURVEY.md §2.9 X6): "
+    "quantity-weighted average price per return flag — Arrow ships each "
+    "group's columns as numpy-backed Series, the kernel is vectorized. "
+    "Oracle-checked: the same weighted average is SQL-expressible, so "
+    "this row also validates the Arrow aggregation path bit-for-bit "
+    "(rounded).",
+    oracle="""
+      SELECT l_returnflag,
+             round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+               AS weighted_avg_price
+      FROM lineitem
+      GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias(
+            "weighted_avg_price"
+        )
     )
 
 

@@ -239,3 +239,29 @@ def test_connected_components_long_chain_converges(spark):
     cc = connected_components(pairs, max_iter=40).collect()
     assert {r["component"] for r in cc} == {0}
     assert len(cc) == n + 1
+
+
+# --------------------------------------------------------------- UDTF shape
+def test_python_udtf_chunk_shape(spark):
+    from scout_spark.inventory import load_all
+
+    out = load_all()["udtf_python_table_function"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) > 0
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+        F.col("doc_id") < 50
+    )
+    exp_rows = sum(
+        (len(r["text"].split()) + 49) // 50 for r in d.select("text").collect()
+    )
+    assert len(out) == exp_rows
+    # chunk token counts sum to the doc token count
+    per_doc = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tokens"]
+    exp_tokens = {
+        r["doc_id"]: len(r["text"].split())
+        for r in d.select("doc_id", "text").collect()
+    }
+    assert per_doc == exp_tokens
