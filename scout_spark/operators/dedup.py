@@ -135,7 +135,14 @@ def minhash_lsh_pairs(
         mh = sig_udf(F.col(text_col))
     else:
         mh = _minhash_signature(sh, num_hashes)
-    sig = df.select(F.col(id_col), sh.alias("shingles"), mh.alias("mh"))
+    # signatures only — shingle arrays are computed later, and ONLY for
+    # ids that survive candidate generation (on a low-dup corpus this
+    # skips the expensive shingle expression for almost every row).
+    # (Deliberately NOT checkpointed: the band self-join recomputes the
+    # signature UDF on both sides, but measured at 210k docs the
+    # recompute beats checkpoint materialization 15s vs 36s — the Arrow
+    # kernel is cheaper than writing 210k×16 signature arrays.)
+    sig = df.select(F.col(id_col), mh.alias("mh"))
     # band bucket = hash of the band's slice of the signature; explode to
     # (id, band_idx, bucket) WITHOUT the shingle payload so the candidate
     # self-join and pair-dedup shuffle only ids and two ints.
@@ -169,9 +176,17 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verify: re-attach distinct shingle sets and compute exact Jaccard —
-    # only for the (few) candidate pairs that collided in ≥1 band.
-    shingle_sets = sig.select(id_col, "shingles")
+    # verify: compute distinct shingle sets ONLY for candidate ids (semi
+    # join first), then exact Jaccard per pair.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_cid"))
+        .unionAll(cand.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    shingle_sets = (
+        df.join(cand_ids, F.col(id_col) == F.col("_cid"), "left_semi")
+        .select(F.col(id_col), sh.alias("shingles"))
+    )
     cand = cand.join(
         shingle_sets.withColumnRenamed(id_col, "id_a").withColumnRenamed(
             "shingles", "sh_a"
