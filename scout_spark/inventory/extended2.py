@@ -164,7 +164,66 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_parameterized_query",
+    "Parameterized SQL execution — named-parameter binding through "
+    "spark.sql(sql, args=...) (SURVEY.md §2.2 P9; the reference binds "
+    "``?`` placeholders via con.execute(sql, params), repo.py:31,42,71).",
+    oracle="""
+      SELECT o_orderstatus AS status, count(*) AS n,
+             round(avg(o_totalprice), 4) AS avg_price
+      FROM orders
+      WHERE o_totalprice BETWEEN 100000 AND 300000
+      GROUP BY o_orderstatus
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_param")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, count(*) AS n,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders_param
+        WHERE o_totalprice BETWEEN :lo AND :hi
+        GROUP BY o_orderstatus
+        """,
+        args={"lo": 100000, "hi": 300000},
+    )
+
+
+@register(
+    "geocode_reverse_fixture",
+    "Reverse geocoding (extension — the reference is forward-only): "
+    "nearest POIs to a coordinate via haversine + TakeOrderedAndProject "
+    "with a bbox prefilter that prunes the scan. Rows-only (fixture "
+    "gazetteer); brute-force agreement pinned in tests/test_geocode_e2e.py.",
+    tags=("rows-only",),
+)
+def geocode_reverse_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    engine = _fixture_engine(spark)
+    return engine.reverse(3.139, 101.6869, limit=5)
+
+
 _GEO_ENGINE_CACHE: dict[int, object] = {}
+
+
+def _fixture_engine(spark: SparkSession):
+    from scout_spark.etl.fixtures import raw_osm_fixture
+    from scout_spark.etl.gazetteer import build_admin, build_pois
+    from scout_spark.plans.geocode import GeocodeSettings, ScoutEngine
+
+    engine = _GEO_ENGINE_CACHE.get(id(spark))
+    if engine is None:
+        raw = raw_osm_fixture(spark, n_pois=300)
+        engine = ScoutEngine(
+            spark,
+            build_pois(raw).cache(),
+            build_admin(raw),
+            GeocodeSettings(use_pandas_udf=False),
+        )
+        _GEO_ENGINE_CACHE[id(spark)] = engine
+    return engine
 
 
 @register(
@@ -180,18 +239,6 @@ _GEO_ENGINE_CACHE: dict[int, object] = {}
     tags=("rows-only",),
 )
 def geocode_forward_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scout_spark.etl.fixtures import raw_osm_fixture
-    from scout_spark.etl.gazetteer import build_admin, build_pois
-    from scout_spark.plans.geocode import GeocodeSettings, ScoutEngine
-
-    engine = _GEO_ENGINE_CACHE.get(id(spark))
-    if engine is None:
-        raw = raw_osm_fixture(spark, n_pois=300)
-        engine = ScoutEngine(
-            spark,
-            build_pois(raw).cache(),
-            build_admin(raw),
-            GeocodeSettings(use_pandas_udf=False),
-        )
-        _GEO_ENGINE_CACHE[id(spark)] = engine
-    return engine.forward(["Monograph Dining"], country="malaysia", limit=5)
+    return _fixture_engine(spark).forward(
+        ["Monograph Dining"], country="malaysia", limit=5
+    )

@@ -238,6 +238,32 @@ class ScoutEngine:
             "score",
         ).orderBy(F.col("score").desc(), F.col("osm_id")).limit(limit)
 
+    def reverse(self, lat: float, lon: float, limit: int = 5) -> DataFrame:
+        """Reverse geocoding — nearest POIs to a coordinate (extension;
+        the reference is forward-only, README.md:6). Pure Column
+        haversine + TakeOrderedAndProject; a coarse bbox prefilter
+        (±~1° ≈ 111 km) reaches the parquet scan as min/max pruning so
+        the trig runs only near the query point."""
+        prefilter = F.col("lat").between(lat - 1.0, lat + 1.0) & F.col(
+            "lon"
+        ).between(lon - 1.0, lon + 1.0)
+        d = haversine_km(F.col("lat"), F.col("lon"), F.lit(lat), F.lit(lon))
+        return (
+            self.pois.where(prefilter)
+            .select(
+                F.coalesce(F.col("name_local"), F.col("name_en"), F.lit("")).alias(
+                    "name"
+                ),
+                "lat",
+                "lon",
+                "kind",
+                "osm_id",
+                F.round(d, 6).alias("distance_km"),
+            )
+            .orderBy(F.col("distance_km"), F.col("osm_id"))
+            .limit(limit)
+        )
+
     def _empty_hits(self) -> DataFrame:
         return self.spark.createDataFrame(
             [],

@@ -103,3 +103,33 @@ def test_deterministic_across_runs(engine):
     a = engine.forward(["Monograph Dining"], country="malaysia", limit=5).collect()
     b = engine.forward(["Monograph Dining"], country="malaysia", limit=5).collect()
     assert a == b
+
+
+def test_reverse_geocode_nearest(engine):
+    # KL center: nearest hits must be inside the prefilter box, sorted by
+    # distance, and include only POIs genuinely closest
+    hits = engine.reverse(3.139, 101.6869, limit=5).collect()
+    assert len(hits) == 5
+    dists = [h["distance_km"] for h in hits]
+    assert dists == sorted(dists)
+    assert all(abs(h["lat"] - 3.139) <= 1.0 and abs(h["lon"] - 101.6869) <= 1.0 for h in hits)
+
+
+def test_reverse_geocode_brute_force_agreement(engine, spark):
+    # top-1 must equal the brute-force nearest over the full table
+    import math
+
+    hits = engine.reverse(5.4141, 100.3288, limit=1).collect()
+    assert hits
+    rows = engine.pois.select("osm_id", "lat", "lon").collect()
+
+    def hav(lat1, lon1, lat2, lon2):
+        R = 6371.0088
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        a = math.sin((p2 - p1) / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(
+            math.radians(lon2 - lon1) / 2
+        ) ** 2
+        return 2 * R * math.asin(math.sqrt(a))
+
+    best = min(rows, key=lambda r: (hav(r["lat"], r["lon"], 5.4141, 100.3288), r["osm_id"]))
+    assert hits[0]["osm_id"] == best["osm_id"]

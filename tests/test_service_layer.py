@@ -92,3 +92,31 @@ def test_build_cli_idempotency_gate(tmp_path, capsys):
     rc2 = main(["--raw", "fixture", "--out", out, "--no-overwrite"])
     assert rc2 == 0
     assert "nothing to do" in capsys.readouterr().out
+
+
+def test_concurrent_queries_one_session(spark):
+    """SURVEY.md §4 O10: one long-lived session serves concurrent
+    requests (replacing the reference's per-request connections) —
+    parallel threads against the same cached engine must all return
+    correct, independent results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from scout_spark.etl.fixtures import raw_osm_fixture
+    from scout_spark.etl.gazetteer import build_admin, build_pois
+    from scout_spark.plans.geocode import GeocodeSettings, ScoutEngine
+
+    raw = raw_osm_fixture(spark, n_pois=100)
+    engine = ScoutEngine(
+        spark, build_pois(raw).cache(), build_admin(raw),
+        GeocodeSettings(use_pandas_udf=False),
+    )
+    queries = ["Monograph Dining", "kopitiam 88", "taman botani", "美食中心"] * 3
+
+    def run(q):
+        return (q, engine.forward([q], limit=1).collect())
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        results = dict(ex.map(run, queries))
+    assert results["Monograph Dining"][0]["name"] == "Monograph Dining"
+    assert results["美食中心"][0]["name"] == "美食中心"
+    assert all(len(v) >= 1 for v in results.values())
