@@ -211,18 +211,21 @@ def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     tokens: Column,
-    block_on: list[Column],
+    block_on: dict[str, Column],
     threshold: float,
 ) -> DataFrame:
     """Exact distinct-token Jaccard over pairs sharing a blocking key —
-    the oracle-expressible near-dup baseline (blocked self-join)."""
+    the oracle-expressible near-dup baseline (blocked self-join).
+    ``block_on``: name → blocking-key expression (names become join
+    columns)."""
     d = df.select(
-        F.col(id_col), *[c for c in block_on], F.array_distinct(tokens).alias("toks")
+        F.col(id_col),
+        *[c.alias(n) for n, c in block_on.items()],
+        F.array_distinct(tokens).alias("toks"),
     )
-    block_names = [c._jc.toString().split(" AS ")[-1].strip("`") for c in block_on]  # noqa: SLF001
     a, b = d.alias("a"), d.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    for n in block_names:
+    for n in block_on:
         cond = cond & (F.col(f"a.{n}") == F.col(f"b.{n}"))
     isect = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     jac = isect.cast("double") / (

@@ -141,3 +141,31 @@ def test_kind_first_class_wins(spark):
     )
     assert _eval(spark, kind_expr(tags)) == "amenity:cafe"
     assert _eval(spark, kind_expr(F.create_map(F.lit("x"), F.lit("y")))) == "unknown"
+
+
+def test_char_ngrams(spark):
+    from scout_spark.functions.text import char_ngrams
+
+    out = _eval(spark, char_ngrams(F.lit("Hello!"), 3))
+    assert out == ["hel", "ell", "llo"]
+    # shorter than n → whole canonical text as the single shingle
+    assert _eval(spark, char_ngrams(F.lit("ab"), 3)) == ["ab"]
+
+
+def test_rolling_hash_deterministic_and_normalized(spark):
+    from scout_spark.functions.text import rolling_hash
+
+    a = _eval(spark, rolling_hash(F.lit("Hello,   World!")))
+    b = _eval(spark, rolling_hash(F.lit("hello world")))
+    c = _eval(spark, rolling_hash(F.lit("hello worlds")))
+    assert a == b  # canonicalization folds punctuation/case/whitespace
+    assert a != c
+    assert 0 <= a < (1 << 61) - 1
+
+
+def test_word_shingles_overlap(spark):
+    from scout_spark.functions.text import word_shingles
+
+    out = _eval(spark, word_shingles(F.lit("a b c d e"), 3))
+    assert out == ["a b c", "b c d", "c d e"]
+    assert _eval(spark, word_shingles(F.lit("a b"), 3)) == ["a b"]

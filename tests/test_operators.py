@@ -265,3 +265,20 @@ def test_python_udtf_chunk_shape(spark):
         for r in d.select("doc_id", "text").collect()
     }
     assert per_doc == exp_tokens
+
+
+def test_jaccard_pairs_blocked(spark, docs_df):
+    from scout_spark.operators.dedup import jaccard_pairs
+    from scout_spark.functions.text import whitespace_tokens
+
+    pairs = jaccard_pairs(
+        docs_df,
+        "doc_id",
+        whitespace_tokens(F.col("text")),
+        block_on={"bkt": F.lit(1)},  # single block → full pairwise
+        threshold=0.5,
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 1) in got and (0, 3) in got and (2, 4) in got
+    for r in pairs:
+        assert 0.5 <= r["jaccard"] <= 1.0
