@@ -1,0 +1,55 @@
+"""Incremental gazetteer maintenance (scale extension; the reference can
+only rebuild from scratch — a one-shot script with an overwrite gate,
+reference scripts/build_gazetteer.py:151-156).
+
+Upsert semantics: rows from the new batch replace existing rows with the
+same osm_id (last-write-wins); unmatched existing rows survive. The
+merge is an anti-join + union — the Parquet-only formulation of
+DELETE+INSERT (the reference's meta upsert txn shape,
+build_gazetteer.py:75-110). Atomicity without a table format: write to
+a staging directory, then swap directories (rename is atomic per
+filesystem); on Delta/Iceberg this whole module collapses to MERGE INTO.
+
+At 100 TB: partition pois by a coarse key and rewrite ONLY partitions
+the batch touches (dynamic partition overwrite) instead of the full
+table — same anti-join+union per partition.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from scout_spark.etl.gazetteer import build_pois
+from scout_spark.sources.writers import write_parquet_sorted
+
+
+def merge_upsert(
+    existing: DataFrame, updates: DataFrame, key: str = "osm_id"
+) -> DataFrame:
+    """last-write-wins merge: existing rows not in updates + all updates."""
+    survivors = existing.join(updates.select(key), key, "left_anti")
+    return survivors.unionByName(updates)
+
+
+def upsert_pois(
+    spark: SparkSession, new_raw: DataFrame, gaz_dir: str
+) -> tuple[int, int]:
+    """Apply a raw-source batch to an existing gazetteer's pois table.
+    Returns (rows_before, rows_after). Atomic via staging + dir swap."""
+    pois_path = os.path.join(gaz_dir, "pois")
+    updates = build_pois(new_raw)
+    existing = spark.read.parquet(pois_path)
+    before = existing.count()
+    merged = merge_upsert(existing, updates)
+    staging = pois_path + ".staging"
+    write_parquet_sorted(merged, staging, sort_cols=["name_local_norm"])
+    after = spark.read.parquet(staging).count()
+    old = pois_path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(pois_path, old)
+    os.rename(staging, pois_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return before, after

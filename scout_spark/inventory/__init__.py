@@ -46,6 +46,7 @@ def load_all() -> dict[str, Item]:
         extended,
         extended2,
         extended3,
+        extended4,
         temporal,
         text_ops,
         vector_ops,

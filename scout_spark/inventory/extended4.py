@@ -1,0 +1,128 @@
+"""Fourth extension wave: distribution-analytic window functions,
+ordered string aggregation, regex predicate family (SURVEY.md §2.5 W2,
+§2.4 A4, §2.8 F13/F18 completions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scout_spark.inventory import register
+from scout_spark.inventory.core import _t
+
+
+@register(
+    "window_distribution_analytics",
+    "Distribution analytics in one window pass (SURVEY.md §2.5 W2): "
+    "ntile quartiles, percent_rank, cume_dist over account balance per "
+    "nation — deterministic total order (balance, custkey).",
+    oracle="""
+      SELECT c_custkey, c_nationkey,
+             ntile(4)       OVER w AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist()    OVER w, 6) AS cume
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "window_first_last_nth",
+    "first_value / last_value / nth_value with an explicit full-partition "
+    "frame (SURVEY.md §2.5 W2) — cheapest/priciest/second order per "
+    "customer attached to every row.",
+    oracle="""
+      SELECT o_orderkey, o_custkey,
+             first_value(o_totalprice) OVER w AS cheapest,
+             last_value(o_totalprice)  OVER w AS priciest,
+             nth_value(o_totalprice, 2) OVER w AS second_cheapest
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.last("o_totalprice").over(w).alias("priciest"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"),
+    )
+
+
+@register(
+    "agg_ordered_string_digest",
+    "Ordered string aggregation (SURVEY.md §2.4 A4): sorted region-name "
+    "digest per region of nations — collect_list → array_sort → join, "
+    "deterministic regardless of shuffle order (DuckDB: list_sort(list)).",
+    oracle="""
+      SELECT r.r_name AS region,
+             array_to_string(list_sort(list(n.n_name)), '|') AS nations,
+             count(*) AS n_nations
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name
+    """,
+)
+def agg_string_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "filter_regex_predicates",
+    "Regex predicate family (SURVEY.md §2.8 F13/F18): rlike filter, "
+    "regexp_count, capture extraction — anchored and class patterns "
+    "portable between Java regex and RE2.",
+    oracle="""
+      SELECT p_partkey, p_name,
+             CAST(len(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a,
+             regexp_extract(p_type, '^(ECONOMY|PROMO)', 1) AS type_class
+      FROM part
+      WHERE regexp_matches(p_name, '^[a-z]+ [a-z]+')
+        AND p_type SIMILAR TO '(ECONOMY|PROMO).*'
+    """,
+)
+def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.where(
+            F.col("p_name").rlike("^[a-z]+ [a-z]+")
+            & F.col("p_type").rlike("^(ECONOMY|PROMO).*$")
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.regexp_count(F.col("p_name"), F.lit("a")).cast("bigint").alias("n_a"),
+            F.regexp_extract("p_type", "^(ECONOMY|PROMO)", 1).alias("type_class"),
+        )
+    )
