@@ -154,6 +154,40 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_cascade_hourly",
+    "Continuous-aggregate cascade (hypertable-style; scout_spark/"
+    "streaming/rollup.py): hourly level RE-AGGREGATED from the 10-minute "
+    "level — never from raw events. The oracle aggregates raw directly; "
+    "matching results prove the decomposable-state cascade is exact.",
+    oracle="""
+      SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+               AS bucket,
+             event_type,
+             count(*) AS n_events,
+             round(sum(value), 2) AS sum_value,
+             min(value) AS min_value,
+             max(value) AS max_value
+      FROM events
+      GROUP BY 1, 2
+    """,
+)
+def rollup_cascade_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.streaming.rollup import rollup_events, rollup_up
+
+    ev = _t(spark, sf_dir, "events")
+    ten_min = rollup_events(ev, 600)
+    hourly = rollup_up(ten_min, 3600)
+    return hourly.select(
+        "bucket",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+@register(
     "sessionize_30min_gap",
     "Gap-based sessionization (batch shape of session_window; SURVEY.md "
     "§2.10): per-user sessions split at >30-minute silence, via "
