@@ -99,6 +99,44 @@ def agg_string_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_map_apply_in_pandas_zscore",
+    "Grouped-map applyInPandas (SURVEY.md §2.9 X6): per-customer z-score "
+    "of order prices — each group's rows arrive as one Arrow-backed "
+    "pandas DataFrame, the kernel is vectorized numpy. Oracle-checked "
+    "against the SQL window formulation, proving the grouped-map path "
+    "produces exactly what the declarative plan does.",
+    oracle="""
+      SELECT o_orderkey, o_custkey,
+             round((o_totalprice - avg(o_totalprice) OVER w)
+                   / stddev_samp(o_totalprice) OVER w, 6) AS price_z
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey)
+      QUALIFY stddev_samp(o_totalprice) OVER w > 0
+    """,
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["o_totalprice"].std(ddof=1)
+        if not sd or sd != sd:  # single-row group or zero variance
+            return pdf.iloc[0:0][["o_orderkey", "o_custkey"]].assign(price_z=[])
+        mean = pdf["o_totalprice"].mean()
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_custkey": pdf["o_custkey"],
+                "price_z": ((pdf["o_totalprice"] - mean) / sd).round(6),
+            }
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").applyInPandas(
+        zscore, "o_orderkey long, o_custkey long, price_z double"
+    )
+
+
+@register(
     "filter_regex_predicates",
     "Regex predicate family (SURVEY.md §2.8 F13/F18): rlike filter, "
     "regexp_count, capture extraction — anchored and class patterns "

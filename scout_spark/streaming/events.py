@@ -150,6 +150,60 @@ def dedup_within_watermark(
     )
 
 
+def upsert_sink_foreach_batch(
+    stream_df: DataFrame,
+    target_path: str,
+    key: str,
+    order_col: str,
+    checkpoint: str,
+):
+    """foreachBatch merge sink: each micro-batch upserts into a parquet
+    table, keeping the max-``order_col`` row per key (e.g. the latest
+    event per user). The merge is the anti-join+union from
+    etl/incremental.py — on Delta/Iceberg this is MERGE INTO; here the
+    staging-swap keeps it atomic on plain parquet.
+    """
+    import os
+
+    from pyspark.sql.window import Window
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.exists(target_path):
+            # union then pick max-order per key: a late-arriving batch
+            # must not clobber a newer row already in the table
+            existing = spark.read.parquet(target_path)
+            merged = (
+                existing.unionByName(latest)
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            merged = latest
+        staging = target_path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        final = spark.read.parquet(staging)
+        final.count()  # materialize before swapping
+        import shutil
+
+        shutil.rmtree(target_path, ignore_errors=True)
+        os.rename(staging, target_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

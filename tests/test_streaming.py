@@ -223,3 +223,32 @@ def test_stream_stream_join_equals_batch(spark, events_batch, events_path):
     )
     assert len(exp) > 0
     assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_foreach_batch_upsert_latest_per_user(spark, events_batch, events_path, tmp_path_factory):
+    """foreachBatch merge sink: after draining, the target holds exactly
+    one row per user — the latest event — regardless of micro-batch
+    boundaries."""
+    from scout_spark.streaming.events import upsert_sink_foreach_batch
+
+    target = str(tmp_path_factory.mktemp("latest") / "latest_events")
+    ckpt = str(tmp_path_factory.mktemp("ckpt_fb"))
+    stream = read_events_stream(spark, events_path, max_files_per_trigger=2)
+    q = upsert_sink_foreach_batch(
+        stream, target, key="user_id", order_col="ts", checkpoint=ckpt
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in spark.read.parquet(target).collect()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    exp = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in events_batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .collect()
+    }
+    assert got == exp
