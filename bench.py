@@ -37,8 +37,13 @@ HEADLINE = [
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
     "ann_cosine_topk_bruteforce",
+    "ann_ivf_topk",
     "text_langid_heuristic",
+    "text_quality_features",
+    "crossmodal_doc_embedding_join",
     "scalar_json_extract",
+    "join_group_topk_shipping_priority",
+    "rollup_cascade_hourly",
 ]
 
 

@@ -141,6 +141,37 @@ def crossmodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_hashed_neardup",
+    "Embedding-cosine near-dup WITHOUT precomputed vectors: documents "
+    "are embedded on the fly with the deterministic feature-hashing "
+    "trick (operators/embed.py — stable crc32 buckets, signed counts, "
+    "L2 norm), then blocked by lang and verified by cosine. Rows-only: "
+    "hashed embeddings are engine-defined; semantic ordering (near-dups "
+    "above unrelated) is pinned in tests/test_operators.py.",
+    tags=("rows-only",),
+)
+def embedding_hashed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.embed import embed_documents
+
+    d = embed_documents(_t(spark, sf_dir, "documents"))
+    a, b = d.alias("a"), d.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(cos > 0.95)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+@register(
     "ann_ivf_topk",
     "IVF approximate nearest neighbors — the partition-pruned scale "
     "path: deterministic coarse centroids (strided sample standing in "

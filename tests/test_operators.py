@@ -282,3 +282,38 @@ def test_jaccard_pairs_blocked(spark, docs_df):
     assert (0, 1) in got and (0, 3) in got and (2, 4) in got
     for r in pairs:
         assert 0.5 <= r["jaccard"] <= 1.0
+
+
+# ------------------------------------------------------- hashed embeddings
+def test_hashed_embedding_deterministic_and_semantic(spark, docs_df):
+    from scout_spark.operators.embed import embed_documents
+    from scout_spark.functions.vectors import cosine_similarity
+
+    emb = embed_documents(docs_df).cache()
+    # deterministic across runs
+    a = {r["doc_id"]: list(r["embedding"]) for r in emb.collect()}
+    b = {r["doc_id"]: list(r["embedding"]) for r in embed_documents(docs_df).collect()}
+    assert a == b
+    # unit norm
+    import math
+
+    for v in a.values():
+        assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-5)
+    # semantic: near-dup texts (0,1) more similar than unrelated (0,2)
+    x = emb.alias("x")
+    y = emb.alias("y")
+    cos = {
+        (r["a"], r["b"]): r["c"]
+        for r in x.join(y, F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.round(
+                cosine_similarity(F.col("x.embedding"), F.col("y.embedding")), 6
+            ).alias("c"),
+        )
+        .collect()
+    }
+    assert cos[(0, 1)] > 0.9          # one-word swap → nearly identical
+    assert cos[(0, 1)] > cos[(0, 2)]  # near-dup beats unrelated
+    assert cos[(2, 4)] > 0.9          # planted near-dup in the other cluster
