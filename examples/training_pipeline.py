@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""End-to-end training-data curation pipeline — the 100 TB shape, run on
+the local testdata:
+
+  raw documents
+    → quality filter (length / stopword / distinct-token heuristics)
+    → language filter (stopword-voting langid)
+    → exact dedup (md5 fingerprint, keep lowest id)
+    → near dedup (MinHash-LSH pairs → connected components → keepers)
+    → curated parquet + corpus stats
+
+Every stage is declarative DataFrame ops (or an Arrow kernel), so the
+same script scales from 500 docs to a cluster: the only knobs that
+change are partitions and paths.
+
+    python examples/training_pipeline.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scout_spark.session import get_spark
+from scout_spark.functions.text import (
+    fingerprint_md5,
+    langid_expr,
+    quality_features,
+    token_count,
+)
+from scout_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+)
+
+
+def main() -> None:
+    spark = get_spark("training-pipeline", cpus=8)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n0 = docs.count()
+
+    # 1. quality filter ------------------------------------------------
+    q = quality_features("text")
+    scored = docs.select(
+        "*",
+        q["n_tokens"].alias("q_tokens"),
+        q["stopword_ratio"].alias("q_stop"),
+    )
+    kept_quality = scored.where(
+        (F.col("q_tokens") >= 10) & (F.col("q_stop") <= 0.8)
+    )
+    n1 = kept_quality.count()
+
+    # 2. language filter ----------------------------------------------
+    with_lang = kept_quality.withColumn("lang_guess", langid_expr("text"))
+    kept_lang = with_lang.where(F.col("lang_guess") != "und")
+    n2 = kept_lang.count()
+
+    # 3. exact dedup ---------------------------------------------------
+    fp = kept_lang.withColumn("fp", fingerprint_md5(F.col("text")))
+    keepers_exact = (
+        fp.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+    n3 = keepers_exact.count()
+
+    # 4. near dedup ----------------------------------------------------
+    pairs = minhash_lsh_pairs(keepers_exact, "doc_id", "text", 16, 4, 0.8)
+    cc = connected_components(pairs)
+    dup_ids = cc.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    curated = keepers_exact.join(dup_ids, "doc_id", "left_anti")
+    n4 = curated.count()
+
+    # 5. write + stats -------------------------------------------------
+    out = os.path.join(tempfile.gettempdir(), "curated_corpus")
+    curated.drop("q_tokens", "q_stop").write.mode(
+        "overwrite"
+    ).parquet(out)
+    stats = curated.agg(
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 1).alias("avg_chars"),
+        F.countDistinct("lang_guess").alias("n_langs"),
+    ).collect()[0]
+
+    print(f"pipeline: {n0} raw → {n1} quality → {n2} lang → {n3} exact-dedup → {n4} near-dedup")
+    print(
+        f"curated corpus: {n4} docs, {stats['total_tokens']} tokens, "
+        f"avg {stats['avg_chars']} chars, {stats['n_langs']} languages → {out}"
+    )
+
+
+if __name__ == "__main__":
+    main()
