@@ -21,8 +21,8 @@ from scout_spark.inventory.core import _t
     oracle="""
       SELECT c_custkey, c_nationkey,
              ntile(4)       OVER w AS quartile,
-             round(percent_rank() OVER w, 6) AS pct_rank,
-             round(cume_dist()    OVER w, 6) AS cume
+             percent_rank() OVER w AS pct_rank,
+             cume_dist()    OVER w AS cume
       FROM customer
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
@@ -30,12 +30,16 @@ from scout_spark.inventory.core import _t
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    # pct_rank/cume are k/n rationals from identical integers — the raw
+    # doubles are bit-identical across engines, while ROUNDING them hits
+    # exact .5 boundaries (power-of-two group sizes) where Spark
+    # (half-up) and DuckDB disagree. Compare unrounded.
     return c.select(
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 
