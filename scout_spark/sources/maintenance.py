@@ -1,0 +1,52 @@
+"""Table maintenance utilities (scale concerns the reference never hits:
+its whole gazetteer is one DuckDB file).
+
+Small-files compaction: streaming sinks and incremental upserts shed
+many small parquet files; scans then pay per-file open/footer costs and
+lose row-group locality. ``compact_parquet`` rewrites a directory into
+size-targeted files (atomic staging swap), optionally re-sorting so
+min/max pruning stays effective after compaction.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def parquet_file_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for a parquet directory."""
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return n, total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Rewrite ``path`` into ~target-size files. Returns
+    (files_before, files_after). Atomic via staging + directory swap."""
+    n_before, total_bytes = parquet_file_stats(path)
+    target_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    out = df.repartition(target_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    staging = path + ".compacting"
+    out.write.mode("overwrite").parquet(staging)
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    n_after, _ = parquet_file_stats(path)
+    return n_before, n_after

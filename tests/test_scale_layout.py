@@ -131,3 +131,19 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
     got = q.count()
     exp = ev.where(F.to_date("ts") == "2024-01-05").count()
     assert got == exp and got > 0
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from scout_spark.sources.maintenance import compact_parquet, parquet_file_stats
+
+    path = str(tmp_path / "shardy")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.repartition(40).write.parquet(path)  # simulate streaming small files
+    rows_before = spark.read.parquet(path).count()
+    n_before, n_after = compact_parquet(
+        spark, path, target_file_mb=128, sort_cols=["l_orderkey"]
+    )
+    assert n_before >= 40 and n_after < n_before
+    assert spark.read.parquet(path).count() == rows_before
+    n_files, _ = parquet_file_stats(path)
+    assert n_files == n_after
