@@ -47,6 +47,7 @@ def load_all() -> dict[str, Item]:
         extended2,
         extended3,
         extended4,
+        extended5,
         temporal,
         text_ops,
         vector_ops,
