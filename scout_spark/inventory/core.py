@@ -436,11 +436,13 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return c.select(F.col("c_custkey").alias("custkey")).exceptAll(
+    # subtract() IS EXCEPT DISTINCT (exceptAll().distinct() is not: for
+    # left multiset [x,x] minus [x] it wrongly keeps x)
+    return c.select(F.col("c_custkey").alias("custkey")).subtract(
         o.where(F.col("o_orderstatus") == "F").select(
             F.col("o_custkey").alias("custkey")
         )
-    ).distinct()
+    )
 
 
 # ---------------------------------------------------------------- P6/F13: token containment filter

@@ -55,14 +55,16 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "unpivot_lineitem_measures",
     "Unpivot (wide→long reshape): four lineitem measures melted into "
-    "(key, measure, value) rows — the inverse of the pivot row; Spark "
-    "df.unpivot ≙ DuckDB UNPIVOT.",
+    "(key, measure, value) rows — the inverse of the pivot row. Spark "
+    "df.unpivot keeps NULL values; the DuckDB oracle pins the same "
+    "semantics with UNPIVOT INCLUDE NULLS (its default drops them).",
     oracle="""
       SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
       FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                    l_discount, l_tax
             FROM lineitem WHERE l_orderkey < 100)
-      UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+      UNPIVOT INCLUDE NULLS
+        (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
     """,
 )
 def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
