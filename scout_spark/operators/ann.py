@@ -29,8 +29,16 @@ def brute_force_topk(
     vec_col: str = "embedding",
     qvec_col: str = "qv",
     id_col: str = "vec_id",
+    exclude_id: int | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k of ``embeddings`` against a 1-row ``query``."""
+    """Exact cosine top-k of ``embeddings`` against a 1-row ``query``.
+
+    Pass ``exclude_id`` when the query vector comes from the table
+    itself, to match the self-excluding convention of ``ivf_topk`` /
+    ``lsh_bucket_topk`` (otherwise the query row appears at rank 1 and
+    recall@k comparisons are off by one)."""
+    if exclude_id is not None:
+        embeddings = embeddings.where(F.col(id_col) != exclude_id)
     return (
         embeddings.join(F.broadcast(query))
         .select(
@@ -114,14 +122,19 @@ def ivf_centroids(
     )
     total = embeddings.count()
     stride = max(total // n_centroids, 1)
-    return (
-        ranked.where((F.col("_rn") - 1) % stride == 0)
-        .limit(n_centroids)
-        .select(
-            ((F.col("_rn") - 1) / stride).cast("int").alias("centroid_id"),
-            F.col(vec_col).alias("cv"),
-        )
-    )
+    # deterministic: centroid_id derived from the ordered rank, and the
+    # cap keeps ids strictly in [0, n_centroids) — an unordered limit()
+    # here would pick an arbitrary subset per evaluation, and ivf_topk
+    # instantiates this plan twice (assignment + probe), which must see
+    # identical centroids.
+    return ranked.select(
+        ((F.col("_rn") - 1) / stride).cast("int").alias("centroid_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("_rn"),
+    ).where(
+        ((F.col("_rn") - 1) % stride == 0)
+        & (F.col("centroid_id") < n_centroids)
+    ).drop("_rn")
 
 
 def ivf_topk(

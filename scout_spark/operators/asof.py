@@ -33,6 +33,8 @@ def asof_join(
     Equal timestamps match when ``allow_exact_match`` (right row sorts
     before the left probe at the same instant).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join supports how='inner'|'left', got {how!r}")
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),

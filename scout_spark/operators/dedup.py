@@ -128,6 +128,15 @@ def minhash_lsh_pairs(
     pandas UDF (~5× faster than the interpreted higher-order-function
     expression); ``impl='sql'`` stays pure-JVM.
     """
+    if bands > num_hashes or num_hashes % bands != 0:
+        # bands > num_hashes → rows_per_band 0 → every row hashes the
+        # same empty slice → one global bucket → O(n²) self-join; a
+        # remainder silently drops trailing hashes and changes the
+        # 1-(1-j^r)^b collision probability
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     sh = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
     if impl == "arrow":
@@ -299,6 +308,19 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exiting by iteration count means labels are only partially
+        # propagated — one true dup group would split into several
+        # keepers and duplicates would silently survive the dedup pass
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); labels are partial — "
+            "raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -55,11 +55,15 @@ def candidate_ids(index: DataFrame, tokens: list[str]) -> DataFrame:
     prunable), groupBy id counting distinct matched tokens, keep ids
     matching all. Shuffles only (token, id) pairs for matching tokens.
     """
-    n = len(tokens)
+    distinct_tokens = sorted(set(tokens))
+    # count DISTINCT tokens below, so the target must be the distinct
+    # count too — duplicates in the query list must not make the
+    # covering equality unsatisfiable
+    n = len(distinct_tokens)
     if n == 0:
         return index.select(F.col("id")).distinct()
     return (
-        index.where(F.col("token").isin(list(tokens)))
+        index.where(F.col("token").isin(distinct_tokens))
         .groupBy("id")
         .agg(F.countDistinct("token").alias("_n"))
         .where(F.col("_n") == n)

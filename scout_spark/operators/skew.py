@@ -32,7 +32,13 @@ def salted_join(
     from the key AND a spread column — here a deterministic per-row hash
     of all columns — so identical keys land on different reducers; small
     rows are exploded to every salt value.
+
+    Only inner/left supported: the small side is replicated ``salt``
+    times, so right/full would emit ``salt`` copies of every unmatched
+    small row.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports how='inner'|'left', got {how!r}")
     big_salted = big.withColumn(
         "_salt", F.pmod(F.hash(F.struct(*[F.col(c) for c in big.columns])), salt)
     )

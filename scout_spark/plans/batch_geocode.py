@@ -55,34 +55,37 @@ def forward_geocode_batch(
     weights = weights or DEFAULT_WEIGHTS
     type_boost = type_boost or DEFAULT_TYPE_BOOST
 
+    # distinct tokens: the covering check below counts DISTINCT matched
+    # tokens, so n_toks must count distinct too or a repeated token in the
+    # query ("pizza pizza toronto") makes the equality unsatisfiable
+    qtoks = F.array_distinct(tokens(F.col("query")))
     req = requests.select(
         "req_id",
         canon(F.col("query")).alias("qnorm"),
-        tokens(F.col("query")).alias("qtoks"),
-        F.size(tokens(F.col("query"))).alias("n_toks"),
+        qtoks.alias("qtoks"),
+        F.size(qtoks).alias("n_toks"),
         canon(F.col("country")).alias("country_norm"),
     )
 
-    # one broadcast join resolves every country hint: admin level-2 rows,
-    # largest bbox area wins per normalized name (reference repo.py:39-44)
+    # one broadcast join resolves every country hint: admin level-2 rows
+    # keyed by BOTH name columns (the per-request path matches either,
+    # geocode.py resolve_area_bbox — keying only the coalesce would miss
+    # English hints whenever a local-name norm exists), largest bbox area
+    # wins per normalized name (reference repo.py:39-44)
     w_area = Window.partitionBy("country_norm").orderBy(
         ((F.col("maxx") - F.col("minx")) * (F.col("maxy") - F.col("miny"))).desc(),
         F.col("osm_id"),
     )
-    countries = (
-        admin.where(F.col("admin_level") == 2)
-        .select(
-            F.coalesce(F.col("name_local_norm"), F.col("name_en_norm")).alias(
-                "country_norm"
-            ),
-            "minx",
-            "miny",
-            "maxx",
-            "maxy",
-            "center_lat",
-            "center_lon",
-            "osm_id",
+    level2 = admin.where(F.col("admin_level") == 2)
+    bbox_cols = ["minx", "miny", "maxx", "maxy", "center_lat", "center_lon", "osm_id"]
+    keyed = None
+    for name_col in ("name_local_norm", "name_en_norm"):
+        part = level2.where(F.col(name_col).isNotNull()).select(
+            F.col(name_col).alias("country_norm"), *bbox_cols
         )
+        keyed = part if keyed is None else keyed.unionByName(part)
+    countries = (
+        keyed.dropDuplicates(["country_norm", "osm_id"])
         .withColumn("_rn", F.row_number().over(w_area))
         .where(F.col("_rn") == 1)
         .drop("_rn", "osm_id")

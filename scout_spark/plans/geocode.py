@@ -159,7 +159,14 @@ class ScoutEngine:
             df = df.where(
                 F.col("lat").between(miny, maxy) & F.col("lon").between(minx, maxx)
             )
-        return df.limit(limit_scan or self.settings.limit_scan)
+        # deliberate improvement over the reference (flagged, SURVEY.md §4
+        # O6): its LIMIT without ORDER BY truncates candidates
+        # nondeterministically (repo.py:52); we cap on (importance desc,
+        # osm_id) — a distributed top-k heap, so the cap keeps the most
+        # important candidates and identical requests see identical sets.
+        return df.orderBy(F.col("importance").desc(), F.col("osm_id")).limit(
+            limit_scan or self.settings.limit_scan
+        )
 
     # -- scoring (reference ranking.py:31-114) ----------------------------
     def _scored(

@@ -75,3 +75,32 @@ def test_batch_deterministic(spark, gaz, battery):
     a = forward_geocode_batch(battery, pois, admin, limit=3).collect()
     b = forward_geocode_batch(battery, pois, admin, limit=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_batch_repeated_token_query(spark, gaz):
+    """Regression: a query with a repeated token must still match
+    (covering check counts distinct tokens on both sides)."""
+    pois, admin = gaz
+    battery = spark.createDataFrame(
+        [(0, "monograph monograph dining", None)],
+        "req_id long, query string, country string",
+    )
+    out = forward_geocode_batch(battery, pois, admin, limit=1).collect()
+    assert out and out[0]["name"] == "Monograph Dining"
+
+
+def test_batch_english_country_hint_resolves(spark, gaz):
+    """Regression: hint matching the ENGLISH admin name must resolve the
+    bbox even when a local-name norm exists (both name columns keyed)."""
+    pois, admin = gaz
+    from pyspark.sql import functions as F2
+
+    # 'brunei' is the local norm; 'brunei darussalam' is the en norm —
+    # query with a token set only the en norm fully covers
+    battery = spark.createDataFrame(
+        [(0, "kedai", "brunei darussalam")], "req_id long, query string, country string"
+    )
+    out = forward_geocode_batch(battery, pois, admin, limit=5).collect()
+    # resolved bbox → every hit inside Brunei's box (country center 4.5353,114.7277 ± 0.8)
+    for r in out:
+        assert abs(r["lat"] - 4.5353) <= 0.8 and abs(r["lon"] - 114.7277) <= 0.8

@@ -317,3 +317,37 @@ def test_hashed_embedding_deterministic_and_semantic(spark, docs_df):
     assert cos[(0, 1)] > 0.9          # one-word swap → nearly identical
     assert cos[(0, 1)] > cos[(0, 2)]  # near-dup beats unrelated
     assert cos[(2, 4)] > 0.9          # planted near-dup in the other cluster
+
+
+def test_minhash_invalid_bands_raises(spark, docs_df):
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs_df, "doc_id", "text", num_hashes=16, bands=20)
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs_df, "doc_id", "text", num_hashes=16, bands=3)
+
+
+def test_asof_and_salted_how_validation(spark):
+    import datetime as dt2
+
+    l = spark.createDataFrame([(1, 1, dt2.datetime(2024, 1, 1))], "lid int, k int, ts timestamp")
+    r = spark.createDataFrame([(1, dt2.datetime(2024, 1, 1), 1.0)], "k int, ts timestamp, v double")
+    with pytest.raises(ValueError):
+        asof_join(l, r, "k", "ts", "ts", ["v"], how="right")
+    from scout_spark.operators.skew import salted_join
+
+    with pytest.raises(ValueError):
+        salted_join(l, r, "k", how="full")
+
+
+def test_cc_nonconvergence_warns(spark):
+    import warnings
+
+    from scout_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iter=2).collect()
+        assert any("did not converge" in str(x.message) for x in w)
