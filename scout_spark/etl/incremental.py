@@ -39,6 +39,15 @@ def upsert_pois(
 ) -> tuple[int, int]:
     """Apply a raw-source batch to an existing gazetteer's pois table.
     Returns (rows_before, rows_after). Atomic via staging + dir swap."""
+    from scout_spark.sources.binding import bind_raw_source
+
+    if bind_raw_source(new_raw).has_synthetic_id:
+        # synthetic row_number ids restart at 1 every batch — merging on
+        # them would silently replace the first N unrelated existing rows
+        raise ValueError(
+            "incremental upsert requires a real id/osm_id column in the "
+            "batch source; synthetic row_number ids are not stable keys"
+        )
     pois_path = os.path.join(gaz_dir, "pois")
     updates = build_pois(new_raw)
     existing = spark.read.parquet(pois_path)

@@ -42,10 +42,15 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Character n-grams (shingles) of the canonical text, as
     array<string>. sequence+transform — vectorized, no UDF."""
     c = canon(col)
-    return F.when(F.length(c) < n, F.array(c)).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
-            lambda i: F.substring(c, i, n),
+    empty = F.array().cast("array<string>")
+    return (
+        F.when(F.length(c) == 0, empty)  # no fake '' shingle shared by
+        .when(F.length(c) < n, F.array(c))  # all empty documents
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
+                lambda i: F.substring(c, i, n),
+            )
         )
     )
 
@@ -70,7 +75,11 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
             F.slice(toks, j + 1, m),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(out)
+    return (
+        F.when(n == 0, F.array().cast("array<string>"))  # no shared '' shingle
+        .when(n < k, F.array(F.array_join(toks, " ")))
+        .otherwise(out)
+    )
 
 
 def quality_features(col: Column | str) -> dict[str, Column]:
@@ -132,14 +141,20 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(canon(col))
 
 
-def rolling_hash(col: Column | str, base: int = 31, mod: int = (1 << 61) - 1) -> Column:
+def rolling_hash(col: Column | str, base: int = 31, mod: int = (1 << 31) - 1) -> Column:
     """Polynomial rolling hash over the canonical text's code points —
     a cheap locality-insensitive document fingerprint. aggregate() over
     the character array; stays JVM-side. (Not oracle-expressible; checked
-    rows-only / in unit tests.)"""
+    rows-only / in unit tests.)
+
+    mod is a Mersenne prime < 2^31 so acc*base + codepoint stays well
+    inside int64 — a mod near 2^63 overflows the long multiply and
+    ANSI mode (Spark 4 default) aborts with ARITHMETIC_OVERFLOW.
+    """
+    assert mod * base + 0x10FFFF < (1 << 63), "mod too large for int64 arithmetic"
     chars = F.split(canon(col), "")
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
-        lambda acc, ch: (acc * base + F.ascii(ch)) % F.lit(mod),
+        lambda acc, ch: F.pmod(acc * base + F.ascii(ch), F.lit(mod)),
     )

@@ -111,9 +111,11 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .select(
             "segment",
-            F.col("F").alias("n_f"),
-            F.col("O").alias("n_o"),
-            F.col("P").alias("n_p"),
+            # pivot emits NULL for absent (segment, status) combos; the
+            # oracle's count(*) FILTER emits 0 — pin 0 semantics
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
         )
     )
 

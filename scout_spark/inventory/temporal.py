@@ -195,14 +195,15 @@ def rollup_cascade_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "passes over one shuffle-by-user.",
     oracle="""
       WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN ts - coalesce(lag(ts) OVER w, ts) > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ), sessions AS (
         SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING
                                                AND CURRENT ROW) AS session_id
         FROM flagged
@@ -219,9 +220,12 @@ def rollup_cascade_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the running sum must use the SAME total order as the flag window —
+    # on a ts tie, ordering by ts alone could place the flagged row
+    # before/after its tie-mate differently per engine
     wsum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     gap = F.col("ts").cast("double") - F.coalesce(
@@ -230,6 +234,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ev.select(
         "user_id",
         "ts",
+        "event_id",
         "value",
         F.when(gap > 1800, 1).otherwise(0).alias("new_session"),
     )

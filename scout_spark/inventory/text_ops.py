@@ -166,13 +166,13 @@ def text_canon_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
                AS n_tokens,
              round(len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')))::DOUBLE
-                   / len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')), 6)
+                   / nullif(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')), 0), 6)
                AS distinct_ratio,
              round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
-                   / length(text), 6) AS punct_ratio,
+                   / nullif(length(text), 0), 6) AS punct_ratio,
              round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                                    x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))::DOUBLE
-                   / len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')), 6)
+                   / nullif(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')), 0), 6)
                AS stopword_ratio
       FROM documents
     """,
@@ -190,21 +190,29 @@ def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct_count = F.length("text") - F.length(
         F.regexp_replace(F.col("text"), "[.,;:!?]", "")
     )
+    # try_divide throughout: ANSI mode (Spark 4 default) aborts on x/0
+    # even for doubles, while the DuckDB oracle's nullif(...,0) divisor
+    # yields NULL — token-less or empty documents must not kill the job
     return d.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars_actual"),
         n_tokens.cast("bigint").alias("n_tokens"),
         F.round(
-            F.size(F.array_distinct(toks)).cast("double") / n_tokens, 6
+            F.try_divide(
+                F.size(F.array_distinct(toks)).cast("double"), n_tokens
+            ),
+            6,
         ).alias("distinct_ratio"),
-        F.round(punct_count.cast("double") / F.length("text"), 6).alias(
-            "punct_ratio"
-        ),
         F.round(
-            F.size(
-                F.filter(lower_toks, lambda t: F.array_contains(en_stop, t))
-            ).cast("double")
-            / n_tokens,
+            F.try_divide(punct_count.cast("double"), F.length("text")), 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.try_divide(
+                F.size(
+                    F.filter(lower_toks, lambda t: F.array_contains(en_stop, t))
+                ).cast("double"),
+                n_tokens,
+            ),
             6,
         ).alias("stopword_ratio"),
     )
@@ -331,7 +339,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = d.alias("b")
     isect = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - isect
-    jac = isect.cast("double") / union
+    # try_divide: two empty-token docs in one block give union 0 — ANSI
+    # aborts on 0/0 while the oracle's NULL simply fails the >= filter
+    jac = F.try_divide(isect.cast("double"), union)
     return (
         a.join(
             b,

@@ -85,6 +85,12 @@ def _minhash_signature_udf(num_hashes: int, shingle_k: int):
         out = []
         for text in texts:
             toks = (text or "").split()
+            if not toks:
+                # no tokens → sentinel max-signature; band collisions
+                # between empty docs are harmless (the exact-Jaccard
+                # verify yields NULL for empty∩empty and drops the pair)
+                out.append(np.full(num_hashes, _MERSENNE61 - 1, dtype=np.int64))
+                continue
             if len(toks) < shingle_k:
                 shingles = {" ".join(toks)}
             else:
@@ -208,7 +214,9 @@ def minhash_lsh_pairs(
         "id_b",
     )
     isect = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = isect.cast("double") / (F.size("sh_a") + F.size("sh_b") - isect)
+    # try_divide: empty shingle sets give a 0 divisor (ANSI aborts);
+    # NULL fails the threshold filter, matching "empty docs are not dups"
+    jac = F.try_divide(isect.cast("double"), F.size("sh_a") + F.size("sh_b") - isect)
     return cand.where(jac >= threshold).select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
@@ -237,8 +245,9 @@ def jaccard_pairs(
     for n in block_on:
         cond = cond & (F.col(f"a.{n}") == F.col(f"b.{n}"))
     isect = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    jac = isect.cast("double") / (
-        F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - isect
+    jac = F.try_divide(
+        isect.cast("double"),
+        F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - isect,
     )
     return (
         a.join(b, cond)

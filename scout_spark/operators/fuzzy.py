@@ -93,7 +93,12 @@ def proxy_similarity_col(target_norm: Column, query_norm: Column) -> Column:
     q = query_norm
     t = F.coalesce(target_norm, F.lit(""))
     lev = F.levenshtein(t, q).cast("double")
-    sim_lev = F.lit(1.0) - lev / F.greatest(F.length(t), F.length(q))
+    # try_divide: both strings empty → greatest(0,0)=0 divisor, which
+    # ANSI mode aborts on; NULL propagates to a 0.0 sim via coalesce
+    sim_lev = F.coalesce(
+        F.lit(1.0) - F.try_divide(lev, F.greatest(F.length(t), F.length(q))),
+        F.lit(0.0),
+    )
     ttoks = F.array_distinct(F.filter(F.split(t, " "), lambda x: x != ""))
     qtoks = F.array_distinct(F.filter(F.split(q, " "), lambda x: x != ""))
     isect = F.size(F.array_intersect(ttoks, qtoks))

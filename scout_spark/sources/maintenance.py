@@ -35,7 +35,18 @@ def compact_parquet(
 ) -> tuple[int, int]:
     """Rewrite ``path`` into ~target-size files. Returns
     (files_before, files_after). Atomic via staging + directory swap."""
+    # refuse hive-partitioned layouts: a flat rewrite would silently
+    # destroy key=value directories (and partition pruning with them) —
+    # compact those per-partition instead
+    for entry in os.listdir(path):
+        if "=" in entry and os.path.isdir(os.path.join(path, entry)):
+            raise ValueError(
+                f"{path} is hive-partitioned ({entry!r}); compact each "
+                "partition directory individually"
+            )
     n_before, total_bytes = parquet_file_stats(path)
+    if n_before == 0:
+        raise ValueError(f"no parquet data files under {path}")
     target_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     out = df.repartition(target_files)

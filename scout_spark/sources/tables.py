@@ -28,14 +28,22 @@ TABLES = (
 )
 
 
-# DataFrame handles are immutable and reusable: cache per (session, dir,
-# table) so repeated queries don't re-list files and re-read parquet
-# footers on every call (driver-side latency, ~50ms per load).
-_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+# DataFrame handles are immutable and reusable: cache per (app, dir,
+# table, file-mtime) so repeated queries don't re-list files and re-read
+# parquet footers on every call (driver-side latency, ~50ms per load).
+# applicationId (not id(spark)) keys the session — a recycled object id
+# would serve plans bound to a shut-down SparkContext; the mtime
+# invalidates after a rewrite/compaction of the file.
+_df_cache: dict[tuple[str, str, str, float], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (spark.sparkContext.applicationId, sf_dir, name, mtime)
     cached = _df_cache.get(key)
     if cached is not None:
         return cached

@@ -70,8 +70,11 @@ def build_rollup_cascade(events: DataFrame) -> dict[str, DataFrame]:
 
 
 def pick_level(range_seconds: int) -> str:
-    """Coarsest level whose window divides the query range — the router a
-    dashboard uses to hit the smallest table."""
+    """Coarsest level whose window divides the query range, the router a
+    dashboard uses to hit the smallest table. Falls back to the FINEST
+    level when nothing divides — the answer is then approximate at the
+    range edges (off by at most one fine bucket); callers needing exact
+    edges must aggregate raw events instead."""
     best = next(iter(LEVELS))
     for name, seconds in LEVELS.items():
         if range_seconds % seconds == 0:

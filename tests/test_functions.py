@@ -169,3 +169,24 @@ def test_word_shingles_overlap(spark):
     out = _eval(spark, word_shingles(F.lit("a b c d e"), 3))
     assert out == ["a b c", "b c d", "c d e"]
     assert _eval(spark, word_shingles(F.lit("a b"), 3)) == ["a b"]
+
+
+def test_rolling_hash_no_overflow_on_long_text(spark):
+    # regression: mod near 2^61 overflowed int64 under ANSI on ~13+ chars
+    from scout_spark.functions.text import rolling_hash
+
+    long_text = "a longer document text that goes on for a while " * 20
+    v = _eval(spark, rolling_hash(F.lit(long_text)))
+    assert 0 <= v < (1 << 31) - 1
+
+
+def test_shingles_empty_input_yields_empty_array(spark):
+    # regression: empty/whitespace-only docs shared a fake '' shingle.
+    # (word_shingles tokenizes raw whitespace, so '!!!' is one real
+    # token; char_ngrams canonicalizes first, so '!!!' IS empty there.)
+    from scout_spark.functions.text import char_ngrams, word_shingles
+
+    assert _eval(spark, word_shingles(F.lit("   "), 3)) == []
+    assert _eval(spark, word_shingles(F.lit(""), 3)) == []
+    assert _eval(spark, char_ngrams(F.lit("!!!"), 3)) == []
+    assert _eval(spark, char_ngrams(F.lit(""), 3)) == []

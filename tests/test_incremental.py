@@ -49,3 +49,12 @@ def test_upsert_pois_end_to_end(spark, tmp_path):
     assert pois1.where(F.col("osm_id") == 10_000_001).count() == 1
     # untouched rows survive
     assert pois1.count() == after
+
+
+def test_upsert_rejects_synthetic_ids(spark, tmp_path):
+    gaz = str(tmp_path / "gaz2")
+    raw = raw_osm_fixture(spark, n_pois=30)
+    build_gazetteer(spark, raw, gaz)
+    batch_no_id = raw_osm_fixture(spark, n_pois=5, with_id_col=False)
+    with pytest.raises(ValueError, match="synthetic"):
+        upsert_pois(spark, batch_no_id, gaz)

@@ -351,3 +351,13 @@ def test_cc_nonconvergence_warns(spark):
         warnings.simplefilter("always")
         connected_components(pairs, max_iter=2).collect()
         assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_minhash_empty_docs_not_marked_dups(spark):
+    # regression: empty docs must not pair up via a shared fake shingle
+    df = spark.createDataFrame(
+        [(0, "!!!"), (1, "???"), (2, ""), (3, "real words here three times over please")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", 16, 4, 0.5).collect()
+    assert pairs == []
