@@ -49,6 +49,7 @@ def load_all() -> dict[str, Item]:
         extended4,
         extended5,
         temporal,
+        tpch_classics,
         text_ops,
         vector_ops,
     )
