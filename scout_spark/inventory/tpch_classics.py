@@ -143,3 +143,133 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_revenue_pct"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    "TPC-H Q7 shape: shipping volume between nation pairs — lineitem "
+    "joined to BOTH supplier-nation and customer-nation dimensions, "
+    "grouped by (supp_nation, cust_nation, year). Five-table join with "
+    "every dimension broadcast; only lineitem⋈orders shuffles.",
+    oracle="""
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(extract(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+        AND nc.n_name IN ('NATION_1', 'NATION_2')
+        AND ns.n_name <> nc.n_name
+      GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    "TPC-H Q10 shape: top-20 customers by lost revenue on returned items "
+    "(l_returnflag='R') — 4-way join, grouped revenue, global top-k.",
+    oracle="""
+      SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+      ORDER BY revenue DESC, c.c_custkey
+      LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "nation", "revenue")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    "TPC-H Q15 shape: supplier(s) achieving the maximum quarterly "
+    "revenue — aggregate, take the max of the aggregate (scalar "
+    "subquery), filter to the achiever(s).",
+    oracle="""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+      )
+      SELECT s.s_suppkey, s.s_name, r.total_revenue
+      FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
