@@ -44,6 +44,9 @@ HEADLINE = [
     "scalar_json_extract",
     "join_group_topk_shipping_priority",
     "rollup_cascade_hourly",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_sole_faulty_supplier",
 ]
 
 

@@ -43,6 +43,7 @@ def load_all() -> dict[str, Item]:
     """Import all inventory modules (side-effect: fills REGISTRY)."""
     from scout_spark.inventory import (  # noqa: F401
         core,
+        sampling_ops,
         extended,
         extended2,
         extended3,
@@ -50,6 +51,8 @@ def load_all() -> dict[str, Item]:
         extended5,
         temporal,
         tpch_classics,
+        tpch_classics2,
+        tpch_classics3,
         text_ops,
         vector_ops,
     )
