@@ -43,6 +43,7 @@ def load_all() -> dict[str, Item]:
     """Import all inventory modules (side-effect: fills REGISTRY)."""
     from scout_spark.inventory import (  # noqa: F401
         core,
+        pipeline_ops,
         sampling_ops,
         extended,
         extended2,

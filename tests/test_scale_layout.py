@@ -147,3 +147,33 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     assert spark.read.parquet(path).count() == rows_before
     n_files, _ = parquet_file_stats(path)
     assert n_files == n_after
+
+
+def test_decontaminate_broadcasts_eval_dictionary(spark):
+    """The eval-set shingle dictionary must be the broadcast side — a
+    shuffle join here would move the full exploded corpus at 100 TB."""
+    from scout_spark.inventory import load_all
+
+    item = load_all()["decontaminate_shingle_overlap"]
+    plan = _plan(item.spark(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sampling_predicate_is_row_local(spark):
+    """Deterministic hash sampling must not shuffle before the filter:
+    the keep-predicate is evaluated scan-side (Filter directly over the
+    scan, no Exchange between)."""
+    from scout_spark.inventory import load_all
+
+    item = load_all()["sample_stratified_deterministic"]
+    plan = _plan(item.spark(spark, "/root/testdata/sf0.001"))
+    scan_pos = plan.find("Scan parquet")
+    first_exchange = plan.find("Exchange")
+    first_filter = plan.find("Filter")
+    assert scan_pos != -1 and first_filter != -1
+    # the only Exchange allowed is the one feeding the final groupBy,
+    # which must appear after the Filter in the formatted plan's
+    # operator list (operators print leaf-last → filter id > exchange id
+    # ordering is unreliable; instead assert there is exactly ONE
+    # aggregate exchange)
+    assert plan.count("Exchange hashpartitioning") <= 1
