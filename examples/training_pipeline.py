@@ -7,7 +7,9 @@ the local testdata:
     → language filter (stopword-voting langid)
     → exact dedup (md5 fingerprint, keep lowest id)
     → near dedup (MinHash-LSH pairs → connected components → keepers)
-    → curated parquet + corpus stats
+    → benchmark decontamination (5-gram shingle overlap vs eval set)
+    → deterministic 80/10/10 train/val/test split (Knuth-hash bucket)
+    → curated parquet (partitioned by split) + corpus stats
 
 Every stage is declarative DataFrame ops (or an Arrow kernel), so the
 same script scales from 500 docs to a cluster: the only knobs that
@@ -83,10 +85,48 @@ def main() -> None:
     curated = keepers_exact.join(dup_ids, "doc_id", "left_anti")
     n4 = curated.count()
 
+    # 4.5 benchmark decontamination ------------------------------------
+    # Remove docs overlapping the held-out eval set (source='src0'
+    # stands in for the benchmark) on any distinct 5-word shingle. The
+    # eval shingle dictionary is broadcast — corpus never self-joins.
+    from scout_spark.functions.normalize import canon_ascii
+    from scout_spark.functions.text import word_shingles
+
+    shingled = curated.withColumn(
+        "_sh", F.array_distinct(word_shingles(canon_ascii(F.col("text")), 5))
+    )
+    eval_shingles = (
+        shingled.where(F.col("source") == "src0")
+        .select(F.explode("_sh").alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        shingled.where(F.col("source") != "src0")
+        .select("doc_id", F.explode("_sh").alias("g"))
+        .join(F.broadcast(eval_shingles), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    curated = (
+        shingled.drop("_sh")
+        .where(F.col("source") != "src0")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    n45 = curated.count()
+
+    # 4.75 deterministic 80/10/10 split --------------------------------
+    # Knuth-hash bucket of doc_id: row-local, reproducible across runs
+    # and appends — no shuffle to assign a split.
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    curated = curated.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+
     # 5. write + stats -------------------------------------------------
     out = os.path.join(tempfile.gettempdir(), "curated_corpus")
-    curated.drop("q_tokens", "q_stop").write.mode(
-        "overwrite"
+    curated.drop("q_tokens", "q_stop").write.mode("overwrite").partitionBy(
+        "split"
     ).parquet(out)
     stats = curated.agg(
         F.sum(token_count("text")).alias("total_tokens"),
@@ -94,9 +134,12 @@ def main() -> None:
         F.countDistinct("lang_guess").alias("n_langs"),
     ).collect()[0]
 
-    print(f"pipeline: {n0} raw → {n1} quality → {n2} lang → {n3} exact-dedup → {n4} near-dedup")
     print(
-        f"curated corpus: {n4} docs, {stats['total_tokens']} tokens, "
+        f"pipeline: {n0} raw → {n1} quality → {n2} lang → {n3} exact-dedup "
+        f"→ {n4} near-dedup → {n45} decontaminated"
+    )
+    print(
+        f"curated corpus: {n45} docs, {stats['total_tokens']} tokens, "
         f"avg {stats['avg_chars']} chars, {stats['n_langs']} languages → {out}"
     )
 
