@@ -245,3 +245,44 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.round(F.sum("value"), 2).alias("session_value"),
     )
+
+
+@register(
+    "window_hopping_10min_5min",
+    "Hopping (sliding) 10-minute window with 5-minute slide — each event "
+    "contributes to exactly width/slide = 2 windows. Spark expands via "
+    "window(ts, '10 minutes', '5 minutes'); the oracle unnests the two "
+    "epoch-aligned starts per event. The expansion is row-local "
+    "(explode before the shuffle), so shuffle volume is 2× events, "
+    "never a range join.",
+    oracle="""
+      SELECT make_timestamp(s) AS window_start, event_type,
+             count(*) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM (
+        SELECT event_type, value,
+               unnest([(epoch_us(ts) // 300000000) * 300000000,
+                       (epoch_us(ts) // 300000000) * 300000000 - 300000000]) AS s
+        FROM events
+      )
+      GROUP BY 1, 2
+    """,
+)
+def window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
