@@ -9,6 +9,8 @@ expressions — language-ID over 100 TB of text must not cross into Python.
 
 from __future__ import annotations
 
+import pandas
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -158,3 +160,42 @@ def rolling_hash(col: Column | str, base: int = 31, mod: int = (1 << 31) - 1) ->
         F.lit(0).cast("long"),
         lambda acc, ch: F.pmod(acc * base + F.ascii(ch), F.lit(mod)),
     )
+
+
+def word_shingles_arrow(k: int = 5):
+    """Arrow-kernel twin of ``word_shingles(canon_ascii(col), k)`` that
+    returns the DISTINCT shingle set per row as ``array<string>``.
+
+    Higher-order functions run interpreted in Spark (see PLANS.md
+    text-pipeline measurements); for shingle-heavy operators such as
+    decontamination this vectorized kernel is several times faster.
+    Semantics are kept bit-identical to the Column version (validated by
+    the DuckDB-oracle parity suite): canon = lower → strip non-[a-z0-9 ]
+    → collapse spaces → trim; 0 tokens → no shingles; <k tokens → one
+    whole-text shingle.
+    """
+    import re
+
+    non_alnum = re.compile(r"[^a-z0-9 ]")
+
+    @F.pandas_udf("array<string>")
+    def _shingles(texts: pandas.Series) -> pandas.Series:
+        out = []
+        for text in texts:
+            toks = non_alnum.sub(" ", (text or "").lower()).split()
+            if not toks:
+                out.append([])
+            elif len(toks) < k:
+                out.append([" ".join(toks)])
+            else:
+                out.append(
+                    list(
+                        {
+                            " ".join(toks[i : i + k])
+                            for i in range(len(toks) - k + 1)
+                        }
+                    )
+                )
+        return pandas.Series(out)
+
+    return _shingles

@@ -15,10 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from scout_spark.functions.text import word_shingles
+from scout_spark.functions.text import word_shingles_arrow
 from scout_spark.inventory import register
 from scout_spark.inventory.core import _t
-from scout_spark.inventory.text_ops import _canon_col, _canon_sql, _tokens_sql
+from scout_spark.inventory.text_ops import _canon_sql, _tokens_sql  # noqa: F401
 
 # Word-shingle width for contamination detection (5-grams are the
 # common n for benchmark-overlap checks).
@@ -65,9 +65,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.array_distinct(word_shingles(_canon_col(F.col("text")), _K)).alias(
-            "sh"
-        ),
+        word_shingles_arrow(_K)(F.col("text")).alias("sh"),
     )
     ev = (
         d.where(F.col("source") == "src0")
