@@ -32,8 +32,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: item.spark for name, item in load_all().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Iteration order is driver-correctness-window priority (see
+    scout_spark/inventory/rotation.py): entries without a prior-round
+    driver record come first so the per-round ~50-query differential
+    eventually covers the whole registry.
+    """
+    from scout_spark.inventory.rotation import ordered_names
+
+    registry = load_all()
+    return {name: registry[name].spark for name in ordered_names(registry)}
 
 
 def oracle_sql() -> dict[str, str]:

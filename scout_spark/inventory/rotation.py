@@ -1,0 +1,98 @@
+"""Driver correctness-window rotation.
+
+The driver's per-round DuckDB differential (CORRECTNESS_r{N}.json)
+records only the first ~50 entries of ``queries()`` in iteration order.
+With >100 registered operators, a static order leaves a permanent
+unchecked tail (round 1: 52 entries — the whole TPC-H wave, temporal,
+vector/dedup — had no driver entry).
+
+Fix: order the registry so names that already earned a driver
+correctness record in a prior round rotate to the BACK, and
+never-checked entries move to the FRONT (oracle-backed ones first —
+they yield the hard rows+schema+hash signal; rows-only entries after,
+since their record is weaker by design). Within each group the original
+registration order is kept, so newly added operators queue behind
+previously unchecked ones.
+
+Update ``CHECKED_PRIOR_ROUNDS`` after each round from the keys of the
+driver's CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+# Keys of CORRECTNESS_r01.json — every name the driver recorded in
+# round 1 (48 hash-green + 2 rows-only). These rotate to the back so
+# round 2's window covers the previously unchecked 52.
+_ROUND_1 = {
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_big_orders",
+    "join_broadcast_range",
+    "agg_argmax_top_customer_per_nation",
+    "agg_rollup_region_nation",
+    "agg_cube_status_priority",
+    "agg_count_distinct",
+    "window_rank_lag_running",
+    "window_global_row_number",
+    "topk_orders_by_price",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "filter_token_like",
+    "filter_range_between",
+    "project_scalar_functions",
+    "scalar_date_trunc_monthly",
+    "scalar_json_extract",
+    "flagship_fuzzy_search",
+    "fuzzy_wratio_pandas_udf",
+    "text_canon_normalize",
+    "text_quality_features",
+    "text_langid_heuristic",
+    "dedup_exact_fingerprint",
+    "dedup_ngram_jaccard_pairs",
+    "decontaminate_shingle_overlap",
+    "profile_dataset_columns",
+    "text_vocabulary_topk",
+    "tpch_q16_supplier_diversity",
+    "sample_stratified_deterministic",
+    "sample_train_test_split",
+    "sample_k_per_group",
+    "agg_statistical_moments",
+    "agg_exact_percentiles",
+    "agg_approx_distinct_and_percentile",
+    "agg_pivot_status_by_segment",
+    "window_grouped_topk_orders",
+    "subquery_scalar_above_nation_avg",
+    "scalar_array_map_functions",
+    "scalar_haversine_proximity",
+    "set_union_distinct",
+    "window_range_frame_moving_avg",
+    "explode_tokens_with_position",
+    "agg_grouping_sets_sql_path",
+    "scalar_string_family",
+    "join_group_topk_shipping_priority",
+    "agg_having_filter",
+    "sql_parameterized_query",
+}
+
+CHECKED_PRIOR_ROUNDS: frozenset[str] = frozenset(_ROUND_1)
+
+
+def rotation_key(name: str, has_oracle: bool, reg_index: int):
+    """Sort key: unchecked first, oracle-backed before rows-only,
+    registration order within each group."""
+    return (
+        1 if name in CHECKED_PRIOR_ROUNDS else 0,
+        0 if has_oracle else 1,
+        reg_index,
+    )
+
+
+def ordered_names(registry) -> list[str]:
+    """Registry names in driver-window priority order."""
+    indexed = {name: i for i, name in enumerate(registry)}
+    return sorted(
+        registry,
+        key=lambda n: rotation_key(n, registry[n].oracle is not None, indexed[n]),
+    )
