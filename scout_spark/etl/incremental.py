@@ -29,7 +29,22 @@ from scout_spark.sources.writers import write_parquet_sorted
 def merge_upsert(
     existing: DataFrame, updates: DataFrame, key: str = "osm_id"
 ) -> DataFrame:
-    """last-write-wins merge: existing rows not in updates + all updates."""
+    """last-write-wins merge: existing rows not in updates + all updates.
+
+    ``updates`` is deduplicated per key first — a batch carrying the same
+    osm_id twice would otherwise land both rows and leave duplicate keys
+    in pois. The winner is chosen deterministically (stable xxhash64 of
+    the full row) so replays reproduce the same table.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.xxhash64(*updates.columns).asc())
+    updates = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     survivors = existing.join(updates.select(key), key, "left_anti")
     return survivors.unionByName(updates)
 

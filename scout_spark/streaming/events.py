@@ -169,32 +169,45 @@ def upsert_sink_foreach_batch(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
-        latest = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
+        cols = batch_df.columns
+        # Tie-breaks beyond order_col keep the merge deterministic under
+        # at-least-once replay: on an order_col tie the existing row wins
+        # (_src asc), and within a batch the xxhash64 of the full row
+        # picks a stable winner — a replayed micro-batch then re-derives
+        # the identical table instead of clobbering by partition luck.
+        w = Window.partitionBy(key).orderBy(
+            F.col(order_col).desc(), F.col("_src").asc(), F.xxhash64(*cols).asc()
         )
+
+        def keep_latest(df: DataFrame) -> DataFrame:
+            return (
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "_src")
+            )
+
+        latest = batch_df.withColumn("_src", F.lit(1))
         if os.path.exists(target_path):
             # union then pick max-order per key: a late-arriving batch
             # must not clobber a newer row already in the table
-            existing = spark.read.parquet(target_path)
-            merged = (
-                existing.unionByName(latest)
-                .withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+            existing = spark.read.parquet(target_path).withColumn("_src", F.lit(0))
+            merged = keep_latest(existing.unionByName(latest))
         else:
-            merged = latest
+            merged = keep_latest(latest)
         staging = target_path + ".staging"
         merged.write.mode("overwrite").parquet(staging)
-        final = spark.read.parquet(staging)
-        final.count()  # materialize before swapping
+        spark.read.parquet(staging).count()  # materialize before swapping
         import shutil
 
-        shutil.rmtree(target_path, ignore_errors=True)
+        # swap via rename-to-.old (matching upsert_pois/compact_parquet):
+        # a crash at any point leaves either the old or the new table at
+        # target_path — never a window where the path does not exist
+        old = target_path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(target_path):
+            os.rename(target_path, old)
         os.rename(staging, target_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(merge_batch)

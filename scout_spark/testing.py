@@ -35,6 +35,12 @@ def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(v) -> str:
+    # NULL and float NaN deliberately canonicalize to the same token:
+    # both engines surface SQL NULL in float64 columns as NaN at the
+    # pandas boundary (Spark toPandas and DuckDB .df() alike), so the
+    # two are indistinguishable here by construction. A genuine
+    # computed-NaN-vs-NULL divergence is instead guarded per-query by
+    # using try_divide/round on both sides (CLAUDE.md invariants).
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<NULL>"
     if isinstance(v, float):

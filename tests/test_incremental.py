@@ -22,6 +22,19 @@ def test_merge_upsert_semantics(spark):
     assert got == {1: "old-a", 2: "new-b", 3: "old-c", 9: "new-i"}
 
 
+def test_merge_upsert_dedups_duplicate_keys_in_batch(spark):
+    existing = spark.createDataFrame([(1, "old-a")], "osm_id long, name string")
+    updates = spark.createDataFrame(
+        [(2, "dup-x"), (2, "dup-y"), (3, "new-c")], "osm_id long, name string"
+    )
+    merged = merge_upsert(existing, updates)
+    rows = merged.collect()
+    assert len(rows) == 3, "duplicate-key batch must collapse to one row per key"
+    # winner is deterministic: same input → same output across runs
+    again = {r["osm_id"]: r["name"] for r in merge_upsert(existing, updates).collect()}
+    assert {r["osm_id"]: r["name"] for r in rows} == again
+
+
 def test_upsert_pois_end_to_end(spark, tmp_path):
     gaz = str(tmp_path / "gaz")
     raw = raw_osm_fixture(spark, n_pois=100)
