@@ -174,12 +174,15 @@ def embedding_hashed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     "IVF approximate nearest neighbors — the partition-pruned scale "
-    "path: deterministic coarse centroids (strided sample standing in "
-    "for k-means), broadcast argmax assignment, query probes nprobe "
-    "cells so the scan touches ~nprobe/n_centroids of the table (at "
-    "100 TB the assignment is written partitioned by centroid_id and "
-    "pruning is physical). Rows-only; recall pinned vs brute force in "
-    "tests/test_operators.py.",
+    "path: deterministic coarse centroids (hash-ranked sample standing "
+    "in for k-means, TakeOrderedAndProject — no global sort, no count), "
+    "fused numpy assign+cosine UDF over one joinless scan, probe cells "
+    "filtered before the top-k merge. The prebuilt-index twin "
+    "(ivf_build_index/ivf_probe, operators/ann.py) writes the "
+    "assignment partitioned by centroid_id so a probe reads "
+    "~nprobe/n_centroids of the table via PartitionFilters — physical "
+    "pruning, proven in tests/test_operators.py. Rows-only; recall "
+    "pinned vs brute force.",
     tags=("rows-only",),
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -78,6 +79,109 @@ def hyperplane_signature(vec: Column, n_planes: int) -> Column:
     return sig
 
 
+def _centroid_matrix(centroids: DataFrame, cv_col: str = "cv"):
+    """Collect the (tiny, n_centroids-row) centroid table into a numpy
+    matrix — the procedural-resolve shape (reference repo.py:16-45:
+    collect a tiny build side, use it as literals/closure) that keeps
+    the big-table pass free of joins entirely."""
+    import numpy as np
+
+    rows = centroids.orderBy("centroid_id").collect()
+    ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r[cv_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def _sample_centroid_arrays(
+    embeddings: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """One TakeOrderedAndProject job → (dense ids, unit-norm matrix)
+    driver-side. Shared by ivf_centroids (which persists it as a table)
+    and ivf_topk (which uses the arrays directly, skipping a
+    createDataFrame→collect round-trip)."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(
+            id_col, vec_col, F.xxhash64(F.col(id_col)).alias("_hk")
+        )
+        .orderBy("_hk", id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    ids = np.arange(len(rows), dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def _assign_udf(cent_ids, cent_unit):
+    """Arrow-batched nearest-centroid assignment: one matmul per batch
+    (batch×dim @ dim×n_centroids), argmax per row. Ties go to the lowest
+    centroid index (np.argmax first-occurrence) — deterministic."""
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        xn = np.linalg.norm(x, axis=1)
+        xn[xn == 0.0] = 1.0
+        sims = (x / xn[:, None]) @ cent_unit.T
+        return pd.Series(cent_ids[np.argmax(sims, axis=1)])
+
+    return _assign
+
+
+def _cosine_to_query_udf(qv):
+    """Arrow-batched cosine against one fixed query vector (closure
+    broadcast — no join). Rounded at the call site."""
+    import numpy as np
+
+    q = np.asarray(qv, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    qu = q / qn if qn > 0 else q
+
+    @F.pandas_udf("double")
+    def _cos(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        xn = np.linalg.norm(x, axis=1)
+        xn[xn == 0.0] = 1.0
+        return pd.Series((x / xn[:, None]) @ qu)
+
+    return _cos
+
+
+def _assign_and_cosine_udf(cent_ids, cent_unit, qv):
+    """Fused assignment + query-cosine in ONE Arrow eval (one Python
+    crossing per batch instead of two): struct<centroid_id, cos_sim>."""
+    import numpy as np
+
+    q = np.asarray(qv, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    qu = q / qn if qn > 0 else q
+
+    @F.pandas_udf("struct<centroid_id: long, cos_sim: double>")
+    def _fused(vecs: pd.Series) -> pd.DataFrame:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        xn = np.linalg.norm(x, axis=1)
+        xn[xn == 0.0] = 1.0
+        xu = x / xn[:, None]
+        return pd.DataFrame(
+            {
+                "centroid_id": cent_ids[np.argmax(xu @ cent_unit.T, axis=1)],
+                "cos_sim": xu @ qu,
+            }
+        )
+
+    return _fused
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -86,24 +190,16 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
 
-    ``centroids``: (centroid_id, cv). Broadcast-joined; argmin by cosine
-    distance via one grouped max_by — at 100 TB this runs once at index
-    build time and the assignment is written partitioned by centroid_id
-    so queries prune to nprobe partitions.
+    ``centroids``: (centroid_id, cv) — tiny by construction; collected
+    into the UDF closure so the assignment is a single joinless,
+    shuffle-free scan (one numpy matmul per Arrow batch). At 100 TB this
+    runs once at index build time and the assignment is written
+    partitioned by centroid_id so queries prune to nprobe partitions.
     """
-    scored = embeddings.join(F.broadcast(centroids)).select(
-        id_col,
-        vec_col,
-        "centroid_id",
-        cosine_similarity(F.col(vec_col), F.col("cv")).alias("_sim"),
+    ids, unit = _centroid_matrix(centroids)
+    return embeddings.select(
+        id_col, vec_col, _assign_udf(ids, unit)(F.col(vec_col)).alias("centroid_id")
     )
-    # argmax via max_by on (sim, -centroid_id) struct for deterministic ties
-    best = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.col("centroid_id"), F.struct(F.col("_sim"), -F.col("centroid_id"))
-        ).alias("centroid_id")
-    )
-    return embeddings.join(best, id_col)
 
 
 def ivf_centroids(
@@ -112,29 +208,32 @@ def ivf_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Deterministic coarse centroids: evenly strided sample by id rank.
-    (A production index would run k-means; a strided sample is an
-    unbiased, fully deterministic stand-in with the same plumbing.)"""
-    from pyspark.sql.window import Window
+    """Deterministic coarse centroids: the ``n_centroids`` vectors with
+    the smallest ``xxhash64(id)`` — a uniform, fully deterministic
+    pseudo-random sample. (A production index would run k-means; this is
+    the unbiased stand-in with the same plumbing.)
 
-    ranked = embeddings.select(
-        id_col, vec_col, F.row_number().over(Window.orderBy(id_col)).alias("_rn")
+    Physical shape: TakeOrderedAndProject (per-partition partial top-k,
+    merge on the driver) — no global sort, no full-table count() action,
+    no window (the round-1 formulation's single-partition row_number and
+    driver count are gone).
+    """
+    rows = (
+        embeddings.select(
+            id_col, vec_col, F.xxhash64(F.col(id_col)).alias("_hk")
+        )
+        .orderBy("_hk", id_col)
+        .limit(n_centroids)
+        .collect()
     )
-    total = embeddings.count()
-    stride = max(total // n_centroids, 1)
-    # deterministic: centroid_id derived from the ordered rank, and the
-    # cap keeps ids strictly in [0, n_centroids) — an unordered limit()
-    # here would pick an arbitrary subset per evaluation, and ivf_topk
-    # instantiates this plan twice (assignment + probe), which must see
-    # identical centroids.
-    return ranked.select(
-        ((F.col("_rn") - 1) / stride).cast("int").alias("centroid_id"),
-        F.col(vec_col).alias("cv"),
-        F.col("_rn"),
-    ).where(
-        ((F.col("_rn") - 1) % stride == 0)
-        & (F.col("centroid_id") < n_centroids)
-    ).drop("_rn")
+    # the n_centroids rows round-trip the driver to get dense ids 0..n-1
+    # — a window over the post-limit rows would hit the single-partition
+    # WindowExec path; materializing the tiny sample avoids it and makes
+    # centroid identity trivially stable across the plans that reuse it.
+    return embeddings.sparkSession.createDataFrame(
+        [(i, list(r[vec_col])) for i, r in enumerate(rows)],
+        schema="centroid_id int, cv array<double>",
+    )
 
 
 def ivf_topk(
@@ -149,30 +248,91 @@ def ivf_topk(
     """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
     query, exact cosine within their cells only (candidate fraction ≈
     nprobe/n_centroids)."""
-    cents = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
-    assigned = ivf_assign(embeddings, cents, vec_col, id_col)
-    q = embeddings.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("qv")
+    import numpy as np
+
+    cent_ids, cent_unit = _sample_centroid_arrays(
+        embeddings, n_centroids, vec_col, id_col
     )
-    probe_cells = (
-        cents.join(F.broadcast(q))
-        .select(
-            "centroid_id",
-            cosine_similarity(F.col("cv"), F.col("qv")).alias("_sim"),
-        )
-        .orderBy(F.col("_sim").desc(), "centroid_id")
-        .limit(nprobe)
-        .select("centroid_id")
+    qv = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).head()[
+        vec_col
+    ]
+    # probe-cell ranking is pure driver-side numpy over n_centroids rows
+    q = np.asarray(qv, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    qsims = cent_unit @ (q / qn if qn > 0 else q)
+    order = np.lexsort((cent_ids, -qsims))
+    probe_ids = [int(cent_ids[i]) for i in order[:nprobe]]
+    # one joinless scan: fused assign+cosine numpy UDF (single Arrow
+    # eval), filter to the probe cells, distributed top-k merge
+    fused = _assign_and_cosine_udf(cent_ids, cent_unit, qv)
+    scored = embeddings.where(F.col(id_col) != query_vec_id).select(
+        id_col, fused(F.col(vec_col)).alias("_ac")
     )
     return (
-        assigned.join(F.broadcast(probe_cells), "centroid_id")
-        .where(F.col(id_col) != query_vec_id)
-        .join(F.broadcast(q))
-        .select(
+        scored.where(F.col("_ac.centroid_id").isin(probe_ids))
+        .select(id_col, F.round(F.col("_ac.cos_sim"), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), id_col)
+        .limit(k)
+    )
+
+
+def ivf_build_index(
+    embeddings: DataFrame,
+    index_path: str,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF index: the assignment written PARTITIONED BY
+    centroid_id (so a probe reads only its nprobe partitions — physical
+    partition pruning, not a post-scan filter) plus the tiny centroid
+    table. At 100 TB this runs once per corpus version; queries touch
+    ~nprobe/n_centroids of the data via ``ivf_probe``."""
+    cents = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    assigned = ivf_assign(embeddings, cents, vec_col, id_col)
+    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(
+        index_path + "/assign"
+    )
+    cents.write.mode("overwrite").parquet(index_path + "/centroids")
+
+
+def ivf_probe(
+    spark,
+    index_path: str,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    qvec_col: str = "qv",
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Query a prebuilt IVF index: rank centroids against the 1-row
+    ``query`` driver-side (the centroid table is tiny — the procedural
+    bbox-resolve shape, reference repo.py:16-45), then scan ONLY those
+    centroid partitions. The isin() literals reach the parquet source as
+    PartitionFilters, so the probe reads ~nprobe/n_centroids of the
+    index physically, not post-filter."""
+    import numpy as np
+
+    cent_ids, cent_unit = _centroid_matrix(
+        spark.read.parquet(index_path + "/centroids")
+    )
+    qv = query.select(qvec_col).head()[qvec_col]
+    q = np.asarray(qv, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    qsims = cent_unit @ (q / qn if qn > 0 else q)
+    order = np.lexsort((cent_ids, -qsims))
+    probe_ids = [int(cent_ids[i]) for i in order[:nprobe]]
+    cells = spark.read.parquet(index_path + "/assign").where(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    if exclude_id is not None:
+        cells = cells.where(F.col(id_col) != exclude_id)
+    return (
+        cells.select(
             id_col,
-            F.round(cosine_similarity(F.col(vec_col), F.col("qv")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(_cosine_to_query_udf(qv)(F.col(vec_col)), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), id_col)
         .limit(k)

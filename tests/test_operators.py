@@ -211,6 +211,52 @@ def test_ivf_topk_recall(spark):
     assert ids == again
 
 
+def test_ivf_build_probe_matches_inline_and_prunes(spark, tmp_path):
+    from scout_spark.operators.ann import ivf_build_index, ivf_probe, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb, idx, n_centroids=8)
+    q = emb.where(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    probed = ivf_probe(spark, idx, q, k=10, nprobe=3, exclude_id=7)
+    inline = ivf_topk(emb, query_vec_id=7, k=10, n_centroids=8, nprobe=3)
+    assert [(r["vec_id"], r["cos_sim"]) for r in probed.collect()] == [
+        (r["vec_id"], r["cos_sim"]) for r in inline.collect()
+    ], "prebuilt-index probe must reproduce the inline IVF result"
+    # the centroid_id literals must reach the scan as partition filters
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+
+
+def test_ivf_centroids_deterministic_dense_ids(spark):
+    from scout_spark.operators.ann import ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = ivf_centroids(emb, n_centroids=8).collect()
+    assert sorted(r["centroid_id"] for r in rows) == list(range(8))
+    # deterministic across instantiations (assignment + probe must agree)
+    again = ivf_centroids(emb, n_centroids=8).collect()
+    assert [(r["centroid_id"], r["cv"]) for r in rows] == [
+        (r["centroid_id"], r["cv"]) for r in again
+    ]
+
+
+def test_ivf_topk_plan_no_window_no_shuffle(spark):
+    """Plan-shape guard (the round-1 single-partition row_number window
+    and full-table join are gone): the candidate pass is one joinless
+    scan ending in a distributed top-k merge."""
+    from scout_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = ivf_topk(emb, query_vec_id=7, k=10, n_centroids=8, nprobe=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
 # ------------------------------------------------------ connected components
 def test_connected_components_transitive_groups(spark):
     from scout_spark.operators.dedup import connected_components, dedup_groups
