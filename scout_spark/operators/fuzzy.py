@@ -4,11 +4,13 @@ reference ranking.py:73-76).
 
 Two paths:
   - ``best_sim_udf``: Arrow-batched pandas UDF. Uses rapidfuzz when
-    importable (bit-parity with the reference's scores; rapidfuzz is C++
-    and releases the GIL, so Arrow batches amortize the crossing). Falls
-    back to a pure-Python WRatio approximation (difflib ratio × the same
-    token-sort/token-set heuristics) when rapidfuzz is absent — clearly
-    deterministic, same [0,1] scale.
+    importable (C++, releases the GIL, Arrow batches amortize the
+    crossing). When rapidfuzz is absent it falls back to
+    ``functions/wratio.py`` — a pure-Python implementation of the SAME
+    published WRatio algorithm (Indel-ratio composite with token sort/
+    set and length-ratio-scaled partial variants, bit-parallel LCS
+    kernel), not an approximation: algorithm-parity with the
+    reference's ranking.py:73-76 scores on the same [0,1] scale.
   - ``proxy_similarity``: pure Column expression (levenshtein + distinct-
     token Jaccard blend) — codegen-able, oracle-expressible, and the
     scale path when Python crossing is unwanted.
@@ -16,12 +18,12 @@ Two paths:
 
 from __future__ import annotations
 
-from difflib import SequenceMatcher
-
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
+
+from scout_spark.functions.wratio import _cached_wratio
 
 try:  # gate: not installed in this container; baked-in on real deploys
     from rapidfuzz import fuzz as _rf_fuzz
@@ -32,32 +34,12 @@ except ImportError:
     HAVE_RAPIDFUZZ = False
 
 
-def _wratio_fallback(q: str, t: str) -> float:
-    """Approximation of rapidfuzz WRatio on [0,100]: max of plain ratio,
-    token-sort ratio, and (length-ratio-scaled) partial token-set ratio —
-    the same structural heuristics WRatio blends."""
-    if not q or not t:
-        return 0.0
-    base = SequenceMatcher(None, q, t).ratio() * 100
-    ts_q, ts_t = " ".join(sorted(q.split())), " ".join(sorted(t.split()))
-    token_sort = SequenceMatcher(None, ts_q, ts_t).ratio() * 100
-    sq, st = set(q.split()), set(t.split())
-    inter = " ".join(sorted(sq & st))
-    token_set = 0.0
-    if inter:
-        token_set = max(
-            SequenceMatcher(None, inter, ts_q).ratio(),
-            SequenceMatcher(None, inter, ts_t).ratio(),
-        ) * 100
-    return max(base, token_sort, token_set)
-
-
 def _score_series(queries: list[str], targets: pd.Series) -> pd.Series:
     """max over query texts of WRatio(q, target)/100 for each target."""
     if HAVE_RAPIDFUZZ:
         scorer = _rf_fuzz.WRatio
     else:
-        scorer = _wratio_fallback
+        scorer = _cached_wratio
     out = []
     for t in targets:
         if not t:

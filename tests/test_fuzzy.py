@@ -1,35 +1,36 @@
-"""Fuzzy scorer tests (SURVEY.md §2.9 X3): the WRatio fallback's
+"""Fuzzy scorer tests (SURVEY.md §2.9 X3): the exact WRatio scorer's
 structural properties, the pandas UDF batch path, and the oracle-
-expressible proxy scorer."""
+expressible proxy scorer. (Algorithm-level hand-computed values live in
+tests/test_wratio.py.)"""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
+from scout_spark.functions.wratio import wratio
 from scout_spark.operators.fuzzy import (
     HAVE_RAPIDFUZZ,
-    _wratio_fallback,
     best_sim_udf,
     proxy_similarity,
 )
 
 
-def test_wratio_fallback_structure():
+def test_wratio_structure():
     # exact match = 100, empty = 0, bounded [0, 100]
-    assert _wratio_fallback("monograph dining", "monograph dining") == 100.0
-    assert _wratio_fallback("", "anything") == 0.0
-    assert _wratio_fallback("anything", "") == 0.0
-    # token order invariance (token-sort heuristic)
-    assert _wratio_fallback("dining monograph", "monograph dining") == 100.0
-    # token-subset scores high (token-set heuristic)
-    assert _wratio_fallback("monograph", "monograph dining") >= 80.0
+    assert wratio("monograph dining", "monograph dining") == 100.0
+    assert wratio("", "anything") == 0.0
+    assert wratio("anything", "") == 0.0
+    # token order invariance (token-sort component, ×0.95 unbase scale)
+    assert wratio("dining monograph", "monograph dining") == 95.0
+    # token-subset scores high (token-set / partial components)
+    assert wratio("monograph", "monograph dining") >= 80.0
     # near-match beats unrelated
-    near = _wratio_fallback("monograph dinning", "monograph dining")
-    far = _wratio_fallback("kopitiam 88", "monograph dining")
+    near = wratio("monograph dinning", "monograph dining")
+    far = wratio("kopitiam 88", "monograph dining")
     assert near > far
     for q, t in [("abc", "abd"), ("a b c", "c b a"), ("x", "yz")]:
-        assert 0.0 <= _wratio_fallback(q, t) <= 100.0
+        assert 0.0 <= wratio(q, t) <= 100.0
 
 
 def test_best_sim_udf_batch(spark):
