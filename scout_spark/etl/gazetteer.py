@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from scout_spark.functions.normalize import canon
 from scout_spark.functions.scoring import importance_expr, kind_expr
-from scout_spark.sources.binding import bind_raw_source
+from scout_spark.sources.binding import bind_geometry, bind_raw_source
 from scout_spark.sources.writers import write_parquet_sorted
 
 POI_VIEW_COLUMNS = [
@@ -74,14 +74,15 @@ def build_pois(raw: DataFrame) -> DataFrame:
     """gaz.pois (reference sql/migrations/001_pois.sql): named POIs with
     normalized names, tag attributes, centroid, kind, importance."""
     binding = bind_raw_source(raw)
+    geom = bind_geometry(raw)
     tags = F.col("tags")
     src = raw.select(
         binding.id_col.alias("osm_id"),
         _name_local(binding.name_col, tags).alias("name_local"),
         _name_en(tags).alias("name_en"),
         tags.alias("tags"),
-        F.col("lat").cast("double").alias("lat"),
-        F.col("lon").cast("double").alias("lon"),
+        geom.lat_col.alias("lat"),
+        geom.lon_col.alias("lon"),
     ).where(
         _name_local(binding.name_col, tags).isNotNull() | _name_en(tags).isNotNull()
     )

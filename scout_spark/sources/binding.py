@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -50,6 +51,14 @@ def bind_raw_source(df: DataFrame) -> SourceBinding:
         id_col, synthetic = F.col("id").cast("bigint"), False
     elif "osm_id" in cols:
         id_col, synthetic = F.col("osm_id").cast("bigint"), False
+    elif "feature_id" in cols:
+        # QuackOSM GeoParquet ids are strings like "node/240109189" —
+        # take the numeric tail (reference accepts any id-ish column,
+        # build_gazetteer.py:29)
+        id_col = F.regexp_extract(F.col("feature_id"), r"(\d+)$", 1).try_cast(
+            "bigint"
+        )
+        synthetic = False
     else:
         id_col = F.row_number().over(Window.orderBy(F.lit(1))).cast("bigint")
         synthetic = True
@@ -57,3 +66,103 @@ def bind_raw_source(df: DataFrame) -> SourceBinding:
         F.col("name").cast("string") if "name" in cols else F.lit(None).cast("string")
     )
     return SourceBinding(id_col=id_col, name_col=name_col, has_synthetic_id=synthetic)
+
+
+# geometry column candidates, in the reference's probe order
+# (build_gazetteer.py:30-39)
+GEOMETRY_COLUMNS = ("geometry", "geom", "wkb_geometry", "wkt")
+
+
+@dataclass(frozen=True)
+class GeometryBinding:
+    """Resolved centroid expressions: lat/lon DOUBLE columns however the
+    source encodes position (SURVEY.md §1.2: geometry is eliminated at
+    the ETL edge — these expressions are that elimination)."""
+
+    lat_col: Column
+    lon_col: Column
+    kind: str  # "latlon" | "wkb" | "wkt"
+
+
+def _wkb_point_udf():
+    """Arrow-batched WKB point decoder: (byte-order flag, uint32 geom
+    type [EWKB SRID flag honored], x, y doubles) → struct<lon, lat>.
+    Non-point geometries decode to NULL — the reference reduces
+    polygons to centroids upstream (ST_Centroid at ingest,
+    001_pois.sql:30-31); a GeoParquet export that kept raw polygons
+    must be centroided before this decoder."""
+    import struct as _struct
+
+    @F.pandas_udf("struct<lon: double, lat: double>")
+    def _decode(wkb: pd.Series) -> pd.DataFrame:
+        lons: list[float | None] = []
+        lats: list[float | None] = []
+        for b in wkb:
+            if b is None:
+                lons.append(None)
+                lats.append(None)
+                continue
+            b = bytes(b)
+            try:
+                order = "<" if b[0] == 1 else ">"
+                gtype = _struct.unpack_from(order + "I", b, 1)[0]
+                off = 5
+                if gtype & 0x20000000:  # EWKB SRID present
+                    off += 4
+                    gtype &= ~0x20000000
+                if gtype % 1000 != 1:  # not a (2D/Z/M) point
+                    raise ValueError
+                x, y = _struct.unpack_from(order + "dd", b, off)
+                lons.append(x)
+                lats.append(y)
+            except (ValueError, _struct.error, IndexError):
+                lons.append(None)
+                lats.append(None)
+        return pd.DataFrame({"lon": lons, "lat": lats})
+
+    return _decode
+
+
+_WKT_POINT = r"POINT\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s*\)"
+
+
+def bind_geometry(df: DataFrame) -> GeometryBinding:
+    """Resolve centroid lat/lon from whatever the source provides.
+
+    Probe order mirrors reference build_gazetteer.py:30-39: materialized
+    lat/lon doubles first (our fixtures and any pre-centroided export),
+    then a geometry column by name — BinaryType → WKB point decode
+    (QuackOSM GeoParquet shape), StringType → WKT ``POINT(x y)`` parse
+    (pure Column, codegen-able). No geometry at all is a hard error,
+    exactly like the reference (build_gazetteer.py:38-39).
+    """
+    fields = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    if "lat" in fields and "lon" in fields:
+        return GeometryBinding(
+            lat_col=F.col("lat").cast("double"),
+            lon_col=F.col("lon").cast("double"),
+            kind="latlon",
+        )
+    for name in GEOMETRY_COLUMNS:
+        if name not in fields:
+            continue
+        if fields[name] == "binary":
+            pt = _wkb_point_udf()(F.col(name))
+            return GeometryBinding(
+                lat_col=pt.getField("lat"), lon_col=pt.getField("lon"), kind="wkb"
+            )
+        if fields[name] == "string":
+            return GeometryBinding(
+                lat_col=F.regexp_extract(F.col(name), _WKT_POINT, 2).try_cast(
+                    "double"
+                ),
+                lon_col=F.regexp_extract(F.col(name), _WKT_POINT, 1).try_cast(
+                    "double"
+                ),
+                kind="wkt",
+            )
+    raise ValueError(
+        "no geometry found: expected lat/lon columns or one of "
+        f"{GEOMETRY_COLUMNS} (reference build_gazetteer.py:38-39 errors "
+        "identically)"
+    )
