@@ -56,6 +56,7 @@ def load_all() -> dict[str, Item]:
         tpch_classics3,
         text_ops,
         vector_ops,
+        hash_parity,
     )
 
     return REGISTRY

@@ -1,0 +1,237 @@
+"""Oracle-expressible companions for the hashing dedup family
+(round-1 verdict item 8: dedup_simhash / dedup_minhash_lsh are
+rows-only because murmur3/crc32 aren't reproducible in DuckDB — md5
+IS available in both engines, so these twins pin the full kernels
+cross-engine with the hard rows+schema+hash signal).
+
+Shared construction: tokens = regexp_extract_all(lower(text),
+'[a-z0-9]+') — ASCII-class extraction behaves identically in Java and
+DuckDB regex dialects (no empty-string or unicode-case edge cases);
+token/shingle hash = first 8 hex chars of md5 parsed as an int
+(Spark conv(...,16,10) ≡ DuckDB ('0x'||substr)::BIGINT).
+
+The simhash pair query's band blocking is EXACT, not approximate: with
+8 bands of 4 bits, any pair within hamming d ≤ 7 differs in at most d
+bands (pigeonhole), so it shares at least one identical band; the
+threshold here is 2. The DuckDB oracle does the all-pairs O(n²) check;
+band blocking must therefore return exactly the same rows — the
+correctness check proves the scale path lossless, not just plausible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scout_spark.inventory import register
+from scout_spark.inventory.core import _t
+
+_SIMHASH_BITS = 32
+_BANDS = 8  # 4-bit bands; exact for hamming <= _BANDS - 2
+_HAMMING_MAX = 2
+_MIN_TOKENS = 8  # tiny token sets make 32-bit simhash collide by chance
+_MINHASH_K = 16
+_MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def _tokens(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
+
+
+def _md5_32(s: Column) -> Column:
+    """32-bit int from the first 8 hex chars of md5 — reproducible in
+    DuckDB as ('0x'||substr(md5(s),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def _simhash(text: Column) -> Column:
+    """32-bit SimHash over distinct md5-hashed tokens, pure Column
+    expressions: one fold accumulates the 32 bit-votes (md5 computed
+    once per token), then votes collapse to sign bits."""
+    th = F.transform(F.array_distinct(_tokens(text)), _md5_32)
+
+    def _vote_vector(h: Column) -> Column:
+        return F.array(
+            *[
+                (h.bitwiseAND(F.lit(1 << b)) != 0).cast("int") * 2 - 1
+                for b in range(_SIMHASH_BITS)
+            ]
+        )
+
+    votes = F.aggregate(
+        th,
+        F.array(*[F.lit(0)] * _SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, _vote_vector(h), lambda a, v: a + v),
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(_SIMHASH_BITS):
+        sig = sig + F.when(
+            F.element_at(votes, b + 1) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    "SimHash near-dup pairs with a CROSS-ENGINE signature (md5 token "
+    "hashes) and exact band blocking: 8×4-bit bands guarantee every "
+    "pair within the hamming threshold shares a band (pigeonhole), so "
+    "the banded "
+    "plan — the 100 TB path, shuffling only (id, band, bucket) — "
+    "returns exactly what the oracle's all-pairs scan returns. The "
+    "oracle check therefore proves the blocking lossless, not just "
+    "plausible.",
+    oracle=f"""
+      WITH s AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(0, {_SIMHASH_BITS}), b ->
+                 CASE WHEN list_sum(list_transform(th, h ->
+                        CASE WHEN (h // power(2, b)::BIGINT) % 2 = 1
+                             THEN 1 ELSE -1 END)) > 0
+                      THEN power(2, b)::BIGINT ELSE 0 END))::BIGINT AS simhash
+        FROM (
+          SELECT doc_id,
+                 list_transform(
+                   list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')),
+                   tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT) AS th
+          FROM documents) t
+        WHERE len(th) >= {_MIN_TOKENS}
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sigs = d.select(F.col("doc_id"), _simhash(F.col("text")).alias("simhash")).where(
+        F.size(F.array_distinct(_tokens(F.col("text")))) >= _MIN_TOKENS
+    )
+    band_width = _SIMHASH_BITS // _BANDS
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), b * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.bucket")
+    buckets = (
+        banded.groupBy("band_idx", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(hamming <= _HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+    )
+
+
+def _minhash_md5_signature(text: Column) -> Column:
+    """k=16 minhash over distinct 3-token shingles with md5 shingle
+    hashes and (a_k·h + b_k) mod 2^31-1 universal hashing — every step
+    reproducible in DuckDB SQL. One fold pass; md5 once per shingle."""
+    toks = _tokens(text)
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    th = F.transform(F.array_distinct(shingles), _md5_32)
+
+    def _hash_vector(h: Column) -> Column:
+        return F.array(
+            *[
+                (h * (2 * k + 3) + (k * 1000003 + 7)) % _MINHASH_P
+                for k in range(_MINHASH_K)
+            ]
+        )
+
+    return F.aggregate(
+        th,
+        F.array(*[F.lit(_MINHASH_P).cast("long")] * _MINHASH_K),
+        lambda acc, h: F.zip_with(acc, _hash_vector(h), lambda a, b: F.least(a, b)),
+    )
+
+
+@register(
+    "dedup_minhash_md5_signatures",
+    "MinHash signature kernel with CROSS-ENGINE hashing (md5 shingle "
+    "hashes + universal hashing mod 2^31-1): the oracle reproduces the "
+    "full shingle→hash→min pipeline in DuckDB SQL and the value hash "
+    "pins every signature element. Companion to dedup_minhash_lsh "
+    "(whose crc32/SipHash kernels are faster but engine-specific, hence "
+    "rows-only). Top-100 docs by id keep the check O(100·shingles).",
+    oracle=f"""
+      SELECT doc_id,
+             list_transform(range(0, {_MINHASH_K}), k ->
+               coalesce(list_min(list_transform(th, h ->
+                 (h * (2*k + 3) + (k * 1000003 + 7)) % {_MINHASH_P})),
+                 {_MINHASH_P})) AS minhash_sig
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 list_distinct(
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1), i ->
+                               concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                        ELSE [array_to_string(toks, ' ')] END),
+                 s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS th
+        FROM (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents
+          ORDER BY doc_id LIMIT 100) t
+      ) x
+      ORDER BY doc_id
+    """,
+)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.orderBy("doc_id")
+        .limit(100)
+        .select(
+            "doc_id", _minhash_md5_signature(F.col("text")).alias("minhash_sig")
+        )
+        .orderBy("doc_id")
+    )

@@ -197,8 +197,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MinHash + LSH banding near-dup candidates over word shingles "
     "(training-data dedup at 100 TB: shingle → k minhashes via seeded "
     "murmur3 → band buckets → bucket equi-join → exact-Jaccard verify). "
-    "Rows-only: murmur3 isn't reproducible in the oracle; candidate "
-    "completeness vs exact Jaccard is pinned in tests/test_dedup.py.",
+    "Rows-only: the fast SipHash/crc32 kernels aren't reproducible in "
+    "the oracle; candidate completeness vs exact Jaccard is pinned in "
+    "tests, and the full kernel itself is oracle-checked cross-engine "
+    "by the md5 twin dedup_minhash_md5_signatures (hash_parity.py).",
     tags=("rows-only",),
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,7 +218,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-token murmur3 bit-voting, grouped by signature band for "
     "candidate generation. Arrow-batched pandas UDF computes the bit "
     "votes (numpy-vectorized); everything else stays DataFrame ops. "
-    "Rows-only (engine-specific hashing).",
+    "Rows-only (engine-specific hashing); the md5 twin "
+    "dedup_simhash_hamming_pairs (hash_parity.py) oracle-checks the "
+    "simhash+banding pipeline end-to-end cross-engine.",
     tags=("rows-only",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
