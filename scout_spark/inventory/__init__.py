@@ -57,6 +57,7 @@ def load_all() -> dict[str, Item]:
         text_ops,
         vector_ops,
         hash_parity,
+        trainprep,
     )
 
     return REGISTRY

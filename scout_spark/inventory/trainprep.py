@@ -1,0 +1,178 @@
+"""Training-data prep operators named in the build brief that were not
+yet first-class inventory rows: BPE-ish token counting, rolling-hash
+document fingerprinting (winnowing), and the multimodal decode pipeline
+surfaced as a driver-checkable entry.
+
+Token/fingerprint queries are fully oracle-expressible: ASCII regex
+classes behave identically in Java and DuckDB RE2, and gram hashes use
+the md5-prefix trick shared with hash_parity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scout_spark.inventory import register
+from scout_spark.inventory.core import _t
+from scout_spark.inventory.hash_parity import _md5_32
+
+# GPT-2-style pretokenizer, ASCII-restricted so both regex dialects
+# agree: contraction suffix | space?+letters | space?+digits |
+# space?+other-punct-run. Applied to lowercased text.
+_BPE_PATTERN = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+_BPE_SQL = _BPE_PATTERN.replace("'", "''")  # SQL string-literal escaping
+
+_GRAM_K = 8  # char-gram width for winnowing
+_WIN_W = 4  # winnowing window (fingerprint = min gram hash per window)
+_FP_DOCS = 50  # cap the fingerprint check (arrays grow with text length)
+
+
+@register(
+    "text_token_count_bpe",
+    "Token counting two ways (build brief: 'whitespace + a BPE-ish "
+    "regex'): whitespace tokens vs a GPT-2-style ASCII pretokenizer "
+    "(contractions / letter runs / digit runs / punctuation runs), plus "
+    "chars-per-BPE-token — the length statistic an LLM data pipeline "
+    "budgets by. Pure-Column regexp_extract_all, codegen-able, "
+    "identical RE2/Java semantics by construction (ASCII classes only).",
+    oracle=f"""
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens_ws,
+             len(regexp_extract_all(lower(text),
+                 '{_BPE_SQL}')) AS n_tokens_bpe,
+             round(CASE WHEN len(regexp_extract_all(lower(text),
+                                 '{_BPE_SQL}')) = 0 THEN NULL
+                        ELSE length(text)::DOUBLE /
+                             len(regexp_extract_all(lower(text),
+                                 '{_BPE_SQL}'))
+                   END, 4) AS chars_per_token
+      FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    bpe = F.regexp_extract_all(lower, F.lit(_BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(lower, F.lit("[a-z0-9]+"), 0)).alias(
+            "n_tokens_ws"
+        ),
+        F.size(bpe).alias("n_tokens_bpe"),
+        F.round(
+            F.try_divide(F.length("text").cast("double"), F.size(bpe)), 4
+        ).alias("chars_per_token"),
+    )
+
+
+def _winnow_fingerprints(text: Column) -> Column:
+    """Winnowing (Schleimer et al., SIGMOD'03): hash all ``_GRAM_K``-char
+    grams of the canonicalized text, keep the min hash of each
+    ``_WIN_W``-gram window, distinct+sort. Guarantees any shared
+    substring of length ≥ _GRAM_K+_WIN_W-1 yields a shared fingerprint —
+    the standard plagiarism/dup-detection structure, here as pure
+    Column expressions reproduced verbatim in the DuckDB oracle."""
+    t = F.array_join(
+        F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0), " "
+    )
+    n = F.length(t)
+    grams = F.when(
+        n >= _GRAM_K,
+        F.transform(
+            F.sequence(F.lit(1), n - _GRAM_K + 1),
+            lambda i: _md5_32(t.substr(i, F.lit(_GRAM_K))),
+        ),
+    ).otherwise(F.array(_md5_32(t)))
+    ng = F.size(grams)
+    mins = F.when(
+        ng >= _WIN_W,
+        F.transform(
+            F.sequence(F.lit(1), ng - _WIN_W + 1),
+            lambda j: F.array_min(F.slice(grams, j, _WIN_W)),
+        ),
+    ).otherwise(F.array(F.array_min(grams)))
+    return F.array_sort(F.array_distinct(mins))
+
+
+@register(
+    "text_fingerprint_winnowing",
+    "Rolling-hash document fingerprinting (build brief row): winnowing "
+    "— min md5-gram-hash per sliding window over canonicalized text, "
+    "distinct fingerprint set per doc. The oracle reproduces gram "
+    "hashing and window minima element-for-element in DuckDB SQL, so "
+    "the value hash pins the whole kernel. First 50 docs by id (array "
+    "payload grows with text length).",
+    oracle=f"""
+      SELECT doc_id,
+             list_sort(list_distinct(
+               CASE WHEN len(grams) >= {_WIN_W}
+                    THEN list_transform(range(1, len(grams) - {_WIN_W} + 2), j ->
+                           list_min(list_transform(range(0, {_WIN_W}), x ->
+                             grams[j + x])))
+                    ELSE [list_min(grams)] END)) AS fingerprints,
+             len(grams) AS n_grams
+      FROM (
+        SELECT doc_id,
+               CASE WHEN length(t) >= {_GRAM_K}
+                    THEN list_transform(range(1, length(t) - {_GRAM_K} + 2), i ->
+                           ('0x' || substr(md5(substr(t, i, {_GRAM_K})), 1, 8))::BIGINT)
+                    ELSE [('0x' || substr(md5(t), 1, 8))::BIGINT] END AS grams
+        FROM (
+          SELECT doc_id,
+                 array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                 ' ') AS t
+          FROM documents ORDER BY doc_id LIMIT {_FP_DOCS}) x
+      ) g
+      ORDER BY doc_id
+    """,
+)
+def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.array_join(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0), " "
+    )
+    n_grams = F.when(
+        F.length(t) >= _GRAM_K, F.length(t) - _GRAM_K + 1
+    ).otherwise(F.lit(1))
+    return (
+        d.orderBy("doc_id")
+        .limit(_FP_DOCS)
+        .select(
+            "doc_id",
+            _winnow_fingerprints(F.col("text")).alias("fingerprints"),
+            n_grams.cast("long").alias("n_grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_decode_stats",
+    "Multimodal pipeline surfaced to the driver: documents' text bytes "
+    "packed as opaque binary blobs (the production path ingests real "
+    "media bytes), decoded via the Arrow mapInPandas stage "
+    "(operators/multimodal.py — deterministic fake codec, REAL batch "
+    "iteration/schema/explode plumbing), then per-channel-count "
+    "aggregate stats. Rows-only: sha-derived fake dimensions aren't "
+    "oracle-expressible; ground truth pinned in tests/test_multimodal.py.",
+    tags=("rows-only",),
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.multimodal import decode_media, pack_blobs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"), "lang"
+    )
+    blobs = pack_blobs(d, "doc_id", "payload", kind="image", source_col="lang")
+    decoded = decode_media(blobs)
+    return (
+        decoded.groupBy("channels")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg("width"), 4).alias("avg_width"),
+            F.round(F.avg("height"), 4).alias("avg_height"),
+            F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+        )
+        .orderBy("channels")
+    )

@@ -66,3 +66,37 @@ def test_resize_stub_raises(blobs):
     with pytest.raises(Exception) as exc:
         resize_stub(blobs).collect()
     assert "NotImplementedError" in str(exc.value) or "image codec" in str(exc.value)
+
+
+def test_multimodal_decode_stats_entry_ground_truth(spark):
+    """Driver entry multimodal_decode_stats vs a pandas+hashlib replica
+    of the fake codec over the same sf0.001 documents."""
+    import hashlib
+
+    import pandas as pd
+
+    from scout_spark.inventory import load_all
+
+    reg = load_all()
+    got = {
+        r["channels"]: (r["n_media"], r["avg_width"], r["avg_bytes"])
+        for r in reg["multimodal_decode_stats"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = []
+    for _, r in pdf.iterrows():
+        payload = (r["text"] or "").encode("utf-8")
+        d = hashlib.sha256(payload).digest()
+        rows.append((1 + d[2] % 4, 16 + d[0] % 240, len(payload)))
+    exp = pd.DataFrame(rows, columns=["channels", "width", "n_bytes"])
+    expected = {
+        int(ch): (
+            int(g.shape[0]),
+            round(float(g["width"].mean()), 4),
+            round(float(g["n_bytes"].mean()), 4),
+        )
+        for ch, g in exp.groupby("channels")
+    }
+    assert got == expected
