@@ -58,6 +58,7 @@ def load_all() -> dict[str, Item]:
         vector_ops,
         hash_parity,
         trainprep,
+        quality_ops,
     )
 
     return REGISTRY

@@ -1,0 +1,319 @@
+"""Training-data curation operators beyond the reference's surface
+(build brief: first-class pipeline components): Gopher-style repetition
+quality signals, C4-style PII redaction, DSIR-flavored importance
+sampling, and concat-then-chunk sequence packing.
+
+All four are fully oracle-expressible: ASCII regex classes behave
+identically in Java and DuckDB RE2; deterministic randomness uses the
+md5-prefix trick shared with hash_parity.py; packing uses integer ROWS
+window sums (exact, no FP-order hazard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scout_spark.inventory import register
+from scout_spark.inventory.core import _t
+from scout_spark.inventory.hash_parity import _md5_32
+
+_TOK = "[a-z0-9]+"
+
+# C4/CCNet-style scrub patterns, ASCII-restricted so Java and RE2
+# dialects agree byte-for-byte. Applied email -> phone -> ip on the
+# running result; counts are taken on the original text.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+_PACK_CAPACITY = 2048  # tokens per training sequence
+_PACK_SHARDS = 16
+
+_IMP_TARGET = ("spark", "stream", "query", "vector", "join")
+
+
+@register(
+    "quality_repetition_signals",
+    "Gopher-style repetition quality signals (Rae et al. 2021, §A1.1): "
+    "distinct-token ratio, most-frequent-bigram fraction, and the "
+    "fraction of bigram occurrences that are repeats. Spark side is the "
+    "canonical distributed shape — explode bigrams, two-level groupBy "
+    "with map-side partial agg (no per-row O(n²) HOF work, per "
+    "CLAUDE.md perf rules); scale-safe at 100 TB because the shuffle "
+    "key is doc_id.",
+    oracle=f"""
+      WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS toks
+        FROM documents
+      ),
+      ts AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct, toks
+        FROM t
+      ),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM ts WHERE len(toks) >= 2
+      ),
+      bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      bs AS (
+        SELECT doc_id, max(c) AS max_c, sum(c) AS total,
+               coalesce(sum(c) FILTER (c > 1), 0) AS rep
+        FROM bc GROUP BY 1
+      )
+      SELECT ts.doc_id, n_tokens,
+             round(n_distinct::DOUBLE / nullif(n_tokens, 0), 6)
+               AS distinct_ratio,
+             round(max_c::DOUBLE / total, 6) AS top_bigram_frac,
+             round(rep::DOUBLE / total, 6) AS repeated_bigram_frac
+      FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+    """,
+)
+def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
+    base = d.select("doc_id", toks.alias("toks"))
+    tok_stats = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    # guard: F.sequence(1, 0) would generate a DESCENDING [1, 0]
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+            ),
+        ),
+    )
+    bg_counts = (
+        base.where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_stats = bg_counts.groupBy("doc_id").agg(
+        F.max("c").alias("max_c"),
+        F.sum("c").alias("total"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)).alias(
+            "rep"
+        ),
+    )
+    return tok_stats.join(bg_stats, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.try_divide(F.col("n_distinct").cast("double"), F.col("n_tokens")),
+            6,
+        ).alias("distinct_ratio"),
+        F.round(
+            F.try_divide(F.col("max_c").cast("double"), F.col("total")), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.try_divide(F.col("rep").cast("double"), F.col("total")), 6
+        ).alias("repeated_bigram_frac"),
+    )
+
+
+def _pii_sql(expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({expr}, "
+        f"'{_PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{_PII_PHONE}', '<PHONE>', 'g'), "
+        f"'{_PII_IP}', '<IP>', 'g')"
+    )
+
+
+@register(
+    "pii_redaction_scrub",
+    "C4/CCNet-style PII scrub (email / phone / IPv4 redaction with "
+    "per-kind counts). The synthetic corpus carries no PII, so the "
+    "fixture deterministically injects addresses derived from doc_id "
+    "into a subset of docs — the operator under test is the scrub "
+    "kernel (sequential regexp_replace passes + count extraction), "
+    "identical ASCII patterns on both engines. First 200 docs by id.",
+    oracle=f"""
+      WITH w AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END ||
+               CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.1.42' ELSE '' END
+                 AS raw
+        FROM documents ORDER BY doc_id LIMIT 200
+      )
+      SELECT doc_id,
+             len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(raw, '{_PII_PHONE}')) AS n_phones,
+             len(regexp_extract_all(raw, '{_PII_IP}')) AS n_ips,
+             {_pii_sql('raw')} AS scrubbed
+      FROM w ORDER BY doc_id
+    """,
+)
+def pii_redaction_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-123-4567")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" from 192.168.1.42")).otherwise(
+            F.lit("")
+        ),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return (
+        d.orderBy("doc_id")
+        .limit(200)
+        .select("doc_id", raw.alias("raw"))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("raw", F.lit(_PII_EMAIL), 0)).alias(
+                "n_emails"
+            ),
+            F.size(F.regexp_extract_all("raw", F.lit(_PII_PHONE), 0)).alias(
+                "n_phones"
+            ),
+            F.size(F.regexp_extract_all("raw", F.lit(_PII_IP), 0)).alias(
+                "n_ips"
+            ),
+            scrubbed.alias("scrubbed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_importance_weighted",
+    "DSIR-flavored importance sampling (Xie et al. 2023): per-doc "
+    "acceptance probability from target-vocabulary token overlap, "
+    "accepted via a deterministic md5-uniform draw — row-local, no "
+    "shuffle to assign, exactly reproducible across engines and at any "
+    "cluster size (no RNG state, unlike sample()/rand()).",
+    oracle=f"""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '{_TOK}') AS toks,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':imp'), 1, 8))::BIGINT
+                 AS draw
+        FROM documents
+      ),
+      s AS (
+        SELECT doc_id, draw, len(toks) AS n_tokens,
+               len(list_filter(toks, x -> x IN {repr(tuple(_IMP_TARGET))}))
+                 AS n_target
+        FROM t
+      )
+      SELECT doc_id,
+             round(least(1.0, 0.1 + 2.0 * (n_target::DOUBLE
+                                           / nullif(n_tokens, 0))), 6) AS p,
+             n_target, n_tokens
+      FROM s
+      WHERE draw / 4294967296.0
+            < least(1.0, 0.1 + 2.0 * (n_target::DOUBLE / nullif(n_tokens, 0)))
+    """,
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
+    target = F.array(*[F.lit(t) for t in _IMP_TARGET])
+
+    def _in_target(x):
+        return F.array_contains(target, x)
+
+    s = d.select(
+        "doc_id",
+        _md5_32(F.concat(F.col("doc_id").cast("string"), F.lit(":imp"))).alias(
+            "draw"
+        ),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, _in_target)).alias("n_target"),
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(0.1)
+        + F.lit(2.0)
+        * F.try_divide(F.col("n_target").cast("double"), F.col("n_tokens")),
+    )
+    return s.where(F.col("draw") / F.lit(4294967296.0) < p).select(
+        "doc_id", F.round(p, 6).alias("p"), "n_target", "n_tokens"
+    )
+
+
+@register(
+    "pack_chunks_training",
+    "Concat-then-chunk sequence packing for LLM training: docs stream "
+    "in deterministic (lang, shard, doc_id) order, token counts "
+    "accumulate, and each doc lands at (chunk_id, tok_offset) in "
+    f"{_PACK_CAPACITY}-token training sequences. The md5 shard key "
+    f"({_PACK_SHARDS} shards per lang) keeps the window partitions "
+    "bounded at 100 TB — a per-lang global cumsum would be a "
+    "single-partition sort. Integer ROWS-frame sums: exact, no FP-order "
+    "hazard.",
+    oracle=f"""
+      WITH t AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                 % {_PACK_SHARDS} AS shard,
+               len(regexp_extract_all(lower(text), '{_TOK}')) AS n_tok
+        FROM documents
+      )
+      SELECT doc_id, lang, shard, n_tok,
+             coalesce(sum(n_tok) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_PACK_CAPACITY} AS chunk_id,
+             coalesce(sum(n_tok) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               % {_PACK_CAPACITY} AS tok_offset
+      FROM t
+    """,
+)
+def pack_chunks_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
+    t = d.select(
+        "doc_id",
+        "lang",
+        (_md5_32(F.col("doc_id").cast("string")) % _PACK_SHARDS).alias("shard"),
+        F.size(toks).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tok",
+        F.floor(cum_before / _PACK_CAPACITY).alias("chunk_id"),
+        (cum_before % _PACK_CAPACITY).alias("tok_offset"),
+    )

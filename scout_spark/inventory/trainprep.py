@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from scout_spark.inventory import register
 from scout_spark.inventory.core import _t
 from scout_spark.inventory.hash_parity import _md5_32
+from scout_spark.inventory.text_ops import _tokens_sql as _tokens_sql_cc
 
 # GPT-2-style pretokenizer, ASCII-restricted so both regex dialects
 # agree: contraction suffix | space?+letters | space?+digits |
@@ -145,6 +146,59 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_groups_connected_components",
+    "Transitive dedup groups with a HARD oracle: the driver-green "
+    "blocked-Jaccard near-dup pairs closed under connectivity — Spark "
+    "side via iterative min-label propagation (operators/dedup.py::"
+    "connected_components, the scalable 100 TB formulation), oracle side "
+    "via a DuckDB recursive-CTE transitive closure over the identical "
+    "pair set. Output (id, component, keeper, is_duplicate) with "
+    "component = min reachable id, so both formulations provably agree.",
+    oracle=f"""
+      WITH RECURSIVE d AS (
+        SELECT doc_id, lang, n_chars // 50 AS bkt,
+               list_distinct({_tokens_sql_cc("text")}) AS toks
+        FROM documents
+      ),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+              >= 0.8
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+      )
+      SELECT id, min(r) AS component, min(r) AS keeper,
+             id <> min(r) AS is_duplicate
+      FROM reach GROUP BY id
+    """,
+)
+def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.inventory.text_ops import _tokens_col
+    from scout_spark.operators.dedup import dedup_groups, jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        d,
+        "doc_id",
+        _tokens_col(F.col("text")),
+        {"lang": F.col("lang"), "bkt": (F.col("n_chars") / 50).cast("long")},
+        0.8,
+    )
+    return dedup_groups(pairs)
 
 
 @register(
