@@ -59,6 +59,7 @@ def load_all() -> dict[str, Item]:
         hash_parity,
         trainprep,
         quality_ops,
+        ingest_ops,
     )
 
     return REGISTRY

