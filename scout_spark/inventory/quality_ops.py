@@ -317,3 +317,229 @@ def pack_chunks_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(cum_before / _PACK_CAPACITY).alias("chunk_id"),
         (cum_before % _PACK_CAPACITY).alias("tok_offset"),
     )
+
+
+_SPAN = 10  # tokens per dedup span (C4 dedupes three-sentence spans)
+
+
+@register(
+    "dedup_span_exact_c4",
+    "C4-style span-level exact dedup (Raffel et al. 2020 §2.2, adapted "
+    f"to {_SPAN}-token spans since the corpus has no sentence "
+    "boundaries): each doc splits into consecutive token spans, every "
+    "span's corpus-wide first occurrence wins (min of doc_id*100000+idx "
+    "— deterministic, engine-independent), and surviving spans are "
+    "reassembled in document order. One shuffle keyed on span text with "
+    "map-side combine for the winner min; at 100 TB the groupBy key "
+    "would be xxhash64(span) with span text kept only on the probe "
+    "side. Docs whose every span is a repeat survive with empty text — "
+    "the row set is all non-empty docs on both engines.",
+    oracle=f"""
+      WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS toks
+        FROM documents
+      ),
+      ts AS (
+        SELECT doc_id, toks, ((len(toks) - 1) // {_SPAN}) + 1 AS n_spans
+        FROM t WHERE len(toks) > 0
+      ),
+      x AS (SELECT doc_id, toks, n_spans, unnest(range(0, n_spans)) AS idx FROM ts),
+      c AS (
+        SELECT doc_id, idx,
+               array_to_string(toks[(idx*{_SPAN}+1):(idx*{_SPAN}+{_SPAN})], ' ')
+                 AS span,
+               doc_id * 100000 + idx AS key
+        FROM x
+      ),
+      w AS (SELECT span, min(key) AS wkey FROM c GROUP BY span),
+      k AS (SELECT c.* FROM c JOIN w USING (span) WHERE key = wkey),
+      a AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(span, ' ' ORDER BY idx) AS kept_text
+        FROM k GROUP BY doc_id
+      )
+      SELECT ts.doc_id, n_spans, coalesce(n_kept, 0) AS n_kept,
+             coalesce(kept_text, '') AS kept_text
+      FROM ts LEFT JOIN a USING (doc_id)
+    """,
+)
+def dedup_span_exact_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0).alias(
+            "toks"
+        ),
+    ).where(F.size("toks") > 0)
+    ts = t.select(
+        "doc_id",
+        "toks",
+        (((F.size("toks") - 1).cast("long") / _SPAN).cast("long") + 1).alias(
+            "n_spans"
+        ),
+    )
+    spans = F.expr(
+        f"transform(sequence(0, cast(n_spans as int) - 1), "
+        f"i -> concat_ws(' ', slice(toks, i*{_SPAN}+1, {_SPAN})))"
+    )
+    c = ts.select(
+        "doc_id", "n_spans", F.posexplode(spans).alias("idx", "span")
+    ).withColumn("key", F.col("doc_id") * 100000 + F.col("idx"))
+    winners = c.groupBy("span").agg(F.min("key").alias("wkey"))
+    kept = c.join(winners, "span").where(F.col("key") == F.col("wkey"))
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span"))),
+                lambda s: s.span,
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return ts.select("doc_id", "n_spans").join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )
+
+
+# fastText-like linear quality filter: fixed public weights over cheap
+# lexical features (the shape of CCNet's / Gopher's model-based stage,
+# with a deterministic stand-in model since no trained weights ship
+# with the repo). Feature math is integer/ratio-exact; exp/ln agree
+# across engines well within the 6dp rounding.
+_QW = (-2.0, 3.0, 0.4, -6.0, 0.35)  # bias, distinct_ratio, mean_len, digit, ln_n
+
+
+@register(
+    "quality_model_score",
+    "Model-based quality scoring: logistic scorer over lexical features "
+    "(distinct-token ratio, mean token length, digit fraction, "
+    "log-length) — the CCNet/fastText-style filtering stage as pure "
+    "Column math (JVM codegen, no UDF). Weights are fixed constants; "
+    "score and keep-decision are reproducible on both engines.",
+    oracle=f"""
+      WITH t AS (
+        SELECT doc_id, text,
+               regexp_extract_all(lower(text), '{_TOK}') AS toks
+        FROM documents
+      ),
+      f AS (
+        SELECT doc_id,
+               len(list_distinct(toks))::DOUBLE / nullif(len(toks), 0)
+                 AS distinct_ratio,
+               list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+                 / nullif(len(toks), 0) AS mean_len,
+               len(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                 / nullif(len(text), 0) AS digit_frac,
+               ln(len(toks) + 1) AS ln_n
+        FROM t WHERE len(toks) > 0
+      )
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-({_QW[0]} + {_QW[1]} * distinct_ratio
+                   + {_QW[2]} * mean_len + {_QW[3]} * digit_frac
+                   + {_QW[4]} * ln_n))), 6) AS score,
+             round(distinct_ratio, 6) AS distinct_ratio,
+             round(mean_len, 6) AS mean_len
+      FROM f
+    """,
+)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
+    t = d.select("doc_id", "text", toks.alias("toks")).where(
+        F.size("toks") > 0
+    )
+
+    def _len(x):
+        return F.length(x)
+
+    f = t.select(
+        "doc_id",
+        F.try_divide(
+            F.size(F.array_distinct("toks")).cast("double"), F.size("toks")
+        ).alias("distinct_ratio"),
+        F.try_divide(
+            F.aggregate(
+                F.transform(F.col("toks"), _len), F.lit(0), lambda a, x: a + x
+            ).cast("double"),
+            F.size("toks"),
+        ).alias("mean_len"),
+        F.try_divide(
+            F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double"),
+            F.length("text"),
+        ).alias("digit_frac"),
+        F.log(F.size("toks") + F.lit(1)).alias("ln_n"),
+    )
+    z = (
+        F.lit(_QW[0])
+        + F.lit(_QW[1]) * F.col("distinct_ratio")
+        + F.lit(_QW[2]) * F.col("mean_len")
+        + F.lit(_QW[3]) * F.col("digit_frac")
+        + F.lit(_QW[4]) * F.col("ln_n")
+    )
+    return f.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("mean_len", 6).alias("mean_len"),
+    )
+
+
+# target language mixture for rebalancing (sums to 1); 0.6 global
+# down-scale so at least one lang keeps p < 1 at every SF.
+_MIX_TARGET = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125, "zh": 0.125}
+
+
+@register(
+    "sample_mixture_rebalance",
+    "Dataset mixture rebalancing (The Pile / DoReMi-style): compute "
+    "each language's corpus share, derive a per-lang acceptance "
+    "probability p = min(1, 0.6 * target_share / actual_share), and "
+    "accept docs via the md5-deterministic draw. The lang-stats "
+    "aggregate is broadcast back onto the fact table (tiny dim — no "
+    "second full shuffle); draws are row-local so assignment is "
+    "embarrassingly parallel and replayable at any cluster size.",
+    oracle=f"""
+      WITH s AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+      ),
+      tot AS (SELECT sum(n) AS total FROM s),
+      p AS (
+        SELECT lang,
+               least(1.0, 0.6 * (CASE lang
+                   WHEN 'en' THEN 0.5 ELSE 0.125 END)
+                 / (n::DOUBLE / total)) AS p_accept
+        FROM s, tot
+      )
+      SELECT d.doc_id, d.lang, round(p.p_accept, 6) AS p_accept
+      FROM documents d JOIN p USING (lang)
+      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':mix'), 1, 8))::BIGINT
+            / 4294967296.0 < p.p_accept
+    """,
+)
+def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    total = stats.agg(F.sum("n").alias("total"))
+    target = F.when(F.col("lang") == "en", F.lit(0.5)).otherwise(F.lit(0.125))
+    p = (
+        stats.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.least(
+                F.lit(1.0),
+                F.lit(0.6)
+                * target
+                / (F.col("n").cast("double") / F.col("total")),
+            ).alias("p_accept"),
+        )
+    )
+    draw = _md5_32(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
+    return (
+        d.join(F.broadcast(p), "lang")
+        .where(draw / F.lit(4294967296.0) < F.col("p_accept"))
+        .select("doc_id", "lang", F.round("p_accept", 6).alias("p_accept"))
+    )
