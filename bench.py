@@ -47,7 +47,21 @@ HEADLINE = [
     "tpch_q9_product_profit",
     "tpch_q18_large_volume_customers",
     "tpch_q21_sole_faulty_supplier",
+    # round 2: span-level dedup and transitive dedup groups — the two
+    # curation kernels where the distributed formulation also wins
+    # single-node (DuckDB sf0.1: 0.52s and ~70s — the recursive-CTE
+    # transitive closure is quadratic in path count; iterative
+    # min-label propagation is the 100 TB shape AND 6× faster here).
+    "dedup_span_exact_c4",
+    "dedup_groups_connected_components",
 ]
+
+# Iterative queries EXECUTE during plan construction (connected
+# components runs its propagation loop and localCheckpoints each
+# round), so prepared-plan re-execution would time only the final
+# checkpoint scan. These are timed END-TO-END — fresh construction +
+# execution per pass — so the headline reflects the real work.
+E2E_REBUILD = {"dedup_groups_connected_components"}
 
 
 def main() -> None:
@@ -85,13 +99,16 @@ def main() -> None:
     handles: dict[str, object] = {}
     t0 = time.time()
     for name in HEADLINE:
-        handles[name] = registry[name].spark(spark, sf_dir)
+        if name not in E2E_REBUILD:
+            handles[name] = registry[name].spark(spark, sf_dir)
     build_sec = round(time.time() - t0, 3)
 
     # JMH-style warm-up: one untimed execution per query amortizes JVM/
     # codegen compilation and parquet footer reads, so timings reflect
     # steady-state execution (what matters at 100 TB), not cold-start.
     for name in HEADLINE:
+        if name in E2E_REBUILD:
+            handles[name] = registry[name].spark(spark, sf_dir)
         handles[name].write.format("noop").mode("overwrite").save()
 
     # Headline: per-query steady-state SEQUENTIAL latency — median of 3
@@ -104,6 +121,8 @@ def main() -> None:
         runs = []
         for _ in range(3):
             t0 = time.time()
+            if name in E2E_REBUILD:
+                handles[name] = registry[name].spark(spark, sf_dir)
             handles[name].write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         timings[name] = round(sorted(runs)[1], 3)

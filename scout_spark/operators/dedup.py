@@ -312,10 +312,14 @@ def connected_components(
     formulation for Spark; GraphX/GraphFrames are not available in
     pure-PySpark deployments.)
     """
+    # hash-partition edges on the probe key once: localCheckpoint keeps
+    # the partitioning, so the per-iteration join skips the edges-side
+    # Exchange (only labels and the dst-agg shuffle per round).
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .repartition("src")
         .localCheckpoint()
     )
     labels = (
@@ -330,6 +334,9 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("_nmin"))
         )
+        # convergence flag rides along in the same materialization:
+        # checking it afterwards is a cheap scan of the checkpointed
+        # blocks, not a second join job per round.
         new_labels = (
             labels.join(neighbor_min, "id", "left")
             .select(
@@ -337,17 +344,15 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce(F.col("_nmin"), F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     else:
