@@ -399,14 +399,26 @@ def read_relations(spark: SparkSession, path: str) -> DataFrame:
     return _read_entities(spark, path, 2, REL_SCHEMA)
 
 
+def _geo_aggs():
+    return (
+        F.avg("lat").alias("lat"),
+        F.avg("lon").alias("lon"),
+        F.min("lon").alias("minx"),
+        F.min("lat").alias("miny"),
+        F.max("lon").alias("maxx"),
+        F.max("lat").alias("maxy"),
+    )
+
+
 def way_centroids(nodes: DataFrame, ways: DataFrame) -> DataFrame:
-    """(way id, centroid lat/lon, tags) via refs-explode + node join.
+    """(way id, centroid lat/lon, bbox, tags) via refs-explode + node
+    join.
 
     Distributed analogue of the reference's ST_Centroid at ingest
     (001_pois.sql:30-31): shuffle key is the node id (both sides
-    already hash-partition on it), mean is an exact avg over the way's
-    member nodes. Closed ways (first ref == last ref) drop the repeated
-    vertex so it isn't double-weighted.
+    already hash-partition on it), mean/min/max are exact aggregates
+    over the way's member nodes. Closed ways (first ref == last ref)
+    drop the repeated vertex so it isn't double-weighted.
     """
     refs = ways.select(
         F.col("id").alias("way_id"),
@@ -422,28 +434,75 @@ def way_centroids(nodes: DataFrame, ways: DataFrame) -> DataFrame:
     return (
         refs.join(nodes.select("id", "lat", "lon"), "id")
         .groupBy("way_id", "tags")
-        .agg(F.avg("lat").alias("lat"), F.avg("lon").alias("lon"))
-        .select(F.col("way_id").alias("id"), "lat", "lon", "tags")
+        .agg(*_geo_aggs())
+        .select(F.col("way_id").alias("id"), "lat", "lon", "minx", "miny",
+                "maxx", "maxy", "tags")
+    )
+
+
+def relation_features(
+    nodes: DataFrame, ways: DataFrame, relations: DataFrame
+) -> DataFrame:
+    """(relation id, centroid, bbox, tags) from member geometry.
+
+    Admin boundaries live on relations; their extent is the min/max
+    over every member node — node members directly, way members
+    through the way's refs. Two hash joins on node id, one aggregate:
+    no geometry library needed for the bbox+centroid reduction the
+    gazetteer consumes (reference gets these from QuackOSM's
+    ST_Envelope/ST_Centroid columns)."""
+    m = relations.select(
+        F.col("id").alias("rel_id"), "tags", F.explode("members").alias("m")
+    )
+    node_refs = m.where(F.col("m.member_type") == "node").select(
+        "rel_id", "tags", F.col("m.ref").alias("id")
+    )
+    way_refs = (
+        m.where(F.col("m.member_type") == "way")
+        .select("rel_id", "tags", F.col("m.ref").alias("way_id"))
+        .join(
+            ways.select(F.col("id").alias("way_id"), F.explode("refs").alias("id")),
+            "way_id",
+        )
+        .select("rel_id", "tags", "id")
+    )
+    coords = node_refs.unionByName(way_refs).join(
+        nodes.select("id", "lat", "lon"), "id"
+    )
+    return coords.groupBy("rel_id", "tags").agg(*_geo_aggs()).select(
+        F.col("rel_id").alias("id"), "lat", "lon", "minx", "miny", "maxx",
+        "maxy", "tags"
     )
 
 
 def pbf_features(spark: SparkSession, path: str) -> DataFrame:
     """QuackOSM-like feature table from a raw PBF: ``feature_id``
-    ("node/123" / "way/45"), centroid lat/lon, tags map. Drop-in input
-    for :func:`scout_spark.etl.gazetteer.build_gazetteer` via the
-    existing feature_id/lat/lon source binding."""
+    ("node/123" / "way/45" / "relation/7"), centroid lat/lon, bbox
+    (zero-area for point features), tags map. Drop-in input for
+    :func:`scout_spark.etl.gazetteer.build_gazetteer` via the existing
+    feature_id/lat/lon source binding; bbox columns feed build_admin."""
+
+    def _fid(kind: str):
+        return F.concat(F.lit(kind + "/"), F.col("id").cast("string")).alias(
+            "feature_id"
+        )
+
     nodes = read_nodes(spark, path)
     ways = read_ways(spark, path)
+    rels = read_relations(spark, path)
     tagged_nodes = nodes.where(F.size(F.map_keys("tags")) > 0).select(
-        F.concat(F.lit("node/"), F.col("id").cast("string")).alias("feature_id"),
+        _fid("node"),
         "lat",
         "lon",
+        F.col("lon").alias("minx"),
+        F.col("lat").alias("miny"),
+        F.col("lon").alias("maxx"),
+        F.col("lat").alias("maxy"),
         "tags",
     )
-    way_feats = way_centroids(nodes, ways).select(
-        F.concat(F.lit("way/"), F.col("id").cast("string")).alias("feature_id"),
-        "lat",
-        "lon",
-        "tags",
-    )
-    return tagged_nodes.unionByName(way_feats)
+    cols = ["feature_id", "lat", "lon", "minx", "miny", "maxx", "maxy", "tags"]
+    way_feats = way_centroids(nodes, ways).select(_fid("way"), *cols[1:])
+    rel_feats = relation_features(nodes, ways, rels).where(
+        F.size(F.map_keys("tags")) > 0
+    ).select(_fid("relation"), *cols[1:])
+    return tagged_nodes.unionByName(way_feats).unionByName(rel_feats)

@@ -30,7 +30,8 @@ RELS = [
     (
         500,
         [("node", "admin_centre", 1), ("way", "outer", 100)],
-        {"type": "boundary", "name": "Testshire"},
+        {"type": "boundary", "boundary": "administrative",
+         "admin_level": "6", "name": "Testshire"},
     )
 ]
 
@@ -105,7 +106,13 @@ def test_pbf_features_shape(spark, pbf_path):
     feats = osmpbf.pbf_features(spark, pbf_path)
     got = {r["feature_id"]: r for r in feats.collect()}
     # only tagged nodes become features; all ways do
-    assert set(got) == {"node/1", "node/9000000001", "way/100", "way/101"}
+    assert set(got) == {"node/1", "node/9000000001", "way/100", "way/101",
+                       "relation/500"}
+    r = got["relation/500"]  # bbox over node 1 + way 100's nodes (2,3,4)
+    assert r["minx"] == pytest.approx(-0.1300, abs=1e-7)
+    assert r["maxx"] == pytest.approx(-0.1278, abs=1e-7)
+    assert r["miny"] == pytest.approx(51.5074, abs=1e-7)
+    assert r["maxy"] == pytest.approx(51.5100, abs=1e-7)
     assert dict(got["node/1"]["tags"])["amenity"] == "townhall"
 
 
@@ -118,3 +125,29 @@ def test_pbf_to_gazetteer_end_to_end(spark, pbf_path, tmp_path):
     names = {r["name_local"] for r in pois.collect()}
     assert {"London", "Sydney", "Test St Bakery"} <= names
     assert not any("building" in (n or "") for n in names)  # way 101 filtered
+    from scout_spark.etl.gazetteer import build_admin
+    admin = build_admin(feats).collect()
+    assert [r["name_local"] for r in admin] == ["Testshire"]
+    assert admin[0]["admin_level"] == 6
+    assert admin[0]["minx"] == pytest.approx(-0.1300, abs=1e-7)
+
+
+def test_build_gazetteer_cli(spark, pbf_path, tmp_path):
+    """scripts/build_gazetteer.py: PBF input + bbox + tag filter."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "build_cli", "scripts/build_gazetteer.py"
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    out = str(tmp_path / "gaz")
+    # bbox covering only London; require the amenity tag
+    args = cli.parse_args(
+        [pbf_path, "--out", out, "--overwrite", "--bbox=-1,51,0,52",
+         "--require-tag", "amenity"]
+    )
+    paths = cli.build(args)
+    pois = spark.read.parquet(paths["pois"])
+    names = [r["name_local"] for r in pois.collect()]
+    assert names == ["London"]  # Sydney outside bbox; bakery lacks amenity
