@@ -76,7 +76,31 @@ _ROUND_1 = {
     "sql_parameterized_query",
 }
 
-CHECKED_PRIOR_ROUNDS: frozenset[str] = frozenset(_ROUND_1)
+def _driver_recorded_names() -> frozenset[str]:
+    """Union of keys across every CORRECTNESS_r*.json the driver has
+    written to the repo root — self-maintaining across rounds (the
+    hardcoded round-1 set remains as a fallback for environments where
+    the records are absent)."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    names: set[str] = set(_ROUND_1)
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            if isinstance(rec, dict):
+                names.update(k for k in rec if isinstance(k, str))
+        except (OSError, ValueError):
+            continue
+    return frozenset(names)
+
+
+CHECKED_PRIOR_ROUNDS: frozenset[str] = _driver_recorded_names()
 
 
 def rotation_key(name: str, has_oracle: bool, reg_index: int):
