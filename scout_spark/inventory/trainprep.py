@@ -230,3 +230,45 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channels")
     )
+
+
+@register(
+    "dedup_minhash_incremental_probe",
+    "Incremental near-dup lookup: a prebuilt MinHash-LSH band index "
+    "(operators/dedup.py::minhash_index_build — built once per corpus "
+    "version, cached per sf_dir) probed with a deterministic synthetic "
+    "batch (every 20th doc with its first token dropped — a near-copy "
+    "that must hit, plus doc_id-salted novel text that must miss). "
+    "Probe touches index parquet + batch only; corpus text is never "
+    "re-read. Rows-only by design (banding/signature kernels are not "
+    "SQL-expressible); ground truth pinned by "
+    "tests/test_operators.py::test_minhash_index_probe_incremental.",
+)
+def dedup_minhash_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from scout_spark.operators.dedup import minhash_index_build, minhash_probe
+
+    d = _t(spark, sf_dir, "documents")
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"scout_mh_index_{key}")
+    if not os.path.exists(os.path.join(idx, "bands")):
+        minhash_index_build(d, idx, id_col="doc_id", text_col="text")
+    near = d.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        # drop the first token: a high-Jaccard near-copy
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    novel = d.where(F.col("doc_id") % 20 == 7).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("novel"), F.col("doc_id").cast("string"),
+            F.lit(" isolated vocabulary payload"),
+        ).alias("text"),
+    )
+    hits = minhash_probe(
+        spark, idx, near.unionByName(novel), id_col="doc_id", text_col="text"
+    )
+    return hits.orderBy("batch_id", "corpus_id")

@@ -13,6 +13,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -444,4 +446,134 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .alias(f"band{b}")
             for b in range(4)
         ],
+    )
+
+
+def minhash_index_build(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> None:
+    """Materialize the MinHash-LSH band index for INCREMENTAL dedup.
+
+    ``minhash_lsh_pairs`` answers "find all near-dup pairs inside one
+    corpus"; a training pipeline's steady state is the other question —
+    "is anything in today's batch a near-dup of the corpus?" — and must
+    not re-shingle 100 TB per batch. This writes, once per corpus
+    version:
+
+    - ``{index_path}/bands``: (band_idx, bucket, id) sorted by
+      (band_idx, bucket) so a probe's bucket lookups prune on parquet
+      row-group min/max stats;
+    - ``{index_path}/signatures``: (id, mh) for estimator-based verify
+      without touching corpus text.
+
+    The same (signature → band → bucket) kernel as minhash_lsh_pairs,
+    so index and one-shot paths agree.
+    """
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError("num_hashes must be a positive multiple of bands")
+    rows_per_band = num_hashes // bands
+    from scout_spark.sources.writers import write_parquet_sorted
+
+    sig_udf = _minhash_signature_udf(num_hashes, shingle_k)
+    sig = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("mh"))
+    )
+    sig.write.mode("overwrite").parquet(os.path.join(index_path, "signatures"))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.hash(
+                            F.slice(F.col("mh"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("band.band_idx", "band.bucket", "id")
+    write_parquet_sorted(
+        banded,
+        os.path.join(index_path, "bands"),
+        sort_cols=["band_idx", "bucket"],
+    )
+
+
+def minhash_probe(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """New-batch near-dup lookup against a prebuilt MinHash index →
+    (batch_id, corpus_id, est_jaccard).
+
+    The batch (small) is signed with the same kernel, its band buckets
+    are joined against the index bands (broadcast of the batch side —
+    the corpus-side scan stays pruned and shuffle-free), and surviving
+    candidates are verified with the standard MinHash estimator
+    (fraction of agreeing signature positions) against the stored
+    corpus signatures — corpus TEXT is never read. Estimator, not exact
+    Jaccard: E[est] = j with sd ≈ sqrt(j(1-j)/num_hashes); callers
+    wanting exact verification join text for the returned candidate
+    ids only.
+    """
+    rows_per_band = num_hashes // bands
+    sig_udf = _minhash_signature_udf(num_hashes, shingle_k)
+    bsig = (
+        batch.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("batch_id"), sig_udf(F.col(text_col)).alias("bmh"))
+    )
+    bband = bsig.select(
+        "batch_id",
+        "bmh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.hash(
+                            F.slice(F.col("bmh"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("batch_id", "bmh", "band.band_idx", "band.bucket")
+    index_bands = spark.read.parquet(os.path.join(index_path, "bands"))
+    cands = (
+        index_bands.join(F.broadcast(bband), ["band_idx", "bucket"])
+        .select("batch_id", "bmh", F.col("id").alias("corpus_id"))
+        .distinct()
+    )
+    sigs = spark.read.parquet(os.path.join(index_path, "signatures"))
+    est = F.try_divide(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("bmh"), F.col("mh"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double"),
+        F.lit(num_hashes),
+    )
+    return (
+        cands.join(sigs, cands.corpus_id == sigs.id)
+        .select("batch_id", "corpus_id", F.round(est, 6).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
     )

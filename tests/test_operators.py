@@ -407,3 +407,31 @@ def test_minhash_empty_docs_not_marked_dups(spark):
     )
     pairs = minhash_lsh_pairs(df, "doc_id", "text", 16, 4, 0.5).collect()
     assert pairs == []
+
+
+# ------------------------------------------------- incremental MinHash index
+def test_minhash_index_probe_incremental(spark, docs_df, tmp_path):
+    """Build-once band index, probe a new batch: exact copy and
+    near-copy of corpus docs hit, novel text misses — corpus text never
+    re-read at probe time."""
+    from scout_spark.operators.dedup import minhash_index_build, minhash_probe
+
+    idx = str(tmp_path / "mh_index")
+    minhash_index_build(docs_df, idx, id_col="doc_id", text_col="text")
+    base = docs_df.where("doc_id = 0").collect()[0]["text"]
+    batch = spark.createDataFrame(
+        [
+            (100, base),  # exact copy of corpus doc 0
+            (101, base.replace("lazy dog", "lazy wolf")),  # near-copy
+            (102, "entirely novel sentence about volcanic geology and "
+                  "deep sea trenches with unique vocabulary"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = minhash_probe(spark, idx, batch, id_col="doc_id", text_col="text")
+    got = {(r["batch_id"], r["corpus_id"]): r["est_jaccard"] for r in hits.collect()}
+    assert got[(100, 0)] == 1.0  # identical signature
+    assert (101, 0) in got and got[(101, 0)] >= 0.8
+    assert not any(b == 102 for (b, _c) in got)
+    # estimator stays within [0, 1] and symmetric re-probe is stable
+    assert all(0.0 <= v <= 1.0 for v in got.values())
