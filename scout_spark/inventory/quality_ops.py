@@ -543,3 +543,53 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(draw / F.lit(4294967296.0) < F.col("p_accept"))
         .select("doc_id", "lang", F.round("p_accept", 6).alias("p_accept"))
     )
+
+
+@register(
+    "quality_unigram_perplexity",
+    "LM-based quality scoring, two-pass (the KenLM/CCNet stage shape "
+    "with a transparent stand-in model): pass 1 trains a per-language "
+    "unigram model over the corpus (explode + two-level groupBy with "
+    "map-side combine); pass 2 scores every doc by mean negative "
+    "log-probability and perplexity via a join of doc tokens against "
+    "the model. The model table is vocabulary-sized — broadcast onto "
+    "the token stream at 100 TB, never a fact-fact shuffle.",
+    oracle=f"""
+      WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(regexp_extract_all(lower(text), '{_TOK}')) AS tok
+        FROM documents
+      ),
+      model AS (
+        SELECT lang, tok, count(*) AS c,
+               sum(count(*)) OVER (PARTITION BY lang) AS total
+        FROM tok GROUP BY lang, tok
+      ),
+      scored AS (
+        SELECT t.doc_id, t.lang, -ln(m.c::DOUBLE / m.total) AS nlp
+        FROM tok t JOIN model m ON t.lang = m.lang AND t.tok = m.tok
+      )
+      SELECT doc_id, lang, count(*) AS n_tokens,
+             round(avg(nlp), 6) AS avg_neg_logp,
+             round(exp(avg(nlp)), 6) AS perplexity
+      FROM scored GROUP BY doc_id, lang
+    """,
+)
+def quality_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
+    tok = d.select("doc_id", "lang", F.explode(toks).alias("tok"))
+    counts = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    model = counts.withColumn(
+        "total", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    scored = tok.join(F.broadcast(model), ["lang", "tok"]).select(
+        "doc_id",
+        "lang",
+        (-F.log(F.col("c").cast("double") / F.col("total"))).alias("nlp"),
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nlp"), 6).alias("avg_neg_logp"),
+        F.round(F.exp(F.avg("nlp")), 6).alias("perplexity"),
+    )
