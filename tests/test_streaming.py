@@ -252,3 +252,51 @@ def test_foreach_batch_upsert_latest_per_user(spark, events_batch, events_path, 
         .collect()
     }
     assert got == exp
+
+
+def test_stream_dedup_ingest(spark, tmp_path_factory):
+    """Online dedup at ingest: batch 2's near-copy of a batch-1 doc is
+    dropped because batch 1's survivors extended the index."""
+    import json
+    import os
+
+    from scout_spark.operators.dedup import minhash_index_build
+    from scout_spark.streaming.curation import stream_dedup_ingest
+
+    root = tmp_path_factory.mktemp("stream_curation")
+    input_dir, index, corpus, ckpt = (
+        str(root / d) for d in ("in", "idx", "corpus", "ckpt")
+    )
+    os.makedirs(input_dir)
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps near the warm fire and dreams of chasing mice"
+    )
+    seed = spark.createDataFrame(
+        [(0, base, "en")], "doc_id long, text string, lang string"
+    )
+    minhash_index_build(seed, index, id_col="doc_id", text_col="text")
+    seed.write.mode("overwrite").parquet(corpus)
+
+    def write_batch(name, rows):
+        with open(os.path.join(input_dir, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    novel1 = "completely fresh material about volcanic geology and deep sea trenches nothing shared"
+    write_batch("b1.json", [
+        {"doc_id": 10, "text": base + " tonight", "lang": "en"},   # dup of seed
+        {"doc_id": 11, "text": novel1, "lang": "en"},              # survives
+    ])
+    q = stream_dedup_ingest(spark, input_dir, index, corpus, ckpt)
+    q.awaitTermination(120)
+    # batch 2: near-copy of batch 1's SURVIVOR must now be dropped too
+    write_batch("b2.json", [
+        {"doc_id": 20, "text": novel1.replace("fresh", "new"), "lang": "en"},
+        {"doc_id": 21, "text": "unrelated corpus of glacier physics and "
+                               "alpine meteorology entirely distinct", "lang": "en"},
+    ])
+    q2 = stream_dedup_ingest(spark, input_dir, index, corpus, ckpt)
+    q2.awaitTermination(120)
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert ids == [0, 11, 21]  # 10 dup-of-seed, 20 dup-of-11 both dropped
