@@ -593,3 +593,152 @@ def quality_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("nlp"), 6).alias("avg_neg_logp"),
         F.round(F.exp(F.avg("nlp")), 6).alias("perplexity"),
     )
+
+
+@register(
+    "pipeline_curate_end_to_end",
+    "The full curation pipeline as ONE composed query — what a training-"
+    "data user actually runs: (1) model-based quality filter (logistic "
+    "score >= 0.5), (2) exact dedup (min doc_id per md5(text) "
+    "fingerprint), (3) mixture rebalancing acceptance (per-lang target "
+    "share, md5-deterministic draw), (4) concat-then-chunk packing of "
+    "the survivors into training sequences. Every stage reuses the "
+    "already-hash-verified kernel; composing them exercises stage "
+    "boundaries (the packing window runs over the FILTERED survivor "
+    "set, so any upstream row diff cascades into every chunk_id). One "
+    "shuffle per stage boundary that needs it: fingerprint groupBy, "
+    "lang-stats broadcast, (lang, shard) window.",
+    oracle=f"""
+      WITH f AS (
+        SELECT doc_id, lang, text,
+               regexp_extract_all(lower(text), '{_TOK}') AS toks
+        FROM documents
+      ),
+      feat AS (
+        SELECT doc_id, lang, text, len(toks) AS n_tok,
+               len(list_distinct(toks))::DOUBLE / nullif(len(toks), 0)
+                 AS distinct_ratio,
+               list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+                 / nullif(len(toks), 0) AS mean_len,
+               len(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                 / nullif(len(text), 0) AS digit_frac,
+               ln(len(toks) + 1) AS ln_n
+        FROM f WHERE len(toks) > 0
+      ),
+      q AS (
+        SELECT *, 1.0 / (1.0 + exp(-({_QW[0]} + {_QW[1]} * distinct_ratio
+               + {_QW[2]} * mean_len + {_QW[3]} * digit_frac
+               + {_QW[4]} * ln_n))) AS score
+        FROM feat
+      ),
+      passed AS (SELECT * FROM q WHERE score >= 0.5),
+      deduped AS (
+        SELECT * FROM passed
+        WHERE doc_id IN (
+          SELECT min(doc_id) FROM passed GROUP BY md5(text)
+        )
+      ),
+      langstats AS (
+        SELECT lang, count(*) AS n, sum(count(*)) OVER () AS total
+        FROM deduped GROUP BY lang
+      ),
+      mixed AS (
+        SELECT d.*, least(1.0, 0.6 * (CASE d.lang WHEN 'en' THEN 0.5
+                   ELSE 0.125 END) / (s.n::DOUBLE / s.total)) AS p_accept
+        FROM deduped d JOIN langstats s ON d.lang = s.lang
+      ),
+      accepted AS (
+        SELECT * FROM mixed
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 8))::BIGINT
+              / 4294967296.0 < p_accept
+      )
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+               % {_PACK_SHARDS} AS shard,
+             n_tok, round(score, 6) AS score,
+             coalesce(sum(n_tok) OVER (
+               PARTITION BY lang, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {_PACK_SHARDS}
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_PACK_CAPACITY} AS chunk_id
+      FROM accepted
+    """,
+)
+def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
+    f = d.select("doc_id", "lang", "text", toks.alias("toks")).where(
+        F.size("toks") > 0
+    )
+
+    def _len(x):
+        return F.length(x)
+
+    feat = f.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size("toks").cast("long").alias("n_tok"),
+        F.try_divide(
+            F.size(F.array_distinct("toks")).cast("double"), F.size("toks")
+        ).alias("distinct_ratio"),
+        F.try_divide(
+            F.aggregate(
+                F.transform(F.col("toks"), _len), F.lit(0), lambda a, x: a + x
+            ).cast("double"),
+            F.size("toks"),
+        ).alias("mean_len"),
+        F.try_divide(
+            F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double"),
+            F.length("text"),
+        ).alias("digit_frac"),
+        F.log(F.size("toks") + F.lit(1)).alias("ln_n"),
+    )
+    z = (
+        F.lit(_QW[0])
+        + F.lit(_QW[1]) * F.col("distinct_ratio")
+        + F.lit(_QW[2]) * F.col("mean_len")
+        + F.lit(_QW[3]) * F.col("digit_frac")
+        + F.lit(_QW[4]) * F.col("ln_n")
+    )
+    passed = feat.withColumn(
+        "score", F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    ).where(F.col("score") >= 0.5)
+    keepers = passed.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = passed.join(keepers.select("doc_id"), "doc_id")
+    stats = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    total = stats.agg(F.sum("n").alias("total"))
+    target = F.when(F.col("lang") == "en", F.lit(0.5)).otherwise(F.lit(0.125))
+    p = stats.crossJoin(F.broadcast(total)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            F.lit(0.6) * target / (F.col("n").cast("double") / F.col("total")),
+        ).alias("p_accept"),
+    )
+    draw = _md5_32(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
+    accepted = deduped.join(F.broadcast(p), "lang").where(
+        draw / F.lit(4294967296.0) < F.col("p_accept")
+    )
+    shard = (_md5_32(F.col("doc_id").cast("string")) % _PACK_SHARDS).alias(
+        "shard"
+    )
+    with_shard = accepted.select(
+        "doc_id", "lang", shard, "n_tok", F.round("score", 6).alias("score")
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return with_shard.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tok",
+        "score",
+        F.floor(cum / _PACK_CAPACITY).alias("chunk_id"),
+    )
