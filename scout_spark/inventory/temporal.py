@@ -286,3 +286,74 @@ def window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    "Ordered funnel analysis: per user, the first 'view', the first "
+    "'click' strictly after that view, and the first 'purchase' "
+    "strictly after that click — stage timestamps plus the reached "
+    "stage (0-3). Three per-user min-aggregations chained by join: "
+    "every shuffle keys on user_id (one partitioning reused), no "
+    "self-theta-join over the event stream — at 100 TB each stage is a "
+    "map-side-combined agg over an already-clustered key.",
+    oracle="""
+      WITH v AS (
+        SELECT user_id, min(ts) AS view_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+      ),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS click_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        GROUP BY e.user_id
+      ),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS purchase_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        GROUP BY e.user_id
+      )
+      SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+             1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT
+               AS stage
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+              LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.lit(1)
+                + F.col("click_ts").isNotNull().cast("int")
+                + F.col("purchase_ts").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+    )
