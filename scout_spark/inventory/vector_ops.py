@@ -228,3 +228,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return simhash_signatures(d, id_col="doc_id", text_col="text")
+
+
+@register(
+    "ann_int8_quantized_topk",
+    "Int8 scalar-quantized cosine top-k (operators/quantize.py): "
+    "symmetric absmax codes (scale from a deterministic 1/16 hash "
+    "sample — no full pass, no global sort), 4x smaller vector payload, "
+    "cosine computed directly on int8 with int32 accumulation in one "
+    "numpy matmul per Arrow batch. Rows-only by design (quantization "
+    "rounding is engine-specific); recall>=0.8 vs the float baseline "
+    "pinned by tests/test_operators.py::test_int8_quantized_topk_recall.",
+)
+def ann_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.quantize import (
+        corpus_absmax,
+        quantize_int8,
+        quantized_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    scale = corpus_absmax(e)
+    codes = quantize_int8(e, scale).select("vec_id", "code")
+    qcode = codes.where(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["code"]
+    return quantized_topk(codes, qcode, k=10, exclude_id=QUERY_VEC_ID)

@@ -435,3 +435,32 @@ def test_minhash_index_probe_incremental(spark, docs_df, tmp_path):
     assert not any(b == 102 for (b, _c) in got)
     # estimator stays within [0, 1] and symmetric re-probe is stable
     assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+# ----------------------------------------------------- int8 quantization
+def test_int8_quantized_topk_recall(spark):
+    """Symmetric absmax int8 codes: top-10 by quantized cosine must
+    substantially agree with the float32 baseline, and quantized cosine
+    of a vector with itself stays ~1."""
+    from scout_spark.operators.quantize import (
+        corpus_absmax,
+        quantize_int8,
+        quantized_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    scale = corpus_absmax(emb)
+    assert scale > 0
+    codes = quantize_int8(emb, scale).select("vec_id", "code")
+    qcode = codes.where(F.col("vec_id") == 0).collect()[0]["code"]
+    approx = quantized_topk(codes, qcode, k=10, exclude_id=0).collect()
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact = [
+        r["vec_id"]
+        for r in brute_force_topk(emb, q, k=10, exclude_id=0).collect()
+    ]
+    recall = len({r["vec_id"] for r in approx} & set(exact)) / 10
+    assert recall >= 0.8, (exact, [r["vec_id"] for r in approx])
+    # self-similarity sanity: rank-1 of an unexcluded probe is itself
+    self_hit = quantized_topk(codes, qcode, k=1).collect()[0]
+    assert self_hit["vec_id"] == 0 and self_hit["cos_sim"] >= 0.999
