@@ -573,7 +573,7 @@ def minhash_probe(
         F.lit(num_hashes),
     )
     return (
-        cands.join(sigs, cands.corpus_id == sigs.id)
+        sigs.join(F.broadcast(cands), cands.corpus_id == sigs.id)
         .select("batch_id", "corpus_id", F.round(est, 6).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )

@@ -177,3 +177,61 @@ def test_sampling_predicate_is_row_local(spark):
     # ordering is unreliable; instead assert there is exactly ONE
     # aggregate exchange)
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def test_perplexity_model_is_broadcast(spark):
+    """quality_unigram_perplexity: the vocabulary-sized model must
+    broadcast onto the token stream — a fact-fact SortMergeJoin here
+    would shuffle the full token explosion twice at 100 TB."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["quality_unigram_perplexity"].spark(spark, SF001)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_rebalance_stats_broadcast_and_draw_row_local(spark):
+    """sample_mixture_rebalance: lang stats broadcast; the acceptance
+    draw must not introduce an extra Exchange beyond the stats agg."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["sample_mixture_rebalance"].spark(spark, SF001)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # documents side: scan feeds the broadcast join without a shuffle
+    # (exchanges belong to the tiny stats/total aggregates only)
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_span_dedup_single_winner_shuffle(spark):
+    """dedup_span_exact_c4: winner-min must partial-aggregate map-side
+    (partial_min before the span exchange), and the doc reassembly must
+    reuse the doc_id partitioning rather than adding exchanges."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["dedup_span_exact_c4"].spark(spark, SF001)
+    plan = _plan(df)
+    assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_minhash_probe_broadcasts_batch_side(spark, tmp_path):
+    """minhash_probe: the (small) batch must broadcast against the
+    index scan — shuffling the corpus-side band index per probe batch
+    is exactly what the incremental design exists to avoid."""
+    from scout_spark.operators.dedup import minhash_index_build, minhash_probe
+
+    base = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    minhash_index_build(base, idx)
+    batch = base.select((F.col("doc_id") + 10).alias("doc_id"), "text")
+    plan = _plan(minhash_probe(spark, idx, batch))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, (
+        "probe must broadcast the batch-derived side in both joins"
+    )
