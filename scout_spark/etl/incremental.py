@@ -77,3 +77,52 @@ def upsert_pois(
     os.rename(staging, pois_path)
     shutil.rmtree(old, ignore_errors=True)
     return before, after
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    update_cols: list[str] | None = None,
+    delete_condition=None,
+) -> DataFrame:
+    """Full MERGE INTO semantics as a pure DataFrame transform —
+    the Delta/Iceberg MERGE shape without a table format:
+
+      WHEN MATCHED AND delete_condition THEN DELETE
+      WHEN MATCHED THEN UPDATE SET update_cols (from source)
+      WHEN NOT MATCHED THEN INSERT *
+
+    Returns the post-merge table. One full-outer join on the key is the
+    whole physical story — at 100 TB both sides hash-partition on the
+    key (co-locatable by bucketing) and the merge is embarrassingly
+    parallel per key group; no driver state.
+    """
+    from pyspark.sql import functions as F
+
+    cols = target.columns
+    update_cols = update_cols if update_cols is not None else [
+        c for c in cols if c != key
+    ]
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
+    if delete_condition is not None:
+        joined = joined.where(~(matched & delete_condition))
+    out_cols = []
+    for c in cols:
+        if c == key:
+            expr = F.coalesce(F.col(f"t.{key}"), F.col(f"s.{key}"))
+        elif c in update_cols and c in source.columns:
+            # matched → source value; unmatched-target → target value;
+            # unmatched-source (insert) → source value
+            expr = F.when(F.col(f"t.{key}").isNull(), F.col(f"s.{c}")).when(
+                matched, F.col(f"s.{c}")
+            ).otherwise(F.col(f"t.{c}"))
+        else:
+            expr = F.when(
+                F.col(f"t.{key}").isNull(), F.col(f"s.{c}") if c in source.columns else F.lit(None)
+            ).otherwise(F.col(f"t.{c}"))
+        out_cols.append(expr.alias(c))
+    return joined.select(*out_cols)

@@ -357,3 +357,116 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stage"),
         )
     )
+
+
+@register(
+    "events_transition_matrix",
+    "Per-user event-sequence transition counts (Markov-chain edge "
+    "weights): lag(event_type) over (user_id ORDER BY ts, event_id) "
+    "pairs each event with its predecessor, then a global groupBy "
+    "counts (prev, next) transitions and their share of all "
+    "transitions. One window shuffle on user_id + one small agg; the "
+    "deterministic event_id tie-break makes simultaneous events "
+    "reproducible across engines.",
+    oracle="""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+      ),
+      t AS (
+        SELECT prev, event_type AS next, count(*) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+      )
+      SELECT prev, next, n,
+             round(n::DOUBLE / sum(n) OVER (), 6) AS share
+      FROM t
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    t = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # total via broadcast scalar, not a partitionless window (which
+    # single-partitions and sprays WindowExec warnings)
+    total = t.agg(F.sum("n").alias("total"))
+    return t.crossJoin(F.broadcast(total)).select(
+        "prev",
+        "next",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+    )
+
+
+@register(
+    "merge_into_upsert_delete",
+    "Full MERGE INTO semantics (Delta/Iceberg MERGE shape, no table "
+    "format needed — etl/incremental.py::merge_into): customers as "
+    "target, a deterministic source batch derived from orders activity; "
+    "WHEN MATCHED AND acctbal < 0 THEN DELETE, WHEN MATCHED THEN "
+    "UPDATE (comment + acctbal), WHEN NOT MATCHED THEN INSERT. One "
+    "full-outer join on the key — co-locatable by bucketing at 100 TB. "
+    "Oracle states the same three-way CASE in SQL.",
+    oracle="""
+      WITH src AS (
+        SELECT c_custkey + 100000 AS c_custkey,
+               'new customer ' || c_custkey AS c_name,
+               round(c_acctbal - 50, 2) AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 1
+        UNION ALL
+        SELECT c_custkey, c_name, round(c_acctbal + 100, 2) AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 3
+      ),
+      merged AS (
+        SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+               CASE WHEN t.c_custkey IS NULL THEN s.c_name
+                    WHEN s.c_custkey IS NOT NULL THEN s.c_name
+                    ELSE t.c_name END AS c_name,
+               CASE WHEN t.c_custkey IS NULL THEN s.c_acctbal
+                    WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                    ELSE round(t.c_acctbal, 2) END AS c_acctbal,
+               t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+                 AS matched,
+               t.c_acctbal AS t_bal
+        FROM customer t FULL OUTER JOIN src s
+          ON t.c_custkey = s.c_custkey
+      )
+      SELECT c_custkey, c_name, c_acctbal FROM merged
+      WHERE NOT (matched AND t_bal < 0)
+    """,
+)
+def merge_into_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.etl.incremental import merge_into
+
+    c = _t(spark, sf_dir, "customer")
+    target = c.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    inserts = c.where(F.col("c_custkey") % 10 == 1).select(
+        (F.col("c_custkey") + 100000).alias("c_custkey"),
+        F.concat(F.lit("new customer "), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.round(F.col("c_acctbal") - 50, 2).alias("c_acctbal"),
+    )
+    updates = c.where(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+    )
+    source = inserts.unionByName(updates)
+    return merge_into(
+        target,
+        source,
+        key="c_custkey",
+        update_cols=["c_name", "c_acctbal"],
+        delete_condition=F.col("t.c_acctbal") < 0,
+    )
