@@ -577,3 +577,83 @@ def minhash_probe(
         .select("batch_id", "corpus_id", F.round(est, 6).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
+
+
+def connected_components_two_phase(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) → (id, component), component = min id of the component.
+
+    Min-label propagation (:func:`connected_components`) converges in
+    O(diameter) rounds — fine for near-dup clusters (diameter ≲ 3),
+    quadratic-ish wall for chain-shaped graphs. The star operations
+    converge in O(log n) rounds regardless of diameter:
+
+      large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
+      small-star: every neighbor v ≤ u links to m(u)
+
+    Each phase is one aggregate (m per node) + one join — two shuffles
+    on node id, no neighbor-list materialization (no groupBy
+    collect_list skew bomb on high-degree nodes).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionAll(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods are over the UNDIRECTED graph: symmetrize the
+        # (child -> parent) edge list before computing m(u)
+        es = e.unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        m = es.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        keep = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        linked = (
+            es.where(keep)
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # keep each node's own pointer too so roots don't vanish
+        out = (
+            linked.unionAll(m.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return out
+
+    for _ in range(max_iter):
+        new_edges = star(star(edges, large=True), large=False).localCheckpoint()
+        # fixed point = star graphs; the check must be SYMMETRIC
+        # (shrinking edge sets are not yet converged)
+        grew = new_edges.exceptAll(edges).limit(1).count()
+        shrank = edges.exceptAll(new_edges).limit(1).count()
+        edges = new_edges
+        if grew == 0 and shrank == 0:
+            break
+    else:
+        raise RuntimeError(
+            "two-phase CC did not converge — raise max_iter "
+            f"({max_iter}) for this graph"
+        )
+    nodes = pairs.select(F.col(id_a).alias("id")).unionAll(
+        pairs.select(F.col(id_b).alias("id"))
+    ).distinct()
+    comp = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (
+        nodes.join(comp, "id", "left")
+        .select(
+            "id",
+            F.least(
+                F.coalesce(F.col("component"), F.col("id")), F.col("id")
+            ).alias("component"),
+        )
+    )

@@ -464,3 +464,50 @@ def test_int8_quantized_topk_recall(spark):
     # self-similarity sanity: rank-1 of an unexcluded probe is itself
     self_hit = quantized_topk(codes, qcode, k=1).collect()[0]
     assert self_hit["vec_id"] == 0 and self_hit["cos_sim"] >= 0.999
+
+
+# -------------------------------------------------- two-phase CC (star ops)
+def test_two_phase_cc_matches_min_label(spark):
+    """large-star/small-star CC agrees with min-label propagation on a
+    random multi-component graph."""
+    import random
+
+    from scout_spark.operators.dedup import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    rng = random.Random(7)
+    edges = set()
+    # 6 ring-ish components of varied size plus random chords
+    base = 0
+    for size in (3, 5, 8, 13, 21, 40):
+        ids = list(range(base, base + size))
+        for i in range(size):
+            edges.add((ids[i], ids[(i + 1) % size]))
+        for _ in range(size // 3):
+            edges.add((rng.choice(ids), rng.choice(ids)))
+        base += size + 5
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "doc_a long, doc_b long"
+    )
+    ml = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    tp = {
+        r["id"]: r["component"]
+        for r in connected_components_two_phase(pairs).collect()
+    }
+    assert ml == tp
+
+
+def test_two_phase_cc_long_chain_converges_fast(spark):
+    """A 400-node path has diameter 399 — min-label propagation would
+    need ~400 rounds (its max_iter guard trips); the star algorithm
+    resolves it in O(log n) rounds to a single min-rooted component."""
+    from scout_spark.operators.dedup import connected_components_two_phase
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "doc_a long, doc_b long"
+    )
+    comp = connected_components_two_phase(pairs).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == 401
