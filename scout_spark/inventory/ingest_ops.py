@@ -96,3 +96,78 @@ def ingest_osm_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lat", 6).alias("lat"),
         F.round("lon", 6).alias("lon"),
     )
+
+
+# diamond / rectangle test polygons for the containment entry. Radii and
+# rectangle bounds sit slightly OFF the 1e-5 lat/lon grid (…03, …07) so
+# no synthesized point ever lands exactly on an edge — strict and
+# non-strict containment agree, and both engines decide identically.
+_DIAMONDS = (
+    # poly_id, cx, cy, r  (|x-cx| + |y-cy| < r)
+    (1, 0.0, 0.0, 60.000003),
+    (2, 100.0, 30.0, 45.000007),
+)
+_RECTS = (
+    # poly_id, minx, miny, maxx, maxy
+    (3, -160.000007, -80.000003, -60.000001, 0.000009),
+)
+
+
+@register(
+    "spatial_point_in_polygon_join",
+    "Spatial containment join, hash-checked: customer-derived points "
+    "(same integer-grid lat/lon as ingest_osm_pbf_roundtrip) against "
+    "broadcast polygons — bbox Column prefilter, exact ray-cast verify "
+    "in a vectorized numpy UDF (operators/spatial.py). The diamonds "
+    "have non-axis-aligned edges, so the ray-cast arithmetic is "
+    "genuinely exercised, while the oracle can state containment "
+    "independently as an L1-ball / BETWEEN predicate — two different "
+    "formulations that must agree point-for-point.",
+    oracle=f"""
+      WITH pts AS (
+        SELECT c_custkey AS point_id,
+               ((c_custkey * {_LON_MUL}) % {_LON_MOD}) / 100000.0
+                 - {_LON_SHIFT} AS x,
+               ((c_custkey * {_LAT_MUL}) % {_LAT_MOD}) / 100000.0
+                 - {_LAT_SHIFT} AS y
+        FROM customer
+      )
+      SELECT point_id, poly_id FROM (
+        {" UNION ALL ".join(
+            f"SELECT point_id, {pid} AS poly_id FROM pts "
+            f"WHERE abs(x - ({cx})) + abs(y - ({cy})) < {r}"
+            for pid, cx, cy, r in _DIAMONDS
+        )}
+        UNION ALL
+        {" UNION ALL ".join(
+            f"SELECT point_id, {pid} AS poly_id FROM pts "
+            f"WHERE x BETWEEN {minx} AND {maxx} AND y BETWEEN {miny} AND {maxy}"
+            for pid, minx, miny, maxx, maxy in _RECTS
+        )}
+      ) ORDER BY point_id, poly_id
+    """,
+)
+def spatial_point_in_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.spatial import RING_SCHEMA, point_in_polygon_join
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("point_id"),
+        (((F.col("c_custkey") * _LON_MUL) % _LON_MOD) / 100_000.0
+         - _LON_SHIFT).alias("lon"),
+        (((F.col("c_custkey") * _LAT_MUL) % _LAT_MOD) / 100_000.0
+         - _LAT_SHIFT).alias("lat"),
+    )
+    rows = []
+    for pid, cx, cy, r in _DIAMONDS:
+        rows.append(
+            (pid, [{"xs": [cx + r, cx, cx - r, cx],
+                    "ys": [cy, cy + r, cy, cy - r]}])
+        )
+    for pid, minx, miny, maxx, maxy in _RECTS:
+        rows.append(
+            (pid, [{"xs": [minx, maxx, maxx, minx],
+                    "ys": [miny, miny, maxy, maxy]}])
+        )
+    polys = spark.createDataFrame(rows, f"poly_id long, rings {RING_SCHEMA}")
+    return point_in_polygon_join(pts, polys).orderBy("point_id", "poly_id")
