@@ -470,3 +470,71 @@ def merge_into_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_cols=["c_name", "c_acctbal"],
         delete_condition=F.col("t.c_acctbal") < 0,
     )
+
+
+@register(
+    "timeseries_gapfill_locf",
+    "Hypertable-style gap-filled resampling: per user, an hourly grid "
+    "spanning that user's activity (sequence + explode — row-local "
+    "expansion, no driver loop), hourly avg(value) where events exist, "
+    "gaps carried forward with last-observation-carried-forward "
+    "(last_value IGNORE NULLS over a per-user hour-ordered window). "
+    "One shuffle keys the grid build AND the window on user_id; at "
+    "100 TB the grid inflates rows by mean-gap-count, not by a "
+    "cross join.",
+    oracle="""
+      WITH b AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+               round(avg(value), 6) AS hr_avg
+        FROM events GROUP BY 1, 2
+      ),
+      span AS (
+        SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM b GROUP BY 1
+      ),
+      grid AS (
+        SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM span
+      ),
+      j AS (
+        SELECT g.user_id, g.hr, b.hr_avg,
+               b.hr_avg IS NULL AS is_gap
+        FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.hr = b.hr
+      )
+      SELECT user_id, hr, is_gap,
+             last_value(hr_avg IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_filled
+      FROM j
+    """,
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+            "value",
+        )
+        .groupBy("user_id", "hr")
+        .agg(F.round(F.avg("value"), 6).alias("hr_avg"))
+    )
+    span = b.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hr")
+    )
+    j = grid.join(b, ["user_id", "hr"], "left").select(
+        "user_id", "hr", "hr_avg", F.col("hr_avg").isNull().alias("is_gap")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "hr",
+        "is_gap",
+        F.last("hr_avg", ignorenulls=True).over(w).alias("value_filled"),
+    )
