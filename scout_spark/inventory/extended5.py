@@ -114,3 +114,35 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.where(F.col("o_totalprice") > 200000).select("o_custkey")
     return a.intersectAll(b)
+
+
+@register(
+    "scalar_levenshtein_rank",
+    "Edit-distance candidate ranking — the fuzzy-geocoding core family "
+    "(reference ranking.py uses rapidfuzz WRatio; Levenshtein is its "
+    "SQL-portable sibling both engines implement natively): distance "
+    "from every customer name to a probe string, top 25 by (distance, "
+    "name, key) with a fully deterministic tie-break. JVM levenshtein "
+    "inside whole-stage codegen — the scan-side compute pattern of the "
+    "flagship filter-then-verify query.",
+    oracle="""
+      SELECT c_custkey, c_name,
+             levenshtein(lower(c_name), 'customer#000000999') AS dist
+      FROM customer
+      ORDER BY dist, c_name, c_custkey
+      LIMIT 25
+    """,
+)
+def scalar_levenshtein_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            "c_name",
+            F.levenshtein(
+                F.lower(F.col("c_name")), F.lit("customer#000000999")
+            ).alias("dist"),
+        )
+        .orderBy("dist", "c_name", "c_custkey")
+        .limit(25)
+    )
