@@ -93,22 +93,84 @@ def decode_media(
     return blobs.mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
-def resize_stub(blobs: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:
-    """Resize stage — REAL resize requires an image library absent here.
+def _fake_raster(payload: bytes):
+    """Deterministic H×W×C uint8 raster from a payload — the fake-decode
+    counterpart that yields actual pixels (digest bytes tiled), so
+    downstream numeric kernels run on real arrays."""
+    import numpy as np
 
-    The Spark-side contract (binary in → binary out, same rows) is kept;
-    the payload transform raises until a codec is injected upstream via
-    ``decode_media(decode_fn=...)``-style wiring.
-    """
+    w, h, c = _fake_decode(payload)
+    digest = hashlib.sha256(payload or b"").digest()
+    n = h * w * c
+    reps = n // len(digest) + 1
+    return np.frombuffer((digest * reps)[:n], dtype=np.uint8).reshape(h, w, c)
+
+
+def bilinear_resize(img, th: int, tw: int):
+    """Real bilinear interpolation (half-pixel centers, PIL/OpenCV
+    convention), fully vectorized numpy — no image library needed."""
+    import numpy as np
+
+    h, w, _c = img.shape
+    ys = np.clip((np.arange(th) + 0.5) * h / th - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(tw) + 0.5) * w / tw - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, width int, height int, channels int,"
+    " payload binary"
+)
+
+
+def resize_media(
+    blobs: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    raster_fn: Callable[[bytes], "object"] | None = None,
+) -> DataFrame:
+    """Resize stage: payload → raster → REAL numpy bilinear resample →
+    resized raw bytes out. The raster decode is the injected codec
+    (None → deterministic fake pixels, since no image library ships in
+    this container); the interpolation kernel, Arrow batch iteration,
+    and binary-out schema are exactly what a PIL/OpenCV deployment
+    would run."""
+    tw, th = target
+    fn = raster_fn or _fake_raster
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "resize requires an image codec (e.g. pillow) not present in "
-            "this container; inject a real transform here"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            payloads = [
+                bilinear_resize(fn(p if p is not None else b""), th, tw)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": [tw] * len(payloads),
+                    "height": [th] * len(payloads),
+                    "channels": [int(a.shape[2]) for a in payloads],
+                    "payload": [a.tobytes() for a in payloads],
+                }
+            )
 
-    return blobs.mapInPandas(resize_batches, blobs.schema)
+    return blobs.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+def resize_stub(blobs: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Backward-compat alias for the former stub — now the real
+    bilinear path (:func:`resize_media`)."""
+    return resize_media(blobs, target)
 
 
 def sample_frames(blobs: DataFrame, n_frames: int = 4) -> DataFrame:

@@ -62,10 +62,10 @@ def test_frame_sampling_shape(blobs):
     assert len(sums) > 50
 
 
-def test_resize_stub_raises(blobs):
-    with pytest.raises(Exception) as exc:
-        resize_stub(blobs).collect()
-    assert "NotImplementedError" in str(exc.value) or "image codec" in str(exc.value)
+def test_resize_stub_alias_is_real_now(blobs):
+    # the former NotImplementedError stub is now the real bilinear path
+    out = resize_stub(blobs).collect()
+    assert out and all(r["width"] == 224 and r["height"] == 224 for r in out)
 
 
 def test_multimodal_decode_stats_entry_ground_truth(spark):
@@ -100,3 +100,43 @@ def test_multimodal_decode_stats_entry_ground_truth(spark):
         for ch, g in exp.groupby("channels")
     }
     assert got == expected
+
+
+def test_bilinear_resize_kernel_exact():
+    """Hand-checked bilinear values: 2x2 -> 4x4 with half-pixel centers
+    (PIL convention) — corners keep source values, interior blends."""
+    import numpy as np
+
+    from scout_spark.operators.multimodal import bilinear_resize
+
+    img = np.array([[[0], [100]], [[200], [40]]], dtype=np.uint8)
+    out = bilinear_resize(img, 4, 4)
+    assert out.shape == (4, 4, 1)
+    assert out[0, 0, 0] == 0 and out[0, 3, 0] == 100
+    assert out[3, 0, 0] == 200 and out[3, 3, 0] == 40
+    # center of the top edge: between 0 and 100 at x=1.25 -> 75 exact
+    assert out[0, 2, 0] == 75
+    # identity resize returns the source unchanged
+    assert (bilinear_resize(img, 2, 2) == img).all()
+
+
+def test_resize_media_end_to_end(spark):
+    """Full Spark stage: deterministic fake raster -> real bilinear ->
+    fixed-size binary payloads with consistent byte counts."""
+    from scout_spark.operators.multimodal import pack_blobs, resize_media
+
+    src = spark.createDataFrame(
+        [(i, ("payload-%d" % i).encode(), "s") for i in range(6)],
+        "id long, body binary, src string",
+    )
+    blobs = pack_blobs(src, "id", "body", "image", "src")
+    out = resize_media(blobs, target=(32, 16)).collect()
+    assert len(out) == 6
+    for r in out:
+        assert (r["width"], r["height"]) == (32, 16)
+        assert len(r["payload"]) == 32 * 16 * r["channels"]
+    # deterministic: same inputs -> same bytes
+    out2 = resize_media(blobs, target=(32, 16)).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == {
+        r["media_id"]: bytes(r["payload"]) for r in out2
+    }
