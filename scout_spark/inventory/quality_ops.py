@@ -382,11 +382,20 @@ def dedup_span_exact_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, cast(n_spans as int) - 1), "
         f"i -> concat_ws(' ', slice(toks, i*{_SPAN}+1, {_SPAN})))"
     )
-    c = ts.select(
-        "doc_id", "n_spans", F.posexplode(spans).alias("idx", "span")
-    ).withColumn("key", F.col("doc_id") * 100000 + F.col("idx"))
-    winners = c.groupBy("span").agg(F.min("key").alias("wkey"))
-    kept = c.join(winners, "span").where(F.col("key") == F.col("wkey"))
+    c = (
+        ts.select(
+            "doc_id", "n_spans", F.posexplode(spans).alias("idx", "span")
+        )
+        .withColumn("key", F.col("doc_id") * 100000 + F.col("idx"))
+        # winner selection groups on the 8-byte span hash, not the span
+        # string — the shuffle moves (hash, key) instead of ~60-char
+        # text (0.97s -> 0.25s at sf0.1; a 64-bit collision merging two
+        # spans has probability ~n²/2^65, same accepted risk class as
+        # jaccard_pairs' token hashing)
+        .withColumn("sh", F.xxhash64("span"))
+    )
+    winners = c.groupBy("sh").agg(F.min("key").alias("wkey"))
+    kept = c.join(winners, "sh").where(F.col("key") == F.col("wkey"))
     agg = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
