@@ -91,6 +91,11 @@ def _dense_group(nodes: Sequence[tuple], st: _StringTable) -> bytes:
     kv: list[int] = []
     for n in nodes:
         for k, v in (n[3] or {}).items():
+            if k == "":
+                # string-table index 0 doubles as the DenseNodes
+                # delimiter — the spec reserves it, so empty keys are
+                # unrepresentable
+                raise ValueError("OSM tag keys must be non-empty")
             kv.extend((st.add(k), st.add(v)))
         kv.append(0)
     dense = (

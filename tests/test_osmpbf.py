@@ -176,3 +176,60 @@ def test_spark_datasource_format(spark, pbf_path):
     assert rels.count() == len(RELS)
     # partition count == OSMData blob count (nodes blob + ways + rels)
     assert nodes.rdd.getNumPartitions() == 3
+
+
+# ------------------------------------------------ property-based wire fuzz
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_grid = st.integers(min_value=-85_0000000, max_value=85_0000000)
+_tagtext = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=12,
+)
+_tagkey = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    min_size=1,
+    max_size=12,
+)
+_node = st.tuples(
+    st.integers(min_value=-(10**15), max_value=10**15),  # id (zigzag stress)
+    _grid.map(lambda n: n * 1e-7),                       # lat on the wire grid
+    _grid.map(lambda n: n * 1e-7),                       # lon
+    st.dictionaries(_tagkey, _tagtext, max_size=3),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(nodes=st.lists(_node, max_size=30))
+def test_pbf_wire_roundtrip_fuzz(tmp_path_factory, nodes):
+    """Arbitrary ids (negative, 2^50-scale), grid coordinates, and
+    unicode tags survive write → scan → decode bit-faithfully."""
+    # unique ids: a PBF file may not repeat entity ids
+    seen, uniq = set(), []
+    for n in nodes:
+        if n[0] not in seen:
+            seen.add(n[0])
+            uniq.append(n)
+    p = str(tmp_path_factory.mktemp("fuzz") / "f.osm.pbf")
+    write_pbf(p, uniq, blob_size=7)  # force multi-blob on bigger lists
+    decoded = []
+    for ref in osmpbf.scan_blobs(p):
+        if ref.kind != "OSMData":
+            continue
+        with open(p, "rb") as f:
+            f.seek(ref.offset)
+            blob = f.read(ref.size)
+        decoded += osmpbf.decode_primitive_block(osmpbf._blob_payload(blob))[0]
+    assert len(decoded) == len(uniq)
+    for (nid, lat, lon, tags), (gid, glat, glon, gtags) in zip(uniq, decoded):
+        assert gid == nid
+        assert abs(glat - lat) < 5e-8 and abs(glon - lon) < 5e-8
+        assert gtags == tags
+
+
+def test_empty_tag_key_rejected(tmp_path):
+    """String-table index 0 is the DenseNodes delimiter — the writer
+    must refuse the unrepresentable empty key (found by hypothesis)."""
+    with pytest.raises(ValueError, match="non-empty"):
+        write_pbf(str(tmp_path / "x.osm.pbf"), [(1, 0.0, 0.0, {"": "v"})])
