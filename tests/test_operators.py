@@ -511,3 +511,63 @@ def test_two_phase_cc_long_chain_converges_fast(spark):
     comp = connected_components_two_phase(pairs).collect()
     assert {r["component"] for r in comp} == {0}
     assert len(comp) == 401
+
+
+# --------------------------------------------- property-based CC vs union-find
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=25),
+        st.integers(min_value=0, max_value=25),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize: every node -> min of its component
+    comp = {}
+    for x in list(parent):
+        comp[x] = find(x)
+    return comp
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges)
+def test_cc_both_algorithms_match_union_find(spark, edges):
+    """Min-label propagation AND the star algorithm agree with a
+    driver-side union-find reference on arbitrary graphs."""
+    from scout_spark.operators.dedup import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    expected = _union_find(edges)
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ml = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    tp = {
+        r["id"]: r["component"]
+        for r in connected_components_two_phase(pairs).collect()
+    }
+    assert ml == expected
+    assert tp == expected
