@@ -171,3 +171,55 @@ def spatial_point_in_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     polys = spark.createDataFrame(rows, f"poly_id long, rings {RING_SCHEMA}")
     return point_in_polygon_join(pts, polys).orderBy("point_id", "poly_id")
+
+
+@register(
+    "layout_zorder_key",
+    "Z-order (Morton) clustering key for geo layout (S6: reference "
+    "secondary indexes -> lakehouse data layout): quantize lon/lat to "
+    "16-bit cells, interleave bits — pure Column (32 shift/mask terms, "
+    "JVM codegen). Sorting/range-partitioning on this key makes bbox "
+    "scans prune parquet row groups via min/max stats (functions/"
+    "layout.py::write_zordered). Oracle recomputes the identical "
+    "bit arithmetic in DuckDB.",
+    oracle=None,  # filled below — needs the generated SQL expression
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.functions.layout import zorder_key
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("point_id"),
+        (((F.col("c_custkey") * _LON_MUL) % _LON_MOD) / 100_000.0
+         - _LON_SHIFT).alias("lon"),
+        (((F.col("c_custkey") * _LAT_MUL) % _LAT_MOD) / 100_000.0
+         - _LAT_SHIFT).alias("lat"),
+    )
+    return pts.select(
+        "point_id",
+        zorder_key(F.col("lon"), F.col("lat")).alias("zkey"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from scout_spark.functions.layout import zorder_sql
+
+    lon = (
+        f"(((c_custkey * {_LON_MUL}) % {_LON_MOD}) / 100000.0 - {_LON_SHIFT})"
+    )
+    lat = (
+        f"(((c_custkey * {_LAT_MUL}) % {_LAT_MOD}) / 100000.0 - {_LAT_SHIFT})"
+    )
+    return (
+        f"SELECT c_custkey AS point_id, {zorder_sql(lon, lat)} AS zkey "
+        "FROM customer"
+    )
+
+
+# the oracle needs the generated expression; patch it into the Item
+from scout_spark.inventory import REGISTRY as _REG
+from dataclasses import replace as _replace
+
+_REG["layout_zorder_key"] = _replace(
+    _REG["layout_zorder_key"], oracle=_zorder_oracle()
+)

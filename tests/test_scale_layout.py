@@ -235,3 +235,70 @@ def test_minhash_probe_broadcasts_batch_side(spark, tmp_path):
     assert "SortMergeJoin" not in plan, (
         "probe must broadcast the batch-derived side in both joins"
     )
+
+
+def _morton_py(xq, yq, bits=16):
+    z = 0
+    for i in range(bits):
+        z += ((xq >> i) & 1) << (2 * i)
+        z += ((yq >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from scout_spark.functions.layout import zorder_key
+
+    pts = [(i, -180.0 + (i * 37 % 360) + 0.25, -90.0 + (i * 53 % 180) + 0.25)
+           for i in range(200)]
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    got = {
+        r["id"]: r["z"]
+        for r in df.select("id", zorder_key(F.col("lon"), F.col("lat")).alias("z")).collect()
+    }
+    for i, lon, lat in pts:
+        xq = min(65535, max(0, int((lon + 180.0) / 360.0 * 65536)))
+        yq = min(65535, max(0, int((lat + 90.0) / 180.0 * 65536)))
+        assert got[i] == _morton_py(xq, yq), (i, lon, lat)
+
+
+def test_zordered_write_prunes_bbox_scans(spark, tmp_path):
+    """The point of the layout: a small-bbox scan over z-clustered
+    parquet must read fewer rows-after-filter per file touched — we
+    assert the stronger, deterministic property that the z-range of
+    the bbox intersects only a minority of the written files'
+    [min,max] z intervals."""
+    import itertools
+    import pyarrow.parquet as pq
+    import glob as g
+
+    from scout_spark.functions.layout import write_zordered, zorder_key
+
+    pts = [
+        (i, -180.0 + (i * 997 % 36000) / 100.0, -90.0 + (i * 677 % 18000) / 100.0)
+        for i in range(20_000)
+    ]
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    out = str(tmp_path / "zpts")
+    write_zordered(df, out, num_files=16)
+    files = sorted(g.glob(out + "/part-*.parquet"))
+    assert len(files) >= 8
+    # bbox: a 10x10-degree window; its z-range given the quantization
+    zmin = None
+    zmax = None
+    for lon, lat in itertools.product((20.0, 29.9), (40.0, 49.9)):
+        xq = min(65535, max(0, int((lon + 180.0) / 360.0 * 65536)))
+        yq = min(65535, max(0, int((lat + 90.0) / 180.0 * 65536)))
+        z = _morton_py(xq, yq)
+        zmin = z if zmin is None else min(zmin, z)
+        zmax = z if zmax is None else max(zmax, z)
+    touched = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        stats = md.row_group(0).column(
+            [c.name for c in pq.ParquetFile(f).schema].index("_z")
+            if False else 3
+        ).statistics
+        # column order: id, lon, lat, _z -> index 3
+        if stats.max >= zmin and stats.min <= zmax:
+            touched += 1
+    assert touched <= len(files) // 2, (touched, len(files))
