@@ -751,3 +751,79 @@ def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.floor(cum / _PACK_CAPACITY).alias("chunk_id"),
     )
+
+
+@register(
+    "quality_constraint_report",
+    "Deequ-style data-validation report as one query: uniqueness "
+    "(customer PK), referential integrity (orders -> customer, "
+    "anti-join orphan count), domain range (lineitem quantity), and "
+    "completeness (acctbal null fraction) — each constraint one "
+    "aggregate/anti-join pass, unioned into (constraint, observed, "
+    "passed). The validation suite a 100 TB ingest runs before "
+    "promoting a snapshot; every check is a map-side-combined agg or "
+    "broadcast-able anti-join, no full-table collect anywhere.",
+    oracle="""
+      SELECT 'customer_pk_unique' AS constraint_name,
+             (count(*) - count(DISTINCT c_custkey))::VARCHAR AS observed,
+             count(*) = count(DISTINCT c_custkey) AS passed
+      FROM customer
+      UNION ALL
+      SELECT 'orders_customer_fk',
+             count(*)::VARCHAR,
+             count(*) = 0
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+      UNION ALL
+      SELECT 'lineitem_qty_domain',
+             count(*) FILTER (l_quantity < 1 OR l_quantity > 50)::VARCHAR,
+             count(*) FILTER (l_quantity < 1 OR l_quantity > 50) = 0
+      FROM lineitem
+      UNION ALL
+      SELECT 'customer_acctbal_complete',
+             round(1.0 - count(c_acctbal)::DOUBLE / count(*), 6)::VARCHAR,
+             count(c_acctbal) = count(*)
+      FROM customer
+    """,
+)
+def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    pk = c.agg(
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("dups"),
+    ).select(
+        F.lit("customer_pk_unique").alias("constraint_name"),
+        F.col("dups").cast("string").alias("observed"),
+        (F.col("dups") == 0).alias("passed"),
+    )
+    orphans = (
+        o.join(F.broadcast(c.select("c_custkey")),
+               o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("orders_customer_fk").alias("constraint_name"),
+            F.col("n").cast("string").alias("observed"),
+            (F.col("n") == 0).alias("passed"),
+        )
+    )
+    qty = li.agg(
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("bad")
+    ).select(
+        F.lit("lineitem_qty_domain").alias("constraint_name"),
+        F.col("bad").cast("string").alias("observed"),
+        (F.col("bad") == 0).alias("passed"),
+    )
+    complete = c.agg(
+        F.count("c_acctbal").alias("nn"), F.count(F.lit(1)).alias("n")
+    ).select(
+        F.lit("customer_acctbal_complete").alias("constraint_name"),
+        F.round(
+            F.lit(1.0) - F.col("nn").cast("double") / F.col("n"), 6
+        ).cast("string").alias("observed"),
+        (F.col("nn") == F.col("n")).alias("passed"),
+    )
+    return pk.unionAll(orphans).unionAll(qty).unionAll(complete)

@@ -252,3 +252,44 @@ def ann_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = quantize_int8(e, scale).select("vec_id", "code")
     qcode = codes.where(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["code"]
     return quantized_topk(codes, qcode, k=10, exclude_id=QUERY_VEC_ID)
+
+
+@register(
+    "embedding_mean_pool_by_label",
+    "Elementwise mean-pooling of embeddings per label (chunk-to-"
+    "document pooling, the standard aggregation for long-doc "
+    "embeddings): posexplode to (label, dim, value), one avg shuffle "
+    "keyed on (label, dim) with map-side combine, then ordered "
+    "re-assembly into a fixed-width array. Scale-safe: the shuffle "
+    "carries scalars, never whole vectors, and skew is bounded by "
+    "dim-fanout. Oracle rebuilds the same via index unnest + list().",
+    oracle="""
+      WITH x AS (
+        SELECT label, unnest(range(1, len(embedding) + 1)) AS dim, embedding
+        FROM embeddings
+      ),
+      v AS (
+        SELECT label, dim, embedding[dim]::DOUBLE AS val FROM x
+      ),
+      m AS (
+        SELECT label, dim, round(avg(val), 6) AS mv
+        FROM v GROUP BY label, dim
+      )
+      SELECT label, count(*) AS n_dims,
+             list(mv ORDER BY dim) AS pooled
+      FROM m GROUP BY label
+    """,
+)
+def embedding_mean_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "val")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), F.col("val").cast("double"))
+    m = v.groupBy("label", "dim").agg(F.round(F.avg("val"), 6).alias("mv"))
+    return m.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+            lambda s: s.mv,
+        ).alias("pooled"),
+    )
