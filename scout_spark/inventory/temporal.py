@@ -538,3 +538,47 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_gap",
         F.last("hr_avg", ignorenulls=True).over(w).alias("value_filled"),
     )
+
+
+@register(
+    "cohort_monthly_retention",
+    "Cohort retention matrix over orders: each customer's cohort is "
+    "their first order month (one min-agg), activity rows join back "
+    "(broadcast-able dim of (customer, cohort)), and the matrix counts "
+    "distinct active customers per (cohort_month, months_since). Two "
+    "shuffles total — cohort agg on custkey, matrix agg on the "
+    "(cohort, offset) pair; months_since via exact month arithmetic "
+    "(year*12+month), no date subtraction FP.",
+    oracle="""
+      WITH first_order AS (
+        SELECT o_custkey,
+               min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+        FROM orders GROUP BY o_custkey
+      ),
+      activity AS (
+        SELECT o.o_custkey, f.cohort_m,
+               (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m
+                 AS months_since
+        FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+      )
+      SELECT cohort_m, months_since,
+             count(DISTINCT o_custkey) AS active_customers
+      FROM activity
+      WHERE months_since <= 12
+      GROUP BY cohort_m, months_since
+    """,
+)
+def cohort_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    month_idx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first = o.groupBy("o_custkey").agg(F.min(month_idx).alias("cohort_m"))
+    activity = o.join(first, "o_custkey").select(
+        "o_custkey",
+        "cohort_m",
+        (month_idx - F.col("cohort_m")).alias("months_since"),
+    )
+    return (
+        activity.where(F.col("months_since") <= 12)
+        .groupBy("cohort_m", "months_since")
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+    )
