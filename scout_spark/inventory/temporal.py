@@ -582,3 +582,45 @@ def cohort_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_m", "months_since")
         .agg(F.countDistinct("o_custkey").alias("active_customers"))
     )
+
+
+@register(
+    "basket_part_cooccurrence",
+    "Market-basket co-occurrence (the A-Priori candidate-pair step): "
+    "parts appearing in the same order, via an orderkey self-join with "
+    "partkey ordering to halve the pair space, counted and top-25 with "
+    "a deterministic tie-break. The self-join co-partitions on "
+    "orderkey (one shuffle reused by both sides); per-order fanout is "
+    "bounded by basket size squared, the algorithm's intrinsic cost.",
+    oracle="""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      )
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      ORDER BY n_orders DESC, part_a, part_b
+      LIMIT 25
+    """,
+)
+def basket_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(25)
+    )
