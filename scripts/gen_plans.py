@@ -36,6 +36,11 @@ GALLERY = [
     "merge_into_upsert_delete",
     "events_transition_matrix",
     "ingest_osm_pbf_roundtrip",
+    "layout_zorder_key",
+    "embedding_mean_pool_by_label",
+    "quality_constraint_report",
+    "cohort_monthly_retention",
+    "basket_part_cooccurrence",
 ]
 
 
