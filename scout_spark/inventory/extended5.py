@@ -146,3 +146,42 @@ def scalar_levenshtein_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "c_name", "c_custkey")
         .limit(25)
     )
+
+
+@register(
+    "agg_histogram_width_bucket",
+    "Equi-width histogram of order totals via width_bucket (oracle "
+    "spells out the same edge arithmetic — DuckDB 1.0 lacks the "
+    "function) — the "
+    "profiling primitive behind every data-distribution dashboard. "
+    "Bucket assignment is row-local; one map-side-combined agg on the "
+    "bucket id. Identical bucket edges on both engines (integer bucket "
+    "count over an explicit [0, 600000) range — no data-dependent "
+    "min/max pass needed).",
+    oracle="""
+      SELECT CASE WHEN o_totalprice < 0 THEN 0
+                  WHEN o_totalprice >= 600000 THEN 31
+                  ELSE floor(o_totalprice / 20000)::BIGINT + 1 END AS bucket,
+             count(*) AS n,
+             round(min(o_totalprice), 2) AS lo,
+             round(max(o_totalprice), 2) AS hi
+      FROM orders
+      GROUP BY 1
+    """,
+)
+def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(30)).alias(
+                "bucket"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
