@@ -57,6 +57,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer division — double division loses µs precision on
             # int64 nanosecond values (> 2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            # µs-precision parquet timestamps with isAdjustedToUTC=false
+            # infer as TIMESTAMP_NTZ under Spark 4, which rejects the
+            # epoch arithmetic (cast to double/unix_micros) the temporal
+            # operators use. The session runs in UTC (session.py), so the
+            # NTZ→LTZ cast reinterprets the same wall-clock instant DuckDB
+            # sees when it reads the naive column — parity-preserving.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     _df_cache[key] = df
     return df
 
