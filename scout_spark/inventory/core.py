@@ -26,6 +26,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _th(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` + ``widen_if_narrow`` — for PER-ROW-HEAVY kernels (pandas
+    UDF signatures, JSON parsing, wide scoring expression trees) whose
+    cost is row compute, not scan/shuffle. Single-row-group bench files
+    arrive as ONE input partition and would serialize the kernel on one
+    core; a 100 TB scan has thousands of splits and passes through
+    untouched (the gate is the actual partition count)."""
+    from scout_spark.sources.tables import widen_if_narrow
+
+    return widen_if_narrow(_t(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------- A4: groupBy/agg
 @register(
     "agg_pricing_summary",
@@ -575,7 +587,7 @@ def scalar_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    e = _th(spark, sf_dir, "events")  # Jackson parse per row — widen
     k = F.get_json_object("props", "$.k").try_cast("int")
     return e.groupBy("event_type").agg(
         F.round(F.avg(k), 6).alias("avg_k"), F.count(F.lit(1)).alias("n")

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scout_spark.inventory import register
-from scout_spark.inventory.core import _t
+from scout_spark.inventory.core import _t, _th
 
 _SIMHASH_BITS = 32
 _BANDS = 8  # 4-bit bands; exact for hamming <= _BANDS - 2
@@ -104,7 +104,7 @@ def _simhash(text: Column) -> Column:
     """,
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     sigs = d.select(F.col("doc_id"), _simhash(F.col("text")).alias("simhash")).where(
         F.size(F.array_distinct(_tokens(F.col("text")))) >= _MIN_TOKENS
     )
@@ -226,7 +226,7 @@ def _minhash_md5_signature(text: Column) -> Column:
     """,
 )
 def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     return (
         d.orderBy("doc_id")
         .limit(100)

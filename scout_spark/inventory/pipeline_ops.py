@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from scout_spark.functions.text import word_shingles_arrow
 from scout_spark.inventory import register
-from scout_spark.inventory.core import _t
+from scout_spark.inventory.core import _t, _th
 from scout_spark.inventory.text_ops import _canon_sql, _tokens_sql  # noqa: F401
 
 # Word-shingle width for contamination detection (5-grams are the
@@ -62,7 +62,7 @@ _SHINGLES_SQL = f"""
     """,
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select(
+    d = _th(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         word_shingles_arrow(_K)(F.col("text")).alias("sh"),
@@ -114,7 +114,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     parts = []
     for c in ["lang", "source", "n_chars", "doc_id"]:
         parts.append(
@@ -151,7 +151,7 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scout_spark.inventory.text_ops import _tokens_col
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _th(spark, sf_dir, "documents").select(
         "doc_id", F.explode(_tokens_col(F.col("text"))).alias("tok")
     )
     return (

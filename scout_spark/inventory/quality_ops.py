@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scout_spark.inventory import register
-from scout_spark.inventory.core import _t
+from scout_spark.inventory.core import _t, _th
 from scout_spark.inventory.hash_parity import _md5_32
 
 _TOK = "[a-z0-9]+"
@@ -73,7 +73,7 @@ _IMP_TARGET = ("spark", "stream", "query", "vector", "join")
     """,
 )
 def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
     base = d.select("doc_id", toks.alias("toks"))
     tok_stats = base.select(
@@ -159,7 +159,7 @@ def _pii_sql(expr: str) -> str:
     """,
 )
 def pii_redaction_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     raw = F.concat(
         F.col("text"),
         F.when(
@@ -238,7 +238,7 @@ def pii_redaction_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
     target = F.array(*[F.lit(t) for t in _IMP_TARGET])
 
@@ -295,7 +295,7 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pack_chunks_training(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
     t = d.select(
         "doc_id",
@@ -364,7 +364,7 @@ _SPAN = 10  # tokens per dedup span (C4 dedupes three-sentence spans)
     """,
 )
 def dedup_span_exact_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0).alias(
@@ -456,7 +456,7 @@ _QW = (-2.0, 3.0, 0.4, -6.0, 0.35)  # bias, distinct_ratio, mean_len, digit, ln_
     """,
 )
 def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
     t = d.select("doc_id", "text", toks.alias("toks")).where(
         F.size("toks") > 0
@@ -530,7 +530,7 @@ _MIX_TARGET = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125, "zh": 0.125}
     """,
 )
 def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     stats = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     total = stats.agg(F.sum("n").alias("total"))
     target = F.when(F.col("lang") == "en", F.lit(0.5)).otherwise(F.lit(0.125))
@@ -585,7 +585,7 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quality_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
     tok = d.select("doc_id", "lang", F.explode(toks).alias("tok"))
     counts = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
@@ -674,7 +674,7 @@ def quality_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
     f = d.select("doc_id", "lang", "text", toks.alias("toks")).where(
         F.size("toks") > 0

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from scout_spark.functions.normalize import canon_ascii
 from scout_spark.inventory import register
-from scout_spark.inventory.core import _t
+from scout_spark.inventory.core import _t, _th
 
 FLAGSHIP_QUERY = "spark table merge fast"
 FLAGSHIP_TOKENS = ("spark", "table", "merge", "fast")
@@ -78,7 +78,7 @@ def _tokens_col(c) -> F.Column:
     """,
 )
 def flagship_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     pred = reduce(and_, [F.col("text").contains(t) for t in FLAGSHIP_TOKENS])
     qlen = len(FLAGSHIP_QUERY)
     qtoks = F.array(*[F.lit(t) for t in FLAGSHIP_TOKENS])
@@ -114,7 +114,7 @@ def flagship_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_wratio_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scout_spark.operators.fuzzy import best_sim_udf
 
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     pred = reduce(and_, [F.col("text").contains(t) for t in FLAGSHIP_TOKENS])
     sim = best_sim_udf([FLAGSHIP_QUERY])
     return (
@@ -178,7 +178,7 @@ def text_canon_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
     lower_toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
@@ -261,7 +261,7 @@ _LANG_SW_SQL = {
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scout_spark.functions.text import langid_expr
 
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.col("lang").alias("lang_label"),
@@ -329,7 +329,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select(
+    d = _th(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 50).cast("long").alias("bkt"),

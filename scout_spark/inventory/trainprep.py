@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scout_spark.inventory import register
-from scout_spark.inventory.core import _t
+from scout_spark.inventory.core import _t, _th
 from scout_spark.inventory.hash_parity import _md5_32
 from scout_spark.inventory.text_ops import _tokens_sql as _tokens_sql_cc
 
@@ -52,7 +52,7 @@ _FP_DOCS = 50  # cap the fingerprint check (arrays grow with text length)
     """,
 )
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     lower = F.lower(F.col("text"))
     bpe = F.regexp_extract_all(lower, F.lit(_BPE_PATTERN), 0)
     return d.select(
@@ -129,7 +129,7 @@ def _winnow_fingerprints(text: Column) -> Column:
     """,
 )
 def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     t = F.array_join(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0), " "
     )
@@ -190,7 +190,7 @@ def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scout_spark.inventory.text_ops import _tokens_col
     from scout_spark.operators.dedup import dedup_groups, jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     pairs = jaccard_pairs(
         d,
         "doc_id",
@@ -215,7 +215,7 @@ def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scout_spark.operators.multimodal import decode_media, pack_blobs
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _th(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"), "lang"
     )
     blobs = pack_blobs(d, "doc_id", "payload", kind="image", source_col="lang")
@@ -251,7 +251,7 @@ def dedup_minhash_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFra
 
     from scout_spark.operators.dedup import minhash_index_build, minhash_probe
 
-    d = _t(spark, sf_dir, "documents")
+    d = _th(spark, sf_dir, "documents")
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
     idx = os.path.join(tempfile.gettempdir(), f"scout_mh_index_{key}")
     if not os.path.exists(os.path.join(idx, "bands")):

@@ -69,6 +69,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_if_narrow(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition a NARROW scan before a per-row-heavy
+    kernel (pandas-UDF minhash/simhash, JSON parse, language-ID scoring).
+
+    Small benchmark files arrive as one parquet row group → a single
+    input partition, which serializes the expensive per-row stage on one
+    core while the rest of the executor idles. The repartition is gated
+    on the actual partition count: a production 100 TB scan has
+    thousands of file splits, so this is a no-op there and the plan
+    keeps its shuffle-free scan→kernel shape. The Exchange it inserts at
+    bench scale moves only the few-MB input once, and is repaid ~10× by
+    parallelizing the kernel (measured: minhash-LSH at sf0.1 2.9s → 0.8s).
+    """
+    sc = df.sparkSession.sparkContext
+    t = target or max(2, min(sc.defaultParallelism // 2, 16))
+    if df.rdd.getNumPartitions() >= t:
+        return df
+    return df.repartition(t)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
