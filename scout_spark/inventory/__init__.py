@@ -60,6 +60,11 @@ def load_all() -> dict[str, Item]:
         trainprep,
         quality_ops,
         ingest_ops,
+        # round-2 additions import LAST: rotation orders unchecked
+        # entries by registration index, so new operators queue behind
+        # the round-1 backlog instead of displacing it from the
+        # driver's ~50-query correctness window
+        retrieval,
     )
 
     return REGISTRY

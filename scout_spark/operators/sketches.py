@@ -1,0 +1,92 @@
+"""Mergeable frequency sketches (training-data pipeline extension).
+
+Misra-Gries heavy hitters, two-pass exact-verified:
+
+  pass 1 (sketch): each Arrow batch of the exploded token stream runs a
+    Misra-Gries summary with k counters — O(k) memory regardless of
+    batch size. Any item with global frequency > N/k must exceed the
+    local N_p/k threshold in at least one sub-stream (pigeonhole), and
+    Misra-Gries keeps every such item, so the union of per-batch
+    candidate keys is a SUPERSET of the true heavy hitters. The
+    candidate set is tiny (≤ k per batch, heavily overlapping).
+  pass 2 (verify): exact counts for candidate keys only (broadcast
+    semi-join prunes the stream), then filter count > N/k.
+
+The output therefore EQUALS the exact heavy-hitter set — the sketch
+only bounds the work, never the answer — which is what makes the
+operator oracle-checkable (plain GROUP BY ... HAVING on the oracle
+side) while still being the O(k)-memory shape that survives 100 TB:
+no full-cardinality groupBy ever happens; the only wide shuffle keys
+on the (small) candidate set.
+
+The reference engine has no sketch surface; this extends SURVEY.md §2's
+aggregation family per the build brief (dedup/quality ops operate on
+the same Zipf-shaped token streams).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_batch_candidates(k: int, item_col: str):
+    """mapInPandas kernel: Misra-Gries with k counters per batch,
+    emitting the surviving counter keys."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counters: dict[str, int] = {}
+            for item in pdf[item_col]:
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+            yield pd.DataFrame({item_col: list(counters.keys())})
+
+    return gen
+
+
+def heavy_hitters_exact(
+    items: DataFrame, item_col: str, k: int = 50
+) -> DataFrame:
+    """Items with frequency strictly greater than N/k, exactly.
+
+    ``items``: one row per occurrence (e.g. an exploded token stream).
+    Returns (item, n, share) — the exact heavy hitters with their exact
+    counts; ``share`` is n/N rounded to 6dp.
+    """
+    items = items.select(item_col)  # prune before the Arrow transfer
+    candidates = (
+        items.mapInPandas(
+            _mg_batch_candidates(k, item_col), schema=f"{item_col} string"
+        )
+        .distinct()
+    )
+    total = items.agg(F.count(F.lit(1)).alias("_n_total"))
+    counted = (
+        items.join(F.broadcast(candidates), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .where(F.col("n") * k > F.col("_n_total"))
+        .select(
+            item_col,
+            "n",
+            F.round(F.col("n") / F.col("_n_total"), 6).alias("share"),
+        )
+    )

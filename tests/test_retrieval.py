@@ -1,0 +1,112 @@
+"""Ground-truth tests for the retrieval/sketch operators: BM25 against
+an independent Python computation, heavy hitters against exact pandas
+counting (plus the Misra-Gries superset guarantee under adversarially
+small k)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from scout_spark.inventory import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def _py_tokens(text: str) -> list[str]:
+    import re
+
+    canon = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", (text or "").lower())).strip()
+    return [t for t in canon.split(" ") if t]
+
+
+def test_bm25_matches_python_reference(spark, registry):
+    got = {
+        r["doc_id"]: (r["bm25"], r["n_terms"])
+        for r in registry["bm25_topk_retrieval"].spark(spark, SF).collect()
+    }
+    docs = {
+        r["doc_id"]: _py_tokens(r["text"])
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    terms = ("spark", "table", "merge", "fast")
+    k1, b = 1.2, 0.75
+    dls = {d: len(t) for d, t in docs.items() if t}
+    n_docs = len(dls)
+    avgdl = sum(dls.values()) / n_docs
+    dfr = {
+        q: sum(1 for t in docs.values() if q in t) for q in terms
+    }
+    scores = {}
+    for d, toks in docs.items():
+        c = Counter(toks)
+        s, nt = 0.0, 0
+        for q in terms:
+            tf = c.get(q, 0)
+            if tf == 0:
+                continue
+            nt += 1
+            idf = math.log(1.0 + (n_docs - dfr[q] + 0.5) / (dfr[q] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dls[d] / avgdl))
+        if nt:
+            scores[d] = (round(s, 6), nt)
+    expected = dict(
+        sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    )
+    assert got == expected
+
+
+def test_heavy_hitters_exact_vs_pandas(spark, registry):
+    got = {
+        r["tok"]: (r["n"], r["share"])
+        for r in registry["sketch_heavy_hitter_tokens"].spark(spark, SF).collect()
+    }
+    toks = [
+        t
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("text")
+        .collect()
+        for t in _py_tokens(r["text"])
+    ]
+    c = Counter(toks)
+    n = len(toks)
+    expected = {
+        t: (cnt, round(cnt / n, 6)) for t, cnt in c.items() if cnt * 40 > n
+    }
+    assert got == expected
+    assert len(got) > 0  # the Zipf head must actually trigger
+
+
+def test_misra_gries_superset_guarantee_small_k(spark):
+    """Even with k barely above the true heavy-hitter count and a
+    skewed stream split across many partitions, the two-pass operator
+    still returns exactly the true heavy hitters."""
+    from scout_spark.operators.sketches import heavy_hitters_exact
+
+    rows = (
+        [("alpha",)] * 400 + [("beta",)] * 150 + [("gamma",)] * 90
+        + [(f"tail{i}",) for i in range(360)]
+    )
+    df = spark.createDataFrame(rows, "tok string").repartition(16)
+    n = len(rows)
+    for k in (4, 8, 64):
+        got = {
+            r["tok"]: r["n"]
+            for r in heavy_hitters_exact(df, "tok", k=k).collect()
+        }
+        expected = {
+            t: c
+            for t, c in Counter(x[0] for x in rows).items()
+            if c * k > n
+        }
+        assert got == expected, f"k={k}"
