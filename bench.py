@@ -58,6 +58,10 @@ HEADLINE = [
     # mixture sampling -> packing): Spark beats the DuckDB oracle on
     # the full composition at sf0.1 (2.03s vs 2.16s measured)
     "pipeline_curate_end_to_end",
+    # round 2: ranked retrieval + sketch + skew families
+    "bm25_topk_retrieval",
+    "sketch_heavy_hitter_tokens",
+    "join_salted_skew",
 ]
 
 # Iterative queries EXECUTE during plan construction (connected

@@ -65,6 +65,7 @@ def load_all() -> dict[str, Item]:
         # the round-1 backlog instead of displacing it from the
         # driver's ~50-query correctness window
         retrieval,
+        scale_ops,
     )
 
     return REGISTRY

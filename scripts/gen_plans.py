@@ -41,6 +41,9 @@ GALLERY = [
     "quality_constraint_report",
     "cohort_monthly_retention",
     "basket_part_cooccurrence",
+    "bm25_topk_retrieval",
+    "sketch_heavy_hitter_tokens",
+    "join_salted_skew",
 ]
 
 

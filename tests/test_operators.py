@@ -571,3 +571,39 @@ def test_cc_both_algorithms_match_union_find(spark, edges):
     }
     assert ml == expected
     assert tp == expected
+
+
+def test_salted_join_equals_plain_join_without_broadcast(spark):
+    """join_salted_skew: with autoBroadcast disabled (forcing the
+    SortMergeJoin path salting exists for), the salted plan must key on
+    (join key, _salt) and produce exactly the plain join's result."""
+    from scout_spark.operators.skew import salted_join
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice"
+    )
+    sup = spark.read.parquet(f"{sf}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        salted = salted_join(li, sup, key="s_suppkey", salt=8)
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "_salt" in plan
+        got = (
+            salted.groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+            .collect()
+        )
+        exp = (
+            li.join(sup, "s_suppkey")
+            .groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
