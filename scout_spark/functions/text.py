@@ -31,9 +31,11 @@ PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
 
 
 def whitespace_tokens(col: Column | str) -> Column:
-    """Whitespace tokenization: split on runs of whitespace, drop empties."""
+    """Whitespace tokenization: maximal non-whitespace runs (identical
+    to split-on-\\s+-minus-empties, in one codegen regex pass — the
+    filter HOF runs interpreted per element)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    return F.regexp_extract_all(c, F.lit(r"\S+"), 0)
 
 
 def token_count(col: Column | str) -> Column:

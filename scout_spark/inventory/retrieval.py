@@ -149,6 +149,61 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(toks, "tok", k=_HH_K)
 
 
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "chunk_documents_sliding",
+    "RAG-prep sliding-window chunking: each document becomes "
+    "ceil(dl/stride) overlapping 64-token chunks on a 48-token stride "
+    "(sequence -> explode -> slice -> reassemble). Row-local — no "
+    "shuffle at any scale; chunk identity is (doc_id, chunk_idx) and "
+    "the text round-trips through array_join so the value hash pins "
+    "tokenization + windowing cross-engine. Docs with no tokens emit "
+    "no chunks (sequence is gated on dl > 0 — Spark raises on "
+    "0-to--1 bounds where DuckDB range() returns []).",
+    oracle=f"""
+      WITH t AS (
+        SELECT doc_id, {_tokens_sql("text")} AS toks,
+               len({_tokens_sql("text")}) AS dl
+        FROM documents
+      )
+      SELECT doc_id,
+             (s // {_CHUNK_STRIDE}) AS chunk_idx,
+             s AS chunk_start,
+             len(list_slice(toks, s + 1, s + {_CHUNK_TOKENS})) AS n_chunk_tokens,
+             array_to_string(list_slice(toks, s + 1, s + {_CHUNK_TOKENS}), ' ')
+               AS chunk_text
+      FROM t, unnest(range(0, dl, {_CHUNK_STRIDE})) AS u(s)
+      WHERE dl > 0
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", _tokens_col(F.col("text")).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, _CHUNK_TOKENS)
+    return (
+        t.where(F.col("dl") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.col("dl") - 1, F.lit(_CHUNK_STRIDE))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.col("s").cast("long").alias("chunk_start"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
 @register(
     "bpe_train_merges",
     "Distributed BPE vocabulary training (operators/bpe.py, Sennrich "

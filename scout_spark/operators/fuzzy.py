@@ -81,8 +81,8 @@ def proxy_similarity_col(target_norm: Column, query_norm: Column) -> Column:
         F.lit(1.0) - F.try_divide(lev, F.greatest(F.length(t), F.length(q))),
         F.lit(0.0),
     )
-    ttoks = F.array_distinct(F.filter(F.split(t, " "), lambda x: x != ""))
-    qtoks = F.array_distinct(F.filter(F.split(q, " "), lambda x: x != ""))
+    ttoks = F.array_distinct(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
+    qtoks = F.array_distinct(F.regexp_extract_all(q, F.lit(r"\S+"), 0))
     isect = F.size(F.array_intersect(ttoks, qtoks))
     union = F.size(ttoks) + F.size(qtoks) - isect
     jac = F.when(union > 0, isect.cast("double") / union).otherwise(F.lit(0.0))

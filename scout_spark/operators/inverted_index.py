@@ -36,7 +36,7 @@ def build_token_index(
             pois.where(F.col(c).isNotNull())
             .select(
                 F.explode(
-                    F.filter(F.split(F.col(c), " "), lambda t: t != "")
+                    F.regexp_extract_all(F.col(c), F.lit(r"\S+"), 0)
                 ).alias("token"),
                 F.col(id_col).alias("id"),
             )
