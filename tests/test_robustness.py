@@ -39,3 +39,36 @@ def test_corrupt_json_payloads_null_not_fail(spark):
     assert got[2] is None and got[3] is None and got[4] is None
     bad = parsed.where(F.col("k").isNull()).count()
     assert bad == 3
+
+
+def test_load_table_normalizes_timestamp_ntz(spark, tmp_path):
+    """Driver-regenerated testdata can arrive as timestamp[us] with
+    isAdjustedToUTC=false (TIMESTAMP_NTZ under Spark 4), which rejects
+    the epoch arithmetic the temporal operators rely on. load_table must
+    surface plain UTC timestamps whatever the parquet flavor."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from scout_spark.sources.tables import load_table
+
+    sf_dir = str(tmp_path)
+    ts = pd.to_datetime(
+        ["2024-01-05 12:34:56.789012", "2024-02-01 00:00:00.000000"]
+    )
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),  # no tz → NTZ flavor
+        }
+    )
+    pq.write_table(table, f"{sf_dir}/events.parquet")
+    df = load_table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    # epoch arithmetic must work and preserve wall-clock µs exactly
+    got = df.orderBy("event_id").select(
+        F.unix_micros("ts").alias("us")
+    ).collect()
+    assert got[0]["us"] == 1704458096789012
+    assert got[1]["us"] == 1706745600000000

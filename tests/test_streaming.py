@@ -300,3 +300,115 @@ def test_stream_dedup_ingest(spark, tmp_path_factory):
     q2.awaitTermination(120)
     ids = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
     assert ids == [0, 11, 21]  # 10 dup-of-seed, 20 dup-of-11 both dropped
+
+
+def _have_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _have_protobuf(),
+    reason="transformWithState python worker needs google.protobuf "
+    "(absent in this container; see streaming/typed_state.py gate note)",
+)
+def test_transform_with_state_user_profiles(spark, events_batch, events_path):
+    """transformWithState (Spark 4 typed-state API): drained-stream
+    per-user profiles must equal the batch groupBy — total events,
+    distinct types, and the deterministic modal type."""
+    from scout_spark.streaming.typed_state import user_type_profiles
+
+    stream = read_events_stream(spark, events_path)
+    q = (
+        user_type_profiles(stream)
+        .writeStream.format("memory")
+        .queryName("t_typed_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_df = spark.table("t_typed_state").toPandas()
+    got = {
+        int(r.user_id): (
+            int(r.total_events),
+            int(r.n_event_types),
+            r.modal_type,
+            int(r.modal_count),
+        )
+        for r in got_df.itertuples()  # later rows overwrite → final state
+    }
+    per_type = (
+        events_batch.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    agg: dict[int, dict[str, int]] = {}
+    for r in per_type:
+        agg.setdefault(r["user_id"], {})[r["event_type"]] = r["n"]
+    exp = {}
+    for uid, counts in agg.items():
+        modal_type, modal_count = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        exp[uid] = (sum(counts.values()), len(counts), modal_type, modal_count)
+    assert got == exp
+
+
+def test_user_type_profile_processor_logic_with_stub_state():
+    """The TWS runtime needs protobuf (absent here), but the processor's
+    per-key logic is pure Python — pin it against stub state objects so
+    the operator is verified up to the API boundary."""
+    import pandas as pd
+
+    from scout_spark.streaming.typed_state import UserTypeProfile
+
+    class StubValue:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class StubMap:
+        def __init__(self):
+            self.d = {}
+
+        def containsKey(self, k):
+            return k in self.d
+
+        def getValue(self, k):
+            return self.d[k]
+
+        def updateValue(self, k, v):
+            self.d[k] = v
+
+        def iterator(self):
+            return iter(self.d.items())
+
+    p = UserTypeProfile()
+    p._counts, p._total = StubMap(), StubValue()
+    batch1 = pd.DataFrame({"event_type": ["view", "view", "click"]})
+    (out1,) = p.handleInputRows((7,), iter([batch1]), None)
+    assert out1.iloc[0].to_dict() == {
+        "user_id": 7, "total_events": 3, "n_event_types": 2,
+        "modal_type": "view", "modal_count": 2,
+    }
+    # second micro-batch accumulates; modal tie (view=2, click=2) breaks
+    # lexicographically to 'click'
+    batch2 = pd.DataFrame({"event_type": ["click"]})
+    (out2,) = p.handleInputRows((7,), iter([batch2]), None)
+    assert out2.iloc[0].to_dict() == {
+        "user_id": 7, "total_events": 4, "n_event_types": 2,
+        "modal_type": "click", "modal_count": 2,
+    }
