@@ -66,6 +66,16 @@ _HH_K = 40  # heavy hitter threshold: freq > N/40
     """,
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_all_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _bm25_all_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every matching doc as (doc_id, bm25, n_terms), unordered —
+    shared by the top-k entry and the rerank composition."""
     from scout_spark.functions.normalize import canon_ascii
 
     d = _t(spark, sf_dir, "documents")
@@ -113,10 +123,103 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = term if w is None else w + term
         m = (tf > 0).cast("long")
         nt = m if nt is None else nt + m
-    return (
-        scored.where(nt > 0)
-        .select("doc_id", F.round(w, 6).alias("bm25"), nt.alias("n_terms"))
+    return scored.where(nt > 0).select(
+        "doc_id", F.round(w, 6).alias("bm25"), nt.alias("n_terms")
+    )
+
+
+_RERANK_QUERY = "spark table merge fast"  # == FLAGSHIP_QUERY (text_ops)
+
+# DuckDB rendering of canon_ascii over the 80-char head (matches
+# text_ops._canon_sql applied to substr)
+_HEAD_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(coalesce(substr(d.text, 1, 80),"
+    " '')), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+_HEAD_TOKS_SQL = "list_distinct(list_filter(string_split(head, ' '), x -> x <> ''))"
+
+
+@register(
+    "rerank_bm25_then_proxy",
+    "Two-phase retrieval (the reference's filter-then-verify pattern, "
+    "repo.py:48-71, applied to ranked search): BM25 selects a "
+    "deterministic top-50 candidate set (posting-only, cheap), then the "
+    "per-candidate verifier — the oracle-expressible proxy of the X3 "
+    "fuzzy kernel (levenshtein + distinct-token Jaccard on the 80-char "
+    "canonical head, operators/fuzzy.py::proxy_similarity) — reranks "
+    "ONLY those 50 after a join back to the text. At 100 TB the verify "
+    "cost is candidate-bounded, not corpus-bounded, exactly like the "
+    "reference's two-phase geocode.",
+    oracle=f"""
+      WITH dl AS (
+        SELECT doc_id, {_tokens_sql("text")} AS toks,
+               len({_tokens_sql("text")}) AS dl
+        FROM documents
+      ),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl WHERE dl > 0),
+      posting AS (
+        SELECT doc_id, dl, tok, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+        WHERE tok IN ('spark', 'table', 'merge', 'fast')
+        GROUP BY doc_id, dl, tok
+      ),
+      dfreq AS (SELECT tok, count(*) AS dfr FROM posting GROUP BY tok),
+      bm25_scored AS (
+        SELECT p.doc_id,
+               round(sum(
+                 ln(1.0 + (s.n_docs - f.dfr + 0.5) / (f.dfr + 0.5))
+                 * p.tf * ({_BM25_K1} + 1.0)
+                 / (p.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * p.dl / s.avgdl))
+               ), 6) AS bm25
+        FROM posting p JOIN dfreq f USING (tok) CROSS JOIN stats s
+        GROUP BY p.doc_id
+      ),
+      cand AS (
+        SELECT doc_id, bm25 FROM bm25_scored
+        ORDER BY bm25 DESC, doc_id LIMIT 50
+      ),
+      heads AS (
+        SELECT c.doc_id, c.bm25, {_HEAD_SQL} AS head
+        FROM cand c JOIN documents d USING (doc_id)
+      ),
+      verified AS (
+        SELECT doc_id, bm25,
+               0.5 * (1.0 - levenshtein(head, '{_RERANK_QUERY}')::DOUBLE
+                      / greatest(length(head), {len(_RERANK_QUERY)}))
+             + 0.5 * (len(list_intersect({_HEAD_TOKS_SQL},
+                                         ['spark','table','merge','fast']))::DOUBLE
+                      / (len({_HEAD_TOKS_SQL}) + 4
+                         - len(list_intersect({_HEAD_TOKS_SQL},
+                                              ['spark','table','merge','fast']))))
+                 AS proxy
+        FROM heads
+      )
+      SELECT doc_id, bm25, round(0.6 * bm25 + 0.4 * proxy, 6) AS final_score
+      FROM verified
+      ORDER BY final_score DESC, doc_id
+      LIMIT 10
+    """,
+)
+def rerank_bm25_then_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.functions.normalize import canon_ascii
+    from scout_spark.operators.fuzzy import proxy_similarity
+
+    d = _t(spark, sf_dir, "documents")
+    cand50 = (
+        _bm25_all_scored(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+    )
+    head = canon_ascii(F.substring("text", 1, 80))
+    proxy = proxy_similarity(head, _RERANK_QUERY)
+    return (
+        cand50.join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(0.6 * F.col("bm25") + 0.4 * proxy, 6).alias("final_score"),
+        )
+        .orderBy(F.col("final_score").desc(), "doc_id")
         .limit(10)
     )
 
