@@ -45,3 +45,98 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "quality_outlier_mad",
+    "Robust per-group outlier detection: median absolute deviation of "
+    "document length per language, flagging docs beyond 2 MADs. Two "
+    "tiny per-lang aggregates (exact interpolated medians — Spark "
+    "percentile ≙ DuckDB quantile_cont) broadcast back onto the scan; "
+    "the corpus-side work is two joinless passes. At 100 TB the exact "
+    "median swaps for percentile_approx with the same plan shape.",
+    oracle="""
+      WITH med AS (
+        SELECT lang, quantile_cont(n_chars, 0.50) AS med
+        FROM documents GROUP BY lang
+      ),
+      mad AS (
+        SELECT d.lang, any_value(m.med) AS med,
+               quantile_cont(abs(d.n_chars - m.med), 0.50) AS mad
+        FROM documents d JOIN med m ON d.lang = m.lang
+        GROUP BY d.lang
+      )
+      SELECT d.doc_id, d.lang, d.n_chars,
+             round(abs(d.n_chars - s.med) / nullif(s.mad, 0), 4) AS n_mads
+      FROM documents d JOIN mad s ON d.lang = s.lang
+      WHERE abs(d.n_chars - s.med) > 2 * s.mad
+    """,
+)
+def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.50)).alias("med")
+    )
+    dev = d.join(F.broadcast(med), "lang").select(
+        "lang", "med", F.abs(F.col("n_chars") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("lang").agg(
+        F.any_value("med").alias("med"),
+        F.percentile("adev", F.lit(0.50)).alias("mad"),
+    )
+    return (
+        d.join(F.broadcast(mad), "lang")
+        .where(F.abs(F.col("n_chars") - F.col("med")) > 2 * F.col("mad"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(
+                F.try_divide(
+                    F.abs(F.col("n_chars") - F.col("med")),
+                    F.nullif(F.col("mad"), F.lit(0.0)),
+                ),
+                4,
+            ).alias("n_mads"),
+        )
+    )
+
+
+@register(
+    "kmeans_cluster_profile",
+    "Distributed Lloyd's k-means over the embedding column (operators/"
+    "kmeans.py) — the TRAINED coarse quantizer the IVF index's hash-"
+    "sampled stand-in defers to. Per iteration: broadcast-closure numpy "
+    "assignment (one matmul/argmax per Arrow batch), then a single "
+    "groupBy with dim scalar avg() aggregates (JVM map-side partial "
+    "agg — the shuffle carries k·dim partial sums, never vectors). "
+    "Returns per-cluster sizes + mean intra-cluster cosine distance. "
+    "Rows-only: the training loop is iterative (driver holds k·dim "
+    "floats); determinism and monotone inertia pinned in "
+    "tests/test_kmeans.py against an exact numpy replica.",
+    tags=("rows-only",),
+)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from scout_spark.operators.kmeans import kmeans_assign, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=8, n_iters=4)
+    assigned = kmeans_assign(e, cents)
+    norms = np.linalg.norm(cents, axis=1)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            "cluster",
+            "n_vectors",
+            F.round(
+                F.element_at(
+                    F.array(*[F.lit(float(x)) for x in norms]),
+                    F.col("cluster").cast("int") + 1,
+                ),
+                6,
+            ).alias("centroid_l2_norm"),
+        )
+    )
