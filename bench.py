@@ -62,6 +62,9 @@ HEADLINE = [
     "bm25_topk_retrieval",
     "sketch_heavy_hitter_tokens",
     "join_salted_skew",
+    "rerank_bm25_then_proxy",
+    "chunk_documents_sliding",
+    "quality_outlier_mad",
 ]
 
 # Iterative queries EXECUTE during plan construction (connected

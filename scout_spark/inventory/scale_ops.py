@@ -103,6 +103,27 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_kmeans_topk",
+    "IVF ANN probed with TRAINED k-means centroids (operators/kmeans.py "
+    "feeding operators/ann.py::ivf_topk) instead of the hash-ranked "
+    "sample — the full production shape: Lloyd rounds give tighter "
+    "cells, so the same nprobe reads fewer wrong-cell candidates. "
+    "Rows-only (iterative training); recall vs brute force pinned in "
+    "tests/test_kmeans.py.",
+    tags=("rows-only",),
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.ann import ivf_topk
+    from scout_spark.operators.kmeans import kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=8, n_iters=3)
+    return ivf_topk(
+        e, query_vec_id=100, k=10, nprobe=2, centroid_matrix=cents
+    )
+
+
+@register(
     "kmeans_cluster_profile",
     "Distributed Lloyd's k-means over the embedding column (operators/"
     "kmeans.py) — the TRAINED coarse quantizer the IVF index's hash-"

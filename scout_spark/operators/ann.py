@@ -244,15 +244,27 @@ def ivf_topk(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroid_matrix=None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
     query, exact cosine within their cells only (candidate fraction ≈
-    nprobe/n_centroids)."""
+    nprobe/n_centroids). ``centroid_matrix``: optional pre-TRAINED
+    (k × dim) numpy centroids (operators/kmeans.py::kmeans_fit) — when
+    given, the hash-ranked sampling stand-in is skipped entirely."""
     import numpy as np
 
-    cent_ids, cent_unit = _sample_centroid_arrays(
-        embeddings, n_centroids, vec_col, id_col
-    )
+    if centroid_matrix is not None:
+        mat = np.asarray(centroid_matrix, dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        cent_ids, cent_unit = (
+            np.arange(len(mat), dtype=np.int64),
+            mat / norms[:, None],
+        )
+    else:
+        cent_ids, cent_unit = _sample_centroid_arrays(
+            embeddings, n_centroids, vec_col, id_col
+        )
     qv = embeddings.where(F.col(id_col) == query_vec_id).select(vec_col).head()[
         vec_col
     ]

@@ -96,3 +96,24 @@ def test_kmeans_profile_entry_runs(spark):
     assert len(rows) >= 1
     assert sum(r["n_vectors"] for r in rows) > 0
     assert all(r["centroid_l2_norm"] > 0 for r in rows)
+
+
+def test_ivf_with_trained_centroids_recall(spark):
+    """IVF probed with k-means centroids must keep recall@10 >= the
+    hash-sampled variant's pinned floor against brute force."""
+    from scout_spark.inventory import load_all
+    from scout_spark.operators.ann import brute_force_topk
+
+    reg = load_all()
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = [r["vec_id"] for r in reg["ann_ivf_kmeans_topk"].spark(spark, SF).collect()]
+    assert len(got) == 10
+    q = e.where("vec_id = 100").select(
+        e["embedding"].alias("qv")
+    )
+    exact = [
+        r["vec_id"]
+        for r in brute_force_topk(e, q, k=10, exclude_id=100).collect()
+    ]
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.5, (recall, got, exact)
