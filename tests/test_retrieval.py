@@ -110,3 +110,82 @@ def test_misra_gries_superset_guarantee_small_k(spark):
             if c * k > n
         }
         assert got == expected, f"k={k}"
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_texts = st.lists(
+    st.text(alphabet="abc XY.9", min_size=0, max_size=400),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts)
+def test_chunking_invariants(spark, texts):
+    """For arbitrary text: chunks start every 48 tokens, every chunk has
+    1..64 tokens, consecutive chunks overlap by exactly 16, and the
+    stride-aligned reassembly reproduces the document's token list."""
+    import re
+
+    df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long",
+    )
+    from pyspark.sql import functions as F
+
+    from scout_spark.inventory.retrieval import _CHUNK_STRIDE, _CHUNK_TOKENS
+    # chunk_documents loads parquet by sf_dir, so replicate its exact
+    # expressions over this in-memory frame
+    from scout_spark.inventory.text_ops import _tokens_col
+
+    t = df.select("doc_id", _tokens_col(F.col("text")).alias("toks")).withColumn(
+        "dl", F.size("toks")
+    )
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, _CHUNK_TOKENS)
+    out = (
+        t.where(F.col("dl") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.col("dl") - 1, F.lit(_CHUNK_STRIDE))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s").alias("chunk_start"),
+            F.size(chunk).alias("n"),
+            chunk.alias("chunk"),
+        )
+        .collect()
+    )
+    pytoks = {
+        i: re.findall("[a-z0-9]+", t.lower()) for i, t in enumerate(texts)
+    }
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, toks in pytoks.items():
+        rows = sorted(by_doc.get(doc_id, []), key=lambda r: r["chunk_start"])
+        if not toks:
+            assert rows == []
+            continue
+        starts = [r["chunk_start"] for r in rows]
+        assert starts == list(range(0, len(toks), _CHUNK_STRIDE))
+        for r in rows:
+            s = r["chunk_start"]
+            assert list(r["chunk"]) == toks[s : s + _CHUNK_TOKENS]
+            assert 1 <= r["n"] <= _CHUNK_TOKENS
+        # stride-aligned reassembly: first 48 tokens of each chunk,
+        # concatenated, reproduce the document token list exactly
+        reassembled = [
+            tok for r in rows for tok in list(r["chunk"])[:_CHUNK_STRIDE]
+        ]
+        assert reassembled == toks
