@@ -326,3 +326,45 @@ def bpe_train_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, schema="rank int, left string, right string, pair_freq long"
     )
+
+
+@register(
+    "bpe_encode_compression",
+    "Corpus tokenization with the trained BPE table (operators/bpe.py::"
+    "bpe_encode_udf): train 12 merges, broadcast the merge ranks into an "
+    "Arrow-batched encoder over the DISTINCT-WORD table (encode each "
+    "word once, weight by frequency — vocabulary-bounded work, the same "
+    "trick as training), and report per-corpus compression: words, "
+    "chars, BPE tokens, chars-per-token. Rows-only (depends on the "
+    "iteratively trained table); encode round-trip invariants pinned in "
+    "tests/test_bpe.py.",
+    tags=("rows-only",),
+)
+def bpe_encode_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.bpe import (
+        bpe_encode_udf,
+        bpe_train,
+        word_frequencies,
+    )
+
+    d = _th(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", n_merges=12)
+    enc = bpe_encode_udf(merges)
+    wf = word_frequencies(d, "text")
+    per_word = wf.select(
+        "freq",
+        F.length("word").alias("n_chars"),
+        F.size(enc(F.col("word"))).alias("n_bpe"),
+    )
+    return per_word.agg(
+        F.sum("freq").alias("n_words"),
+        F.sum(F.col("freq") * F.col("n_chars")).alias("n_chars"),
+        F.sum(F.col("freq") * F.col("n_bpe")).alias("n_bpe_tokens"),
+        F.round(
+            F.try_divide(
+                F.sum(F.col("freq") * F.col("n_chars")),
+                F.sum(F.col("freq") * F.col("n_bpe")),
+            ),
+            6,
+        ).alias("chars_per_token"),
+    )

@@ -33,3 +33,25 @@ def write_parquet_sorted(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_jsonl(df, path: str, compression: str | None = None) -> None:
+    """Line-delimited JSON sink (the interchange format LLM-corpus
+    pipelines exchange shards in). Spark's json writer escapes newlines/
+    quotes inside values, so free text round-trips losslessly; one file
+    per partition — at 100 TB this is the sharded-corpus layout."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark, path: str, schema=None):
+    """Read a JSONL corpus. ALWAYS pass the schema in production — the
+    sampling-based inference pass over 100 TB is a full extra scan, and
+    inference widens absent fields to string. Falls back to inference
+    for ad-hoc exploration when schema is None."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
