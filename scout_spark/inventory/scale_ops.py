@@ -103,6 +103,43 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_cms_term_frequencies",
+    "Count-min sketch term-frequency estimation (operators/sketches.py"
+    "::cms_build/cms_estimates): one JVM-only groupBy builds the "
+    "depth×width counter table (shuffle bounded by the sketch size, "
+    "never the stream), point queries broadcast the sketch and take the "
+    "min counter. Emits estimate alongside the exact count for the four "
+    "flagship terms; rows-only (xxhash64 buckets aren't oracle-"
+    "reproducible) — the never-undercounts and ≤εN-overcount bounds are "
+    "pinned in tests/test_retrieval.py.",
+    tags=("rows-only",),
+)
+def sketch_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.inventory.core import _th
+    from scout_spark.inventory.text_ops import _tokens_col
+    from scout_spark.operators.sketches import cms_build, cms_estimates
+
+    d = _th(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tokens_col(F.col("text"))).alias("tok"))
+    sketch = cms_build(toks, "tok", width=2048, depth=4)
+    terms = spark.createDataFrame(
+        [("spark",), ("table",), ("merge",), ("fast",)], "tok string"
+    )
+    est = cms_estimates(sketch, terms, "tok", width=2048, depth=4)
+    exact = (
+        toks.join(F.broadcast(terms), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return est.join(exact, "tok", "left").select(
+        "tok",
+        "estimate",
+        F.coalesce("exact", F.lit(0)).alias("exact"),
+        (F.col("estimate") - F.coalesce("exact", F.lit(0))).alias("overcount"),
+    )
+
+
+@register(
     "ann_ivf_kmeans_topk",
     "IVF ANN probed with TRAINED k-means centroids (operators/kmeans.py "
     "feeding operators/ann.py::ivf_topk) instead of the hash-ranked "

@@ -80,6 +80,72 @@ def _pigeonhole_batch_candidates(k: int, item_col: str):
     return gen
 
 
+def cms_build(
+    items: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch as a (depth × width)-row counter table, built
+    with ONE fully-JVM groupBy: each occurrence lands in ``depth``
+    buckets (row d: xxhash64(item, d) mod width) and the shuffle moves
+    at most depth·width partial counts per map task (map-side combine)
+    regardless of stream size — the mergeable-summary shape: sketches of
+    shards union by summing counters."""
+    rows = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.col(item_col), F.lit(d)), width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return rows.groupBy("cell.d", "cell.bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def cms_estimates(
+    sketch: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for ``queries`` (one row per item):
+    min over rows of the item's counter. The sketch is depth·width rows
+    — broadcast; estimates NEVER undercount (CMS guarantee) and
+    overcount by ≤ εN with ε≈2/width at high probability."""
+    probes = queries.select(
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.col(item_col), F.lit(d)), width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(item_col, "cell.d", "cell.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("estimate"))
+    )
+
+
 def heavy_hitters_exact(
     items: DataFrame, item_col: str, k: int = 50, kernel: str = "pigeonhole"
 ) -> DataFrame:

@@ -189,3 +189,50 @@ def test_chunking_invariants(spark, texts):
             tok for r in rows for tok in list(r["chunk"])[:_CHUNK_STRIDE]
         ]
         assert reassembled == toks
+
+
+def test_cms_never_undercounts_and_bounded_overcount(spark):
+    """CMS guarantees: estimate >= true count for EVERY item; with
+    width=2048 over a small stream, overcount stays within eps*N
+    (eps ~= 2/width); and sketches of shards merged by summing counters
+    equal the whole-stream sketch."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from scout_spark.operators.sketches import cms_build, cms_estimates
+
+    rows = (
+        [("alpha",)] * 300 + [("beta",)] * 120 + [("gamma",)] * 45
+        + [(f"t{i}",) for i in range(500)]
+    )
+    truth = Counter(x[0] for x in rows)
+    n = len(rows)
+    df = spark.createDataFrame(rows, "tok string").repartition(8)
+    sketch = cms_build(df, "tok", width=2048, depth=4)
+    queries = spark.createDataFrame(
+        [(t,) for t in ["alpha", "beta", "gamma", "t0", "t499", "absent"]],
+        "tok string",
+    )
+    est = {
+        r["tok"]: r["estimate"]
+        for r in cms_estimates(sketch, queries, "tok", width=2048, depth=4).collect()
+    }
+    eps_n = 2.0 / 2048 * n * 4  # generous slack over the 2/width bound
+    for tok, e in est.items():
+        assert e >= truth.get(tok, 0), (tok, e)
+        assert e - truth.get(tok, 0) <= max(2, eps_n), (tok, e)
+    # mergeability: shard sketches summed == whole-stream sketch
+    half1 = spark.createDataFrame(rows[: n // 2], "tok string")
+    half2 = spark.createDataFrame(rows[n // 2 :], "tok string")
+    merged = (
+        cms_build(half1, "tok", width=2048, depth=4)
+        .unionByName(cms_build(half2, "tok", width=2048, depth=4))
+        .groupBy("d", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = {
+        (r["d"], r["bucket"]): r["n"] for r in sketch.collect()
+    }
+    got = {(r["d"], r["bucket"]): r["n"] for r in merged.collect()}
+    assert got == whole
