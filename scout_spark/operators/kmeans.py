@@ -58,8 +58,15 @@ def kmeans_fit(
     """Train k centroids with ``n_iters`` Lloyd rounds; returns the
     (k × dim) centroid matrix. Assignment metric is cosine (unit-norm
     matmul argmax), matching the IVF probe's metric."""
-    dim = len(embeddings.select(vec_col).head()[vec_col])
+    first = embeddings.select(vec_col).head()
+    if first is None:
+        raise ValueError("kmeans_fit: embeddings table is empty")
+    dim = len(first[vec_col])
     cents = _init_centroids(embeddings, k, vec_col, id_col)
+    if len(cents) < k:
+        raise ValueError(
+            f"kmeans_fit: k={k} exceeds the {len(cents)} available vectors"
+        )
     ids = np.arange(k, dtype=np.int64)
     for _ in range(n_iters):
         norms = np.linalg.norm(cents, axis=1)

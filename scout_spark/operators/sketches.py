@@ -147,7 +147,11 @@ def cms_estimates(
 
 
 def heavy_hitters_exact(
-    items: DataFrame, item_col: str, k: int = 50, kernel: str = "pigeonhole"
+    items: DataFrame,
+    item_col: str,
+    k: int = 50,
+    kernel: str = "pigeonhole",
+    share_scan: bool = True,
 ) -> DataFrame:
     """Items with frequency strictly greater than N/k, exactly.
 
@@ -155,12 +159,21 @@ def heavy_hitters_exact(
     Returns (item, n, share) — the exact heavy hitters with their exact
     counts; ``share`` is n/N rounded to 6dp. ``kernel``: 'pigeonhole'
     (vectorized, default) or 'misra-gries' (strict O(k) memory).
+
+    ``share_scan=True`` persists the item stream so the candidate pass
+    and the exact-verify pass read ONE materialization instead of
+    re-deriving it (e.g. re-tokenizing the corpus) — right whenever the
+    stream fits the cluster's storage tier. At 100 TB with no cache
+    headroom, pass False: both passes re-derive from the (cheap
+    columnar) source scan instead.
     """
     kern = {
         "pigeonhole": _pigeonhole_batch_candidates,
         "misra-gries": _mg_batch_candidates,
     }[kernel]
     items = items.select(item_col)  # prune before the Arrow transfer
+    if share_scan:
+        items = items.persist()
     candidates = (
         items.mapInPandas(
             kern(k, item_col), schema=f"{item_col} string"
