@@ -190,3 +190,40 @@ def test_shingles_empty_input_yields_empty_array(spark):
     assert _eval(spark, word_shingles(F.lit(""), 3)) == []
     assert _eval(spark, char_ngrams(F.lit("!!!"), 3)) == []
     assert _eval(spark, char_ngrams(F.lit(""), 3)) == []
+
+
+def test_tokenizer_extract_equals_canon_split_formulation(spark):
+    """The regexp_extract_all tokenizers must equal the original
+    canon+split+filter formulations on adversarial unicode input —
+    the 29x perf swap (see PLANS.md) must never change results."""
+    from pyspark.sql import functions as F
+
+    from scout_spark.functions.normalize import canon, canon_ascii, tokens
+    from scout_spark.inventory.text_ops import _tokens_col
+
+    rows = [
+        (0, "héllo wörld ÄÖÜ"),
+        (1, "中文 mixed ascii42"),
+        (2, "tabs\tand\nnewlines  spaces"),
+        (3, "punct!@#$%^&*()—…«»"),
+        (4, ""),
+        (5, None),
+        (6, "ǅunusual Ʊnicode ᵬodies ①②③"),
+        (7, "é combining å marks"),  # é / å decomposed
+        (8, "ALLCAPS lower 123 _under_score_"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    old_unicode = F.filter(F.split(canon(F.col("t")), " "), lambda x: x != "")
+    old_ascii = F.filter(
+        F.split(canon_ascii(F.col("t")), " "), lambda x: x != ""
+    )
+    got = df.select(
+        "id",
+        tokens(F.col("t")).alias("new_u"),
+        old_unicode.alias("old_u"),
+        _tokens_col(F.col("t")).alias("new_a"),
+        old_ascii.alias("old_a"),
+    ).collect()
+    for r in got:
+        assert list(r["new_u"]) == list(r["old_u"]), ("unicode", r["id"])
+        assert list(r["new_a"]) == list(r["old_a"]), ("ascii", r["id"])
