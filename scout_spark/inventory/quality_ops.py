@@ -283,14 +283,14 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
       )
       SELECT doc_id, lang, shard, n_tok,
-             coalesce(sum(n_tok) OVER (
+             (coalesce(sum(n_tok) OVER (
                PARTITION BY lang, shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               // {_PACK_CAPACITY} AS chunk_id,
-             coalesce(sum(n_tok) OVER (
+               // {_PACK_CAPACITY})::BIGINT AS chunk_id,
+             (coalesce(sum(n_tok) OVER (
                PARTITION BY lang, shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               % {_PACK_CAPACITY} AS tok_offset
+               % {_PACK_CAPACITY})::BIGINT AS tok_offset
       FROM t
     """,
 )
@@ -665,11 +665,11 @@ def quality_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                % {_PACK_SHARDS} AS shard,
              n_tok, round(score, 6) AS score,
-             coalesce(sum(n_tok) OVER (
+             (coalesce(sum(n_tok) OVER (
                PARTITION BY lang, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {_PACK_SHARDS}
                ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               // {_PACK_CAPACITY} AS chunk_id
+               // {_PACK_CAPACITY})::BIGINT AS chunk_id
       FROM accepted
     """,
 )

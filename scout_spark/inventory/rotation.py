@@ -76,41 +76,70 @@ _ROUND_1 = {
     "sql_parameterized_query",
 }
 
-def _driver_recorded_names() -> frozenset[str]:
-    """Union of keys across every CORRECTNESS_r*.json the driver has
-    written to the repo root — self-maintaining across rounds (the
-    hardcoded round-1 set remains as a fallback for environments where
-    the records are absent)."""
+def _scan_driver_records() -> tuple[frozenset[str], frozenset[str]]:
+    """(all recorded names, names whose LATEST record was red) across
+    every CORRECTNESS_r*.json the driver has written to the repo root —
+    self-maintaining across rounds (the hardcoded round-1 set remains as
+    a fallback for environments where the records are absent). A red
+    record (any of rows/schema/hash false, or an error) marks the name
+    for priority re-verification: it sorts right behind never-checked
+    entries so the fix actually re-enters the next driver window."""
     import glob
     import json
     import os
+    import re
 
     repo = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     names: set[str] = set(_ROUND_1)
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+    red: set[str] = set()
+    paths = sorted(
+        glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    for path in paths:
         try:
             with open(path) as f:
                 rec = json.load(f)
-            if isinstance(rec, dict):
-                names.update(k for k in rec if isinstance(k, str))
         except (OSError, ValueError):
             continue
-    return frozenset(names)
+        if not isinstance(rec, dict):
+            continue
+        for k, v in rec.items():
+            if not isinstance(k, str):
+                continue
+            names.add(k)
+            red.discard(k)  # a newer record supersedes an older red
+            if isinstance(v, dict):
+                # red = an oracle comparison that FAILED or an execution
+                # error; rows-only-by-design records carry err='no_oracle'
+                # with all match fields None — weaker signal, not a failure
+                failed = (
+                    v.get("rows_match") is False
+                    or v.get("schema_match") is False
+                    or v.get("hash_match") is False
+                    or v.get("err") not in (None, "no_oracle")
+                )
+                if failed:
+                    red.add(k)
+    return frozenset(names), frozenset(red)
 
 
-CHECKED_PRIOR_ROUNDS: frozenset[str] = _driver_recorded_names()
+CHECKED_PRIOR_ROUNDS, FAILED_PRIOR_ROUNDS = _scan_driver_records()
 
 
 def rotation_key(name: str, has_oracle: bool, reg_index: int):
-    """Sort key: unchecked first, oracle-backed before rows-only,
-    registration order within each group."""
-    return (
-        1 if name in CHECKED_PRIOR_ROUNDS else 0,
-        0 if has_oracle else 1,
-        reg_index,
-    )
+    """Sort key: never-checked first, then previously-red (needs
+    re-verification), then checked-green; oracle-backed before
+    rows-only; registration order within each group."""
+    if name not in CHECKED_PRIOR_ROUNDS:
+        tier = 0
+    elif name in FAILED_PRIOR_ROUNDS:
+        tier = 1
+    else:
+        tier = 2
+    return (tier, 0 if has_oracle else 1, reg_index)
 
 
 def ordered_names(registry) -> list[str]:

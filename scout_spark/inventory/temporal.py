@@ -205,14 +205,16 @@ def rollup_cascade_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(new_session) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING
-                                               AND CURRENT ROW) AS session_id
+                                               AND CURRENT ROW)::BIGINT
+                 AS session_id
         FROM flagged
       )
       SELECT user_id, session_id,
              count(*) AS n_events,
              min(ts) AS session_start,
              max(ts) AS session_end,
-             round(sum(value), 2) AS session_value
+             CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS session_value
       FROM sessions
       GROUP BY user_id, session_id
     """,
@@ -238,12 +240,20 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(gap > 1800, 1).otherwise(0).alias("new_session"),
     )
-    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wsum))
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wsum).cast("bigint")
+    )
+    # session_value sums in exact DECIMAL (value is 2dp-exact in the
+    # testdata) so the result is summation-order-insensitive — a plain
+    # double sum can land a half-cent tie on different sides per engine
+    # (driver hash-red r02; same pattern as tpch_classics2.py Q9/Q11/Q22).
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("session_value"),
     )
 
 

@@ -82,9 +82,9 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
       SELECT l.l_returnflag,
              sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                      THEN 1 ELSE 0 END) AS high_line_count,
+                      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
              sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                      THEN 1 ELSE 0 END) AS low_line_count
+                      THEN 1 ELSE 0 END)::BIGINT AS low_line_count
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
         AND l.l_shipdate <  TIMESTAMP '1998-01-01'

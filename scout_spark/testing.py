@@ -44,9 +44,14 @@ def _canon_cell(v) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<NULL>"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.10g}"
+        # Floats are rendered with an explicit float tag so an integral
+        # float64 (e.g. DuckDB HUGEINT sums, which .df() converts to
+        # float64) does NOT collapse to the int rendering — the driver's
+        # hash distinguishes int64 3 from float64 3.0, and the r02
+        # hash-reds (tpch_q12, sessionize) were exactly this class
+        # passing a looser local gate. Queries must cast dtypes to
+        # match on both sides (::BIGINT on DuckDB integer sums).
+        return f"f:{v:.10g}"
     if isinstance(v, (pd.Timestamp, _dt.datetime)):
         ts = pd.Timestamp(v)
         if ts.tzinfo is not None:
