@@ -18,7 +18,6 @@ table — same anti-join+union per partition.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -64,6 +63,9 @@ def upsert_pois(
             "batch source; synthetic row_number ids are not stable keys"
         )
     pois_path = os.path.join(gaz_dir, "pois")
+    from scout_spark.sources.maintenance import atomic_swap, recover_swap
+
+    recover_swap(pois_path)  # heal a crash inside a previous swap
     updates = build_pois(new_raw)
     existing = spark.read.parquet(pois_path)
     before = existing.count()
@@ -71,11 +73,7 @@ def upsert_pois(
     staging = pois_path + ".staging"
     write_parquet_sorted(merged, staging, sort_cols=["name_local_norm"])
     after = spark.read.parquet(staging).count()
-    old = pois_path + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(pois_path, old)
-    os.rename(staging, pois_path)
-    shutil.rmtree(old, ignore_errors=True)
+    atomic_swap(pois_path, staging)
     return before, after
 
 

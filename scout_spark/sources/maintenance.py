@@ -16,6 +16,38 @@ import shutil
 from pyspark.sql import SparkSession
 
 
+def atomic_swap(target: str, staging: str) -> None:
+    """Replace the directory at ``target`` with ``staging`` such that a
+    crash at ANY point leaves a readable table: either ``target`` still
+    holds the old data, or (for the one instant between the two renames)
+    ``target + '.old'`` does — ``recover_swap`` heals that window on the
+    next startup. Never a state where both old and new data are gone.
+    """
+    old = target + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(target):
+        os.rename(target, old)
+    os.rename(staging, target)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_swap(target: str) -> str | None:
+    """Heal a crash inside ``atomic_swap``: if ``target`` is missing but
+    ``target + '.old'`` survives (crash between the two renames), restore
+    it. Returns the action taken ('restored_old', 'cleaned_old', None).
+    Callers run this before reading the table at startup."""
+    old = target + ".old"
+    if not os.path.exists(target):
+        if os.path.exists(old):
+            os.rename(old, target)
+            return "restored_old"
+        return None
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
+        return "cleaned_old"
+    return None
+
+
 def parquet_file_stats(path: str) -> tuple[int, int]:
     """(n_data_files, total_bytes) for a parquet directory."""
     n, total = 0, 0
@@ -54,10 +86,6 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_cols)
     staging = path + ".compacting"
     out.write.mode("overwrite").parquet(staging)
-    old = path + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old, ignore_errors=True)
+    atomic_swap(path, staging)
     n_after, _ = parquet_file_stats(path)
     return n_before, n_after

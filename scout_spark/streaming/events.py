@@ -186,6 +186,9 @@ def upsert_sink_foreach_batch(
                 .drop("_rn", "_src")
             )
 
+        from scout_spark.sources.maintenance import atomic_swap, recover_swap
+
+        recover_swap(target_path)  # heal a crash inside a previous swap
         latest = batch_df.withColumn("_src", F.lit(1))
         if os.path.exists(target_path):
             # union then pick max-order per key: a late-arriving batch
@@ -197,17 +200,7 @@ def upsert_sink_foreach_batch(
         staging = target_path + ".staging"
         merged.write.mode("overwrite").parquet(staging)
         spark.read.parquet(staging).count()  # materialize before swapping
-        import shutil
-
-        # swap via rename-to-.old (matching upsert_pois/compact_parquet):
-        # a crash at any point leaves either the old or the new table at
-        # target_path — never a window where the path does not exist
-        old = target_path + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(target_path):
-            os.rename(target_path, old)
-        os.rename(staging, target_path)
-        shutil.rmtree(old, ignore_errors=True)
+        atomic_swap(target_path, staging)
 
     return (
         stream_df.writeStream.foreachBatch(merge_batch)

@@ -101,3 +101,72 @@ def test_jsonl_corpus_round_trip(spark, tmp_path):
     assert sorted(
         (r["doc_id"], r["text"], r["lang"]) for r in inferred.collect()
     ) == sorted(rows)
+
+
+class _CrashAt(Exception):
+    pass
+
+
+def _make_table(tmp_path, name, content):
+    import os
+
+    d = tmp_path / name
+    os.makedirs(d, exist_ok=True)
+    (d / "data.txt").write_text(content)
+    return str(d)
+
+
+@pytest.mark.parametrize("crash_step", [0, 1, 2])
+def test_atomic_swap_crash_at_every_step_leaves_table_recoverable(
+    tmp_path, monkeypatch, crash_step
+):
+    """Inject a crash before each os.rename inside atomic_swap (and after
+    the last): at every point either target or target.old holds a full
+    copy, and recover_swap restores target. The old rmtree-then-rename
+    sequence lost the table when a crash hit between the two steps."""
+    import os
+
+    from scout_spark.sources.maintenance import atomic_swap, recover_swap
+
+    target = _make_table(tmp_path, "table", "OLD")
+    staging = _make_table(tmp_path, "table.staging", "NEW")
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def crashing_rename(src, dst):
+        if calls["n"] == crash_step:
+            raise _CrashAt(f"crash before rename #{crash_step}")
+        calls["n"] += 1
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    if crash_step < 2:
+        with pytest.raises(_CrashAt):
+            atomic_swap(target, staging)
+    else:  # no crash: both renames run
+        atomic_swap(target, staging)
+    monkeypatch.undo()
+
+    # invariant: a full copy survives at target or target.old
+    recover_swap(target)
+    assert os.path.exists(target), f"table lost at crash step {crash_step}"
+    content = (tmp_path / "table" / "data.txt").read_text()
+    if crash_step == 0:
+        assert content == "OLD"  # crash before anything moved
+    elif crash_step == 1:
+        assert content == "OLD"  # crash mid-swap: .old restored
+    else:
+        assert content == "NEW"  # completed swap
+
+
+def test_recover_swap_cleans_stale_old_dir(tmp_path):
+    import os
+
+    from scout_spark.sources.maintenance import recover_swap
+
+    target = _make_table(tmp_path, "t2", "CURRENT")
+    _make_table(tmp_path, "t2.old", "STALE")
+    assert recover_swap(target) == "cleaned_old"
+    assert not os.path.exists(target + ".old")
+    assert (tmp_path / "t2" / "data.txt").read_text() == "CURRENT"
