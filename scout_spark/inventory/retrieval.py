@@ -73,11 +73,27 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_all_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every matching doc as (doc_id, bm25, n_terms), unordered —
-    shared by the top-k entry and the rerank composition."""
+# one persisted posting frame per (session, sf_dir) — repeated rotation
+# invocations (topk + rerank both call _bm25_all_scored) reuse ONE
+# materialization instead of stacking a new persist per call until
+# storage eviction. Keyed on the live session object; a stopped
+# session's entry is dropped on the next call with a fresh session.
+_PER_DOC_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scout_spark.functions.normalize import canon_ascii
 
+    key = (id(spark), sf_dir)
+    hit = _PER_DOC_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for stale in _PER_DOC_CACHE.values():  # at most one live materialization
+        try:
+            stale.unpersist()
+        except Exception:
+            pass  # session already stopped — blocks died with it
+    _PER_DOC_CACHE.clear()
     d = _t(spark, sf_dir, "documents")
     canon = canon_ascii(F.col("text"))
     dl = F.when(canon == "", F.lit(0)).otherwise(F.size(F.split(canon, " ")))
@@ -87,11 +103,19 @@ def _bm25_all_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exactly the whole-token occurrences the oracle's unnest path
         # counts ("sparkle" and "spark2" do not match \bspark\b)
         cols.append(F.regexp_count(canon, F.lit(rf"\b{q}\b")).alias(f"tf_{q}"))
+    per_doc = d.select(*cols).persist()
+    _PER_DOC_CACHE[key] = per_doc
+    return per_doc
+
+
+def _bm25_all_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every matching doc as (doc_id, bm25, n_terms), unordered —
+    shared by the top-k entry and the rerank composition."""
     # the per-doc posting frame is evaluated by BOTH the stats job and
     # the scoring job; persisting it means the corpus text is canonized/
     # counted once (measured at sf0.1: 1.8s -> 0.28s). The frame is the
     # narrow (id, dl, tf…) index — doc-count rows, a few ints each.
-    per_doc = d.select(*cols).persist()
+    per_doc = _bm25_per_doc(spark, sf_dir)
     stats = per_doc.where(F.col("dl") > 0).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),

@@ -168,27 +168,34 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assignment (one matmul/argmax per Arrow batch), then a single "
     "groupBy with dim scalar avg() aggregates (JVM map-side partial "
     "agg — the shuffle carries k·dim partial sums, never vectors). "
-    "Returns per-cluster sizes + mean intra-cluster cosine distance. "
-    "Rows-only: the training loop is iterative (driver holds k·dim "
-    "floats); determinism and monotone inertia pinned in "
-    "tests/test_kmeans.py against an exact numpy replica.",
+    "Returns per-cluster sizes, mean intra-cluster cosine distance, and "
+    "centroid L2 norm. Rows-only: the training loop is iterative "
+    "(driver holds k·dim floats); determinism and inertia behavior "
+    "pinned in tests/test_kmeans.py against an exact numpy replica.",
     tags=("rows-only",),
 )
 def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    from scout_spark.operators.kmeans import kmeans_assign, kmeans_fit
+    from scout_spark.operators.kmeans import (
+        kmeans_assign_with_distance,
+        kmeans_fit,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     cents = kmeans_fit(e, k=8, n_iters=4)
-    assigned = kmeans_assign(e, cents)
+    assigned = kmeans_assign_with_distance(e, cents)
     norms = np.linalg.norm(cents, axis=1)
     return (
         assigned.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("cos_dist"), 6).alias("mean_intra_cosine_dist"),
+        )
         .select(
             "cluster",
             "n_vectors",
+            "mean_intra_cosine_dist",
             F.round(
                 F.element_at(
                     F.array(*[F.lit(float(x)) for x in norms]),

@@ -166,32 +166,44 @@ def heavy_hitters_exact(
     stream fits the cluster's storage tier. At 100 TB with no cache
     headroom, pass False: both passes re-derive from the (cheap
     columnar) source scan instead.
+
+    The result is mathematically bounded at < k rows (at most k-1 items
+    can each exceed N/k occurrences), so it is evaluated EAGERLY inside
+    the function and the shared cache released in a finally — repeated
+    invocations no longer accumulate persisted blocks until eviction.
     """
     kern = {
         "pigeonhole": _pigeonhole_batch_candidates,
         "misra-gries": _mg_batch_candidates,
     }[kernel]
+    spark = items.sparkSession
     items = items.select(item_col)  # prune before the Arrow transfer
     if share_scan:
         items = items.persist()
-    candidates = (
-        items.mapInPandas(
-            kern(k, item_col), schema=f"{item_col} string"
+    try:
+        candidates = (
+            items.mapInPandas(
+                kern(k, item_col), schema=f"{item_col} string"
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    total = items.agg(F.count(F.lit(1)).alias("_n_total"))
-    counted = (
-        items.join(F.broadcast(candidates), item_col, "left_semi")
-        .groupBy(item_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return (
-        counted.crossJoin(F.broadcast(total))
-        .where(F.col("n") * k > F.col("_n_total"))
-        .select(
-            item_col,
-            "n",
-            F.round(F.col("n") / F.col("_n_total"), 6).alias("share"),
+        total = items.agg(F.count(F.lit(1)).alias("_n_total"))
+        counted = (
+            items.join(F.broadcast(candidates), item_col, "left_semi")
+            .groupBy(item_col)
+            .agg(F.count(F.lit(1)).alias("n"))
         )
-    )
+        result = (
+            counted.crossJoin(F.broadcast(total))
+            .where(F.col("n") * k > F.col("_n_total"))
+            .select(
+                item_col,
+                "n",
+                F.round(F.col("n") / F.col("_n_total"), 6).alias("share"),
+            )
+        )
+        rows = result.collect()  # < k rows by the N/k pigeonhole bound
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        if share_scan:
+            items.unpersist()

@@ -57,7 +57,12 @@ class UserTypeProfile(StatefulProcessor):
         touched: dict[str, int] = {}
         for pdf in rows:
             total += len(pdf)
-            for et, n in pdf.groupby("event_type").size().items():
+            # a null event_type still counts toward total_events, so it
+            # must also land in the per-type map (pandas groupby drops
+            # NaN groups silently) — map it to a sentinel type so
+            # total_events == sum(type counts) stays an invariant
+            et_col = pdf["event_type"].fillna("<null>")
+            for et, n in et_col.groupby(et_col).size().items():
                 cur = touched.get(et)
                 if cur is None:
                     cur = (
