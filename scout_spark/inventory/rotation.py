@@ -130,16 +130,24 @@ CHECKED_PRIOR_ROUNDS, FAILED_PRIOR_ROUNDS = _scan_driver_records()
 
 
 def rotation_key(name: str, has_oracle: bool, reg_index: int):
-    """Sort key: never-checked first, then previously-red (needs
-    re-verification), then checked-green; oracle-backed before
-    rows-only; registration order within each group."""
-    if name not in CHECKED_PRIOR_ROUNDS:
+    """Sort key tiers:
+
+    0. previously-red — a fixed failure MUST re-enter the window; it
+       sorts ahead of everything so no volume of newly registered
+       queries can push a red re-check past the ~50 cutoff
+    1. never-checked, oracle-backed — hard rows+schema+hash signal
+    2. never-checked, rows-only — weaker record by design
+    3. checked-green — rotate to the back
+
+    Registration order within each tier, so newly added operators queue
+    behind previously unchecked ones."""
+    if name in FAILED_PRIOR_ROUNDS:
         tier = 0
-    elif name in FAILED_PRIOR_ROUNDS:
-        tier = 1
+    elif name not in CHECKED_PRIOR_ROUNDS:
+        tier = 1 if has_oracle else 2
     else:
-        tier = 2
-    return (tier, 0 if has_oracle else 1, reg_index)
+        tier = 3
+    return (tier, reg_index)
 
 
 def ordered_names(registry) -> list[str]:

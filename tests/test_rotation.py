@@ -25,25 +25,24 @@ def test_unchecked_queries_fill_driver_window():
     order = ordered_names(registry)
     assert set(order) == set(registry), "rotation must be a permutation"
     unchecked = [n for n in registry if n not in CHECKED_PRIOR_ROUNDS]
-    # the first min(50, #unchecked) window slots are all unchecked names
-    # — once fewer than 50 remain unchecked, previously-checked names
-    # legitimately fill the window tail (red ones first, see below)
-    n_front = min(50, len(unchecked))
-    assert set(order[:n_front]) <= set(unchecked), (
-        "never-driver-checked queries must fill the window front"
-    )
-    assert set(order[: len(unchecked)]) == set(unchecked), (
-        "all unchecked names must precede every checked name"
-    )
-    # previously-red names re-enter the window immediately after the
-    # never-checked block so fixes actually get re-verified
     red_in_registry = [n for n in order if n in FAILED_PRIOR_ROUNDS]
-    tail = order[len(unchecked) : len(unchecked) + len(red_in_registry)]
-    assert set(tail) == set(red_in_registry), (
-        "previously-failed queries must sort directly behind unchecked ones"
+    # previously-red names lead the window outright — no volume of newly
+    # registered queries can push a red re-check past the ~50 cutoff
+    assert order[: len(red_in_registry)] == red_in_registry, (
+        "previously-failed queries must lead the window"
+    )
+    # then every unchecked name precedes every checked-green name
+    priority = set(unchecked) | set(red_in_registry)
+    assert set(order[: len(priority)]) == priority, (
+        "all unchecked names must precede every checked-green name"
+    )
+    # the first min(50, #priority) window slots are covered by them
+    n_front = min(50, len(priority))
+    assert set(order[:n_front]) <= priority, (
+        "red + never-driver-checked queries must fill the window front"
     )
     # within the unchecked block: oracle-backed (hard signal) first
-    block = order[: len(unchecked)]
+    block = order[len(red_in_registry) : len(priority)]
     first_rows_only = next(
         (i for i, n in enumerate(block) if registry[n].oracle is None), len(block)
     )
