@@ -21,10 +21,14 @@ QUERY_VEC_ID = 0
 @register(
     "ann_cosine_topk_bruteforce",
     "Brute-force cosine top-k over the embedding column — the exact ANN "
-    "baseline. The 1-row query side is broadcast; dot products run via "
-    "zip_with/aggregate higher-order functions (JVM-side, no Python); "
-    "TakeOrderedAndProject merges per-partition top-k. At 100 TB the scan "
-    "is embarrassingly parallel with no shuffle.",
+    "baseline. The query vector is resolved at plan-build time (one "
+    "pushed-down point lookup, the same driver-side parameter-resolve "
+    "pattern as the IVF centroid sample; bench.py reports it in "
+    "build_sec) and inlined as a literal, so execution is ONE job: a "
+    "joinless scan with zip_with/aggregate dot products (JVM-side, no "
+    "Python) into a TakeOrderedAndProject per-partition top-k merge. At "
+    "100 TB the scan is embarrassingly parallel with no shuffle and no "
+    "broadcast-build barrier.",
     oracle=f"""
       SELECT e.vec_id, e.label,
              round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
@@ -38,18 +42,19 @@ QUERY_VEC_ID = 0
 )
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv")
+    qv = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
     )
     return (
         e.where(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(q))
         .select(
             "vec_id",
             "label",
-            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.lit(qv)), 6
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
