@@ -66,6 +66,9 @@ def load_all() -> dict[str, Item]:
         # driver's ~50-query correctness window
         retrieval,
         scale_ops,
+        # round-3 additions (same queue-behind-the-backlog rule; the
+        # rotation now also guarantees red re-checks lead the window)
+        curation_ops,
     )
 
     return REGISTRY

@@ -6,11 +6,15 @@ Uses FastAPI+uvicorn when importable (the reference's stack); otherwise
 falls back to a stdlib ThreadingHTTPServer speaking the SAME wire
 contract — request body ``{"candidates": [{"text": ...}], "country",
 "city_hint", "limit"}`` (plain-string candidates also accepted),
-response ``{"hits": [...]}``, 422 on validation errors (FastAPI's
-code), timing headers on every response. Requests share the one
-long-lived SparkSession/engine (SURVEY.md §2.1 S3: singleton session
-replaces per-request connections); http.server's threading model
-mirrors FastAPI running sync endpoints on a threadpool.
+response ``{"hits": [...]}``, schema-validated 422s with FastAPI's
+``{"detail": [{"type", "loc", "msg", "input"}]}`` error envelope
+(plans/openapi.py::validate_forward), a generated OpenAPI 3.1 document
+at GET /openapi.json (mirroring the reference's pydantic-derived
+schema + openapi_examples, app.py:14-38,74-85), and timing headers on
+every response. Requests share the one long-lived SparkSession/engine
+(SURVEY.md §2.1 S3: singleton session replaces per-request
+connections); http.server's threading model mirrors FastAPI running
+sync endpoints on a threadpool.
 """
 
 from __future__ import annotations
@@ -19,8 +23,9 @@ import json
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from scout_spark.plans.api import ForwardRequest, forward_geocode
+from scout_spark.plans.api import forward_geocode
 from scout_spark.plans.geocode import ScoutEngine
+from scout_spark.plans.openapi import openapi_spec, validate_forward
 
 try:  # the reference's stack, when available
     import fastapi  # noqa: F401
@@ -28,21 +33,6 @@ try:  # the reference's stack, when available
     HAVE_FASTAPI = True
 except ImportError:
     HAVE_FASTAPI = False
-
-
-def _parse_forward_body(body: dict) -> ForwardRequest:
-    """reference app.py:14-23 (ForwardReq): candidates are objects with
-    a ``text`` field; bare strings accepted as a convenience."""
-    raw = body.get("candidates") or []
-    texts = [
-        c.get("text", "") if isinstance(c, dict) else str(c or "") for c in raw
-    ]
-    return ForwardRequest(
-        candidates=texts,
-        country=body.get("country"),
-        city_hint=body.get("city_hint"),
-        limit=int(body.get("limit", 5)),
-    )
 
 
 def make_handler(engine: ScoutEngine):
@@ -67,6 +57,8 @@ def make_handler(engine: ScoutEngine):
             t0 = time.perf_counter()
             if self.path == "/healthz":
                 self._respond(200, {"ok": True}, t0)
+            elif self.path == "/openapi.json":
+                self._respond(200, openapi_spec(), t0)
             else:
                 self._respond(404, {"detail": "Not Found"}, t0)
 
@@ -78,10 +70,20 @@ def make_handler(engine: ScoutEngine):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(length) or b"{}")
-                req = _parse_forward_body(body)
-            except (ValueError, TypeError, json.JSONDecodeError) as e:
-                # FastAPI validation-error status
-                self._respond(422, {"detail": str(e)}, t0)
+            except (ValueError, json.JSONDecodeError) as e:
+                # FastAPI wraps malformed JSON as a body-level 422 too
+                self._respond(
+                    422,
+                    {"detail": [{
+                        "type": "json_invalid", "loc": ["body"],
+                        "msg": f"JSON decode error: {e}", "input": None,
+                    }]},
+                    t0,
+                )
+                return
+            req, errors = validate_forward(body)
+            if errors:
+                self._respond(422, {"detail": errors}, t0)
                 return
             resp = forward_geocode(engine, req)
             self._respond(200, {"hits": resp.hits}, t0)
@@ -93,7 +95,8 @@ def serve(engine: ScoutEngine, host: str = "127.0.0.1", port: int = 0):
     """Start the HTTP service; returns the (running, threaded) server —
     call ``.server_address`` for the bound port, ``.shutdown()`` to
     stop. Runs the stdlib fallback path; a FastAPI deployment would
-    mount the same two routes over ``forward_geocode``."""
+    mount the same three routes over ``forward_geocode`` (and generate
+    the /openapi.json document that plans/openapi.py hand-maintains)."""
     server = ThreadingHTTPServer((host, port), make_handler(engine))
     import threading
 

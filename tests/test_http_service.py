@@ -84,6 +84,93 @@ def test_validation_errors_are_422(server):
         assert ei.value.code == 422
 
 
+def test_422_body_is_fastapi_error_envelope(server):
+    """Errors use FastAPI's {"detail": [{type, loc, msg, input}]} shape
+    with pydantic-v2 locs — a client written against the reference sees
+    identical validation semantics."""
+    cases = [
+        ({}, "missing", ["body", "candidates"]),
+        ({"candidates": "x"}, "list_type", ["body", "candidates"]),
+        ({"candidates": [{"name": "no-text"}]}, "missing",
+         ["body", "candidates", 0, "text"]),
+        ({"candidates": [42]}, "model_type", ["body", "candidates", 0]),
+        ({"candidates": ["x"], "limit": True}, "int_type", ["body", "limit"]),
+        ({"candidates": ["x"], "limit": "NaN"}, "int_parsing",
+         ["body", "limit"]),
+        ({"candidates": ["x"], "limit": 99}, "less_than_equal",
+         ["body", "limit"]),
+        ({"candidates": ["x"], "country": 7}, "string_type",
+         ["body", "country"]),
+    ]
+    for payload, err_type, loc in cases:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server, "/v1/geocode/forward", payload)
+        assert ei.value.code == 422
+        detail = json.loads(ei.value.read())["detail"]
+        assert isinstance(detail, list) and detail
+        match = [e for e in detail if e["loc"] == loc]
+        assert match, f"no error at {loc} for {payload}: {detail}"
+        assert match[0]["type"] == err_type
+        assert {"type", "loc", "msg", "input"} <= set(match[0])
+
+
+def test_limit_coerces_int_like_strings(server):
+    # pydantic v2 lax mode: "3" -> 3
+    with _post(
+        server, "/v1/geocode/forward",
+        {"candidates": [{"text": "Monograph Dining"}], "limit": "3"},
+    ) as r:
+        assert r.status == 200
+        assert len(json.loads(r.read())["hits"]) <= 3
+
+
+def test_openapi_document(server):
+    """GET /openapi.json serves the schema FastAPI would generate:
+    route metadata, the reference's request example (app.py:76-84), and
+    resolvable component refs."""
+    with urllib.request.urlopen(_url(server, "/openapi.json")) as r:
+        assert r.status == 200
+        spec = json.loads(r.read())
+    assert spec["openapi"].startswith("3.")
+    assert spec["info"] == {"title": "scout", "version": "1.0.0"}
+    post = spec["paths"]["/v1/geocode/forward"]["post"]
+    assert post["summary"] == "Name → lat/lon"
+    assert post["tags"] == ["geocoding"]
+    example = post["requestBody"]["content"]["application/json"][
+        "examples"]["basic"]["value"]
+    assert example == {
+        "candidates": [{"text": "Monograph Dining"}],
+        "country": "my",
+        "limit": 3,
+    }
+    assert "422" in post["responses"]
+    # every $ref resolves to a declared component schema
+    schemas = spec["components"]["schemas"]
+    import re
+
+    refs = set(re.findall(r'"#/components/schemas/(\w+)"', json.dumps(spec)))
+    assert refs <= set(schemas), refs - set(schemas)
+    for name in ("ForwardReq", "Hit", "ForwardResp", "HTTPValidationError"):
+        assert name in schemas
+    # the reference example validates against the documented schema
+    req_schema = schemas["ForwardReq"]
+    assert set(req_schema["required"]) == {"candidates"}
+
+
+def test_malformed_json_is_422(server):
+    req = urllib.request.Request(
+        _url(server, "/v1/geocode/forward"),
+        data=b"{not json",
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 422
+    detail = json.loads(ei.value.read())["detail"]
+    assert detail[0]["type"] == "json_invalid"
+
+
 def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(_url(server, "/nope"))

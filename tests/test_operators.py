@@ -607,3 +607,62 @@ def test_salted_join_equals_plain_join_without_broadcast(spark):
         assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ------------------------------------------------------- SemDeDup pruning
+def test_semdedup_planted_duplicate_balls(spark):
+    """Planted ground truth: 3 well-separated direction groups; within
+    two of them, exact near-duplicates (tiny perturbations, cos>0.99)
+    plus one independent member. SemDeDup must keep exactly one
+    representative (the min id) per duplicate ball and never mark the
+    independent vectors. k=1 makes cluster blocking a no-op so the
+    expected output is exactly threshold dedup (with k>1 a ball can
+    legitimately straddle a cluster boundary and be missed — the
+    paper's documented false-negative mode, not a bug to pin)."""
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base_a = unit([1.0, 0.2, 0.0, 0.0])     # ball with dups: ids 0,1,2
+    base_b = unit([0.0, 0.0, 1.0, -0.3])    # ball with dups: ids 10,11
+    base_c = unit([-1.0, 0.5, 0.0, 0.9])    # all distinct: ids 20,21
+    far_c = unit([-1.0, -0.8, 0.3, 0.9])    # cos(base_c, far_c) ~ 0.55
+    rows = [
+        (0, base_a), (1, unit([x * 1.001 + 0.001 for x in base_a])),
+        (2, unit([x * 0.999 - 0.001 for x in base_a])),
+        (10, base_b), (11, unit([x * 1.002 for x in base_b])),
+        (20, base_c), (21, far_c),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    from scout_spark.operators.semdedup import semdedup
+
+    out = {
+        r["vec_id"]: (r["keeper"], r["is_duplicate"])
+        for r in semdedup(emb, k=1, threshold=0.95, n_iters=2).collect()
+    }
+    assert len(out) == 7
+    assert out[0] == (0, False)
+    assert out[1] == (0, True) and out[2] == (0, True)
+    assert out[10] == (10, False) and out[11] == (10, True)
+    assert out[20] == (20, False) and out[21] == (21, False)
+
+
+def test_semdedup_no_duplicates_is_identity(spark):
+    """Orthogonal vectors: nothing is pruned, every keeper is itself."""
+    import itertools
+
+    rows = []
+    for i in range(6):
+        v = [0.0] * 6
+        v[i] = 1.0
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from scout_spark.operators.semdedup import semdedup
+
+    got = semdedup(emb, k=2, threshold=0.95).collect()
+    assert all(not r["is_duplicate"] and r["keeper"] == r["vec_id"] for r in got)
