@@ -325,6 +325,8 @@ def connected_components(
     id_b: str = "doc_b",
     max_iter: int = 20,
     fuse: int = 2,
+    delta_after: int = 8,
+    broadcast_frontier_below: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pair edges → (id, component)
     with component = smallest reachable id. Turns pairwise matches into
@@ -334,31 +336,53 @@ def connected_components(
     minimum label among its neighbors; converges in O(diameter) rounds.
     (The label-propagation join shape is the standard scalable CC
     formulation for Spark; GraphX/GraphFrames are not available in
-    pure-PySpark deployments.) Three measured refinements (sf0.1,
-    233k-edge graph, diameter 9 — 3.2 s → 2.0 s for the loop):
+    pure-PySpark deployments.) Two execution phases, both measured
+    (PLANS.md round-3 section):
 
-    - **Self-loops fold the old-label comparison into the aggregate.**
-      With (v, v) edges present, min-over-neighbors already includes the
-      node's own label, so each round is ONE join + ONE groupBy instead
-      of join + groupBy + second join back onto the previous labels.
-      Round 1 needs no label table at all — it is just
-      ``edges.groupBy(dst).min(src)``.
-    - **Monotone-sum convergence check.** Each node's label is
-      non-increasing across rounds (min includes self), so
-      Σ component is strictly decreasing until the fixpoint; equality
-      between consecutive materializations ⇔ converged. The sum is an
-      exact DECIMAL(38,0) aggregate (summation-order-insensitive, no
-      int64 overflow at any realistic node count) over just-checkpointed
-      blocks — a cheap scan job, no exceptAll/limit-count plan.
-    - **Round fusing (``fuse=2``).** Two propagation rounds share one
-      localCheckpoint materialization + one convergence scan, halving
-      per-round fixed job cost; the price is at most ``fuse-1`` extra
-      propagation rounds after the true fixpoint. Lineage is truncated
-      at every materialization, so driver-side plan growth stays
-      bounded regardless of diameter.
+    **Phase 1 — fused full rounds** (first ``delta_after``
+    materializations). Self-loop edges make min-over-neighbors include
+    the node's own label, so a round is ONE join + ONE groupBy (round 1
+    degenerates to ``edges.groupBy(dst).min(src)`` with no label table
+    at all); ``fuse`` rounds share one localCheckpoint; convergence is
+    the monotone label-sum check — Σ component (exact DECIMAL(38,0),
+    order-insensitive, overflow-free) strictly decreases until the
+    fixpoint, so equality between materializations ⇔ converged, read
+    from just-checkpointed blocks with no exceptAll/limit-count plan.
+
+    **Phase 2 — semi-naive delta rounds** (after ``delta_after``
+    materializations without convergence). Full rounds shuffle the
+    ENTIRE edge table every round even when almost all labels have
+    stabilized. Semi-naive evaluation (the datalog/Pregel delta
+    iteration; min is a monotone semilattice aggregate, so propagating
+    only labels that CHANGED last round is exact) joins edges against
+    the frontier instead: once the frontier count (known from the
+    previous convergence scan) drops below
+    ``broadcast_frontier_below``, the frontier side is broadcast and
+    the per-round plan touches the edge table map-side only — no edge
+    shuffle at all. The first delta frontier is the conservative
+    superset {component != id} (every node that ever adopted a
+    foreign label); thereafter the exact changed set rides the
+    materialization. Convergence = empty frontier.
+
+    Default ``delta_after=8`` keeps graphs that converge within 16
+    rounds (every near-dup workload measured here; diameter ≲ 10) in
+    phase 1 — honest accounting in PLANS.md: at 20×-density diameter
+    10, forcing delta early wins only ~6% (the frontier stays large
+    while the big clusters keep improving), and each delta block costs
+    ~3 extra shuffle stages of fixed floor at bench scale. Phase 2 is
+    the guard for mid-diameter giant graphs where rounds ≫
+    materializations and the tail frontier is a sliver of the nodes;
+    for EXTREME diameter (chains), :func:`connected_components_two_phase`
+    with its O(log n) rounds is the right tool.
     """
     if max_iter < 1 or fuse < 1:
         raise ValueError("max_iter and fuse must be >= 1")
+    if delta_after < 1:
+        # phase 2 seeds its frontier from phase-1 labels; at least one
+        # full materialization (which also globally delivers every
+        # root's own-id label, the fact the semi-naive soundness
+        # argument rests on) must precede the delta rounds
+        raise ValueError("delta_after must be >= 1")
     # materialize the (slim) pair list ONCE before fanning it into the
     # four union branches below — without this each branch re-executes
     # the upstream pair-generation pipeline (e.g. the blocked-Jaccard
@@ -379,8 +403,10 @@ def connected_components(
     labels: DataFrame | None = None
     prev_sum = None
     rounds = 0
+    materializations = 0
     converged = False
-    while rounds < max_iter:
+    # ---------------- phase 1: fused full rounds, monotone-sum check
+    while rounds < max_iter and materializations < delta_after:
         for _ in range(min(fuse, max_iter - rounds)):
             if labels is None:
                 nxt = edges.groupBy(F.col("dst").alias("id")).agg(
@@ -395,6 +421,7 @@ def connected_components(
             labels = nxt
             rounds += 1
         labels = labels.localCheckpoint()
+        materializations += 1
         s = labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
@@ -402,6 +429,68 @@ def connected_components(
             converged = True
             break
         prev_sum = s
+    # ---------------- phase 2: semi-naive delta rounds
+    if not converged and rounds < max_iter:
+        # conservative first frontier: every node holding a foreign
+        # label (superset of changed-last-round — re-delivering an
+        # already-consumed label is wasted work, never wrong)
+        frontier = labels.where(F.col("component") != F.col("id"))
+        frontier_count: int | None = None
+
+        def _nm(f: DataFrame) -> DataFrame:
+            return (
+                edges.join(
+                    f.select(
+                        F.col("id").alias("src"),
+                        F.col("component").alias("_fcomp"),
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("_fcomp").alias("_nmin"))
+            )
+
+        def _apply(lbl: DataFrame, nm: DataFrame, carry_flag: bool) -> DataFrame:
+            changed = F.coalesce(F.col("_nmin"), F.col("component")) < F.col(
+                "component"
+            )
+            if carry_flag:
+                changed = changed | F.col("_changed")
+            return lbl.join(nm, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_nmin"), F.col("component")),
+                ).alias("component"),
+                changed.alias("_changed"),
+            )
+
+        while rounds < max_iter:
+            small = (
+                frontier_count is not None
+                and frontier_count < broadcast_frontier_below
+            )
+            f0 = F.broadcast(frontier) if small else frontier
+            cur = _apply(labels, _nm(f0), carry_flag=False)
+            rounds += 1
+            for _ in range(min(fuse - 1, max_iter - rounds)):
+                # fused inner round: the lazy frontier's size is
+                # unknown, so no explicit hint — AQE (the engine
+                # default; bench turns it off only for latency) sizes
+                # the exchange at runtime
+                inner = cur.where(F.col("_changed")).select("id", "component")
+                cur = _apply(cur, _nm(inner), carry_flag=True)
+                rounds += 1
+            cur = cur.localCheckpoint()
+            n_changed = cur.agg(
+                F.count_if(F.col("_changed")).alias("n")
+            ).collect()[0]["n"]
+            labels = cur.drop("_changed")
+            if n_changed == 0:
+                converged = True
+                break
+            frontier = cur.where(F.col("_changed")).drop("_changed")
+            frontier_count = n_changed
     if not converged:
         # exiting by iteration count means labels are only partially
         # propagated — one true dup group would split into several

@@ -666,3 +666,44 @@ def test_semdedup_no_duplicates_is_identity(spark):
 
     got = semdedup(emb, k=2, threshold=0.95).collect()
     assert all(not r["is_duplicate"] and r["keeper"] == r["vec_id"] for r in got)
+
+
+def test_cc_delta_phase_long_chain_matches_union_find(spark):
+    """A 30-edge path plus two rings forces deep iteration: phase 1
+    (fused full rounds) hands off to the semi-naive delta phase, whose
+    frontier shrinks to the chain tip. Result must equal union-find."""
+    from scout_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(30)]          # path 0..30
+    edges += [(100 + i, 100 + (i + 1) % 5) for i in range(5)]   # ring
+    edges += [(200, 201), (201, 202), (202, 200)]     # triangle
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, max_iter=40).collect()
+    }
+    exp = _union_find(edges)
+    assert got == exp
+    assert {got[i] for i in range(31)} == {0}
+
+
+def test_cc_delta_phase_broadcast_path(spark):
+    """Forcing delta mode after one full materialization with an
+    always-broadcast threshold exercises the broadcast-frontier branch
+    explicitly; results must not change. delta_after=0 is rejected
+    (phase 2 seeds its frontier from phase-1 labels)."""
+    import pytest as _pytest
+
+    from scout_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, max_iter=30, delta_after=1, broadcast_frontier_below=10**9
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(13)}
+    with _pytest.raises(ValueError):
+        connected_components(pairs, delta_after=0)
