@@ -8,6 +8,9 @@ the local testdata:
     → exact dedup (md5 fingerprint, keep lowest id)
     → near dedup (MinHash-LSH pairs → connected components → keepers)
     → benchmark decontamination (5-gram shingle overlap vs eval set)
+    → semantic dedup over embeddings (SemDeDup: k-means blocking +
+      cosine balls, one keeper per ball)
+    → temperature mixture rebalance (sqrt-scaled language weights)
     → deterministic 80/10/10 train/val/test split (Knuth-hash bucket)
     → curated parquet (partitioned by split) + corpus stats
 
@@ -114,6 +117,41 @@ def main() -> None:
     )
     n45 = curated.count()
 
+    # 4.6 semantic dedup over embeddings (SemDeDup) --------------------
+    # k-means blocks the quadratic step; one keeper per cosine>=0.95
+    # ball. Embeddings live in their own table keyed by doc id.
+    from scout_spark.operators.semdedup import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    surviving = curated.select(F.col("doc_id").alias("vec_id"))
+    sem = semdedup(emb.join(surviving, "vec_id"), k=4, threshold=0.95)
+    sem_dups = sem.where(F.col("is_duplicate")).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    curated = curated.join(sem_dups, "doc_id", "left_anti")
+    n46 = curated.count()
+
+    # 4.7 temperature mixture rebalance (alpha=0.5) --------------------
+    # Downsample head languages toward sqrt-scaled weights, keyed on
+    # the corpus's labeled lang column (the heuristic lang_guess
+    # collapses this synthetic corpus to one bucket); the keep draw
+    # uses a DIFFERENT hash salt than the split bucket below so the
+    # two decisions stay independent.
+    cnt = curated.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    mn = cnt.agg(F.min("_n").alias("_mn"))
+    thr = cnt.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        (F.lit(100.0) * F.sqrt(F.col("_mn").cast("double") / F.col("_n")))
+        .alias("_thr"),
+    )
+    mix_bucket = ((F.col("doc_id") + 987654321) * F.lit(2654435761)) % 100
+    curated = (
+        curated.join(F.broadcast(thr), "lang")
+        .where(mix_bucket < F.col("_thr"))
+        .drop("_thr")
+    )
+    n47 = curated.count()
+
     # 4.75 deterministic 80/10/10 split --------------------------------
     # Knuth-hash bucket of doc_id: row-local, reproducible across runs
     # and appends — no shuffle to assign a split.
@@ -136,10 +174,11 @@ def main() -> None:
 
     print(
         f"pipeline: {n0} raw → {n1} quality → {n2} lang → {n3} exact-dedup "
-        f"→ {n4} near-dedup → {n45} decontaminated"
+        f"→ {n4} near-dedup → {n45} decontaminated → {n46} sem-dedup "
+        f"→ {n47} temperature-mixed"
     )
     print(
-        f"curated corpus: {n45} docs, {stats['total_tokens']} tokens, "
+        f"curated corpus: {n47} docs, {stats['total_tokens']} tokens, "
         f"avg {stats['avg_chars']} chars, {stats['n_langs']} languages → {out}"
     )
 
