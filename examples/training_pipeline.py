@@ -134,9 +134,12 @@ def main() -> None:
     # 4.7 temperature mixture rebalance (alpha=0.5) --------------------
     # Downsample head languages toward sqrt-scaled weights, keyed on
     # the corpus's labeled lang column (the heuristic lang_guess
-    # collapses this synthetic corpus to one bucket); the keep draw
-    # uses a DIFFERENT hash salt than the split bucket below so the
-    # two decisions stay independent.
+    # collapses this synthetic corpus to one bucket). The keep draw
+    # must be INDEPENDENT of the split bucket below — an additive salt
+    # into the same multiplicative hash is NOT (it shifts the bucket
+    # by a constant mod 100, which would starve downsampled languages
+    # of val/test rows entirely), so the draw uses an md5 of a salted
+    # key instead.
     cnt = curated.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
     mn = cnt.agg(F.min("_n").alias("_mn"))
     thr = cnt.crossJoin(F.broadcast(mn)).select(
@@ -144,10 +147,18 @@ def main() -> None:
         (F.lit(100.0) * F.sqrt(F.col("_mn").cast("double") / F.col("_n")))
         .alias("_thr"),
     )
-    mix_bucket = ((F.col("doc_id") + 987654321) * F.lit(2654435761)) % 100
+    mix_draw = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                       F.lit(":mix"))), 1, 8),
+            16, 10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+        * 100.0
+    )
     curated = (
         curated.join(F.broadcast(thr), "lang")
-        .where(mix_bucket < F.col("_thr"))
+        .where(mix_draw < F.col("_thr"))
         .drop("_thr")
     )
     n47 = curated.count()

@@ -42,11 +42,19 @@ QUERY_VEC_ID = 0
 )
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    qv = (
+    qrows = (
         e.where(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.col("embedding").cast("array<double>"))
-        .collect()[0][0]
+        .collect()
     )
+    if not qrows:
+        # regenerated testdata without the probe id: the oracle's CROSS
+        # JOIN over an empty query side returns no rows — degrade to
+        # the same empty (not an IndexError at plan-build time)
+        return e.where(F.lit(False)).select(
+            "vec_id", "label", F.lit(0.0).alias("cos_sim")
+        )
+    qv = qrows[0][0]
     return (
         e.where(F.col("vec_id") != QUERY_VEC_ID)
         .select(

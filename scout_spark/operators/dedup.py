@@ -498,9 +498,11 @@ def connected_components(
         import warnings
 
         warnings.warn(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter); labels are partial — "
-            "raise max_iter",
+            f"connected_components convergence UNCONFIRMED after {max_iter} "
+            "rounds: either the component diameter exceeds max_iter (labels "
+            "are partial — one dup group splits into several keepers) or "
+            "the fixpoint landed exactly on the last round and the "
+            "confirming check never ran; raise max_iter to distinguish",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -50,7 +50,14 @@ def semdedup(
     cents = kmeans_fit(
         embeddings, k=k, n_iters=n_iters, vec_col=vec_col, id_col=id_col
     )
-    assigned = kmeans_assign(embeddings, cents, vec_col=vec_col, id_col=id_col)
+    # the Arrow-UDF assignment is read by multiple jobs (both sides of
+    # the pair self-join inside connected_components' materialization,
+    # and the final output join) — materialize it ONCE; localCheckpoint
+    # also truncates lineage so the UDF never re-runs (CLAUDE.md
+    # cross-job reuse rule; same pattern as the CC pair checkpoint)
+    assigned = kmeans_assign(
+        embeddings, cents, vec_col=vec_col, id_col=id_col
+    ).localCheckpoint()
     ec = embeddings.select(id_col, vec_col).join(assigned, id_col)
     a, b = ec.alias("a"), ec.alias("b")
     cos = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))

@@ -288,25 +288,42 @@ def validate_forward(
     country = _opt_str("country")
     city_hint = _opt_str("city_hint")
 
-    limit = body.get("limit", 5)
-    # pydantic v2: bool is NOT a valid int; int-like strings coerce
-    if isinstance(limit, bool) or not isinstance(limit, (int, str)):
+    limit_raw = body.get("limit", 5)
+    limit = 5
+    limit_ok = False
+    # pydantic v2 lax mode: bool is NOT a valid int; int-like strings
+    # coerce; floats with no fractional part coerce
+    if isinstance(limit_raw, bool) or not isinstance(
+        limit_raw, (int, float, str)
+    ):
         errors.append(
             _err("int_type", ("body", "limit"),
-                 "Input should be a valid integer", limit)
+                 "Input should be a valid integer", limit_raw)
         )
-        limit = 5
-    elif isinstance(limit, str):
+    elif isinstance(limit_raw, float):
+        if limit_raw.is_integer():
+            limit, limit_ok = int(limit_raw), True
+        else:
+            errors.append(
+                _err("int_from_float", ("body", "limit"),
+                     "Input should be a valid integer, got a number with "
+                     "a fractional part", limit_raw)
+            )
+    elif isinstance(limit_raw, str):
         try:
-            limit = int(limit)
+            limit, limit_ok = int(limit_raw), True
         except ValueError:
             errors.append(
                 _err("int_parsing", ("body", "limit"),
                      "Input should be a valid integer, unable to parse "
-                     "string as an integer", limit)
+                     "string as an integer", limit_raw)
             )
-            limit = 5
-    if not errors and not 1 <= limit <= 50:
+    else:
+        limit, limit_ok = limit_raw, True
+    # the range constraint is reported alongside any other field's
+    # errors (pydantic validates fields independently and returns the
+    # full error list in one 422)
+    if limit_ok and not 1 <= limit <= 50:
         errors.append(
             _err(
                 "greater_than_equal" if limit < 1 else "less_than_equal",

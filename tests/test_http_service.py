@@ -189,3 +189,25 @@ def test_concurrent_requests_share_session(server):
     with ThreadPoolExecutor(max_workers=4) as ex:
         results = list(ex.map(one, range(8)))
     assert all(results[0] == r for r in results)
+
+
+def test_limit_coerces_integral_float_and_reports_all_errors(server):
+    # pydantic v2 lax mode: 3.0 -> 3 (200), 3.5 -> int_from_float
+    with _post(
+        server, "/v1/geocode/forward",
+        {"candidates": [{"text": "Monograph Dining"}], "limit": 3.0},
+    ) as r:
+        assert r.status == 200
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, "/v1/geocode/forward",
+              {"candidates": ["x"], "limit": 3.5})
+    detail = json.loads(ei.value.read())["detail"]
+    assert detail[0]["type"] == "int_from_float"
+    # independent fields each contribute errors to ONE 422 (FastAPI
+    # returns the full list, not first-error-wins)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, "/v1/geocode/forward",
+              {"candidates": [42], "limit": 999})
+    detail = json.loads(ei.value.read())["detail"]
+    types = {e["type"] for e in detail}
+    assert {"model_type", "less_than_equal"} <= types, detail

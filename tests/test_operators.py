@@ -396,7 +396,7 @@ def test_cc_nonconvergence_warns(spark):
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         connected_components(pairs, max_iter=2).collect()
-        assert any("did not converge" in str(x.message) for x in w)
+        assert any("convergence UNCONFIRMED" in str(x.message) for x in w)
 
 
 def test_minhash_empty_docs_not_marked_dups(spark):

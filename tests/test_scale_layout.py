@@ -302,3 +302,35 @@ def test_zordered_write_prunes_bbox_scans(spark, tmp_path):
         if stats.max >= zmin and stats.min <= zmax:
             touched += 1
     assert touched <= len(files) // 2, (touched, len(files))
+
+
+def test_temperature_resample_broadcast_and_pushdown(spark):
+    """mixture_temperature_resample: the per-lang threshold dim is
+    broadcast onto the fact scan (no fact-side shuffle to apply the
+    keep predicate), and the documents scan prunes to the 2 columns
+    the query touches."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["mixture_temperature_resample"].spark(spark, SF001)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # ReadSchema must not include text/n_chars/source — only doc_id+lang
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(
+        set(s.split(",")) <= {"doc_id:bigint", "lang:string"} and s
+        for s in scans
+    ), scans
+
+
+def test_semdedup_intra_cluster_join_is_equi(spark):
+    """semdedup's pair generation must plan as an equi join on the
+    cluster id (SortMerge/ShuffledHash/BroadcastHash), never a
+    BroadcastNestedLoopJoin cartesian over the corpus."""
+    from scout_spark.operators.semdedup import semdedup
+
+    emb = spark.read.parquet(SF001 + "/embeddings.parquet").limit(64)
+    out = semdedup(emb, k=2, threshold=0.95, n_iters=1)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
