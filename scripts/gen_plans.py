@@ -44,6 +44,10 @@ GALLERY = [
     "bm25_topk_retrieval",
     "sketch_heavy_hitter_tokens",
     "join_salted_skew",
+    # round-3 additions
+    "mixture_temperature_resample",
+    "dedup_component_size_histogram",
+    "semdedup_embedding_prune",
 ]
 
 
