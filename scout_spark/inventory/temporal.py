@@ -634,3 +634,115 @@ def basket_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(25)
     )
+
+
+@register(
+    "join_interval_overlap_sessions_busy",
+    "Interval-overlap join — the classic range-join shape (session "
+    "intervals x corpus-wide busy hours): per-user 30-min-gap sessions "
+    "(the sessionize kernel) joined to hours whose event count exceeds "
+    "1.1x the average. The Spark side REWRITES the inequality join as "
+    "an hour-grid equi-join (sequence-explode each session into its "
+    "covered hour buckets, equi-join on the bucket) — the 100 TB shape: "
+    "hash-partitionable, no BroadcastNestedLoopJoin growing with either "
+    "side, fanout bounded by session duration. The oracle keeps the "
+    "direct inequality overlap join, so matching results PROVE the "
+    "rewrite. Busy threshold is relative (scale-free) and built from "
+    "IEEE exactly-rounded ops only.",
+    oracle="""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - coalesce(lag(ts) OVER w, ts) > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sess AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW)::BIGINT
+                 AS session_id,
+               ts
+        FROM flagged
+      ), intervals AS (
+        SELECT user_id, session_id,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sess GROUP BY user_id, session_id
+      ), hourly AS (
+        SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+                 AS hr, count(*) AS c
+        FROM events GROUP BY 1
+      ), busy AS (
+        SELECT hr, c FROM hourly
+        WHERE c > 1.1 * (SELECT avg(c) FROM hourly)
+      )
+      SELECT i.user_id, i.session_id,
+             count(*) AS n_busy_hours,
+             max(b.c) AS peak_events
+      FROM intervals i JOIN busy b
+        ON b.hr <= i.session_end
+       AND b.hr + INTERVAL 1 HOUR > i.session_start
+      GROUP BY i.user_id, i.session_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.col("ts").cast("double") - F.coalesce(
+        F.lag("ts").over(w), F.col("ts")
+    ).cast("double")
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(F.when(gap > 1800, 1).otherwise(0)).over(wsum)
+        .cast("bigint")
+        .alias("session_id"),
+    )
+    intervals = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
+    )
+    hour_bucket = F.timestamp_seconds(
+        (F.col("ts").cast("long") / 3600).cast("long") * 3600
+    )
+    hourly = ev.groupBy(hour_bucket.alias("hr")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    avg_c = hourly.agg(F.avg("c").alias("avg_c"))
+    busy = (
+        hourly.crossJoin(F.broadcast(avg_c))
+        .where(F.col("c") > 1.1 * F.col("avg_c"))
+        .select("hr", "c")
+    )
+    # scale rewrite: explode each session into its covered hour grid,
+    # then EQUI-join on the bucket (no inequality/nested-loop join)
+    grid = intervals.select(
+        "user_id",
+        "session_id",
+        F.explode(
+            F.sequence(
+                F.timestamp_seconds(
+                    (F.col("session_start").cast("long") / 3600).cast("long")
+                    * 3600
+                ),
+                F.timestamp_seconds(
+                    (F.col("session_end").cast("long") / 3600).cast("long")
+                    * 3600
+                ),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hr"),
+    )
+    return (
+        grid.join(busy, "hr")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_busy_hours"),
+            F.max("c").alias("peak_events"),
+        )
+    )

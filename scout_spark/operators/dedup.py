@@ -631,6 +631,7 @@ def minhash_probe(
     bands: int = 4,
     threshold: float = 0.8,
     shingle_k: int = 3,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """New-batch near-dup lookup against a prebuilt MinHash index →
     (batch_id, corpus_id, est_jaccard).
@@ -644,6 +645,12 @@ def minhash_probe(
     Jaccard: E[est] = j with sd ≈ sqrt(j(1-j)/num_hashes); callers
     wanting exact verification join text for the returned candidate
     ids only.
+
+    ``broadcast_batch=False`` switches both probe joins to shuffle
+    joins for GIANT batches (a backfill replaying weeks of data) whose
+    band table would not fit an executor broadcast — the steady-state
+    micro-batch path keeps the broadcast default. Both paths produce
+    identical rows (pinned in tests/test_operators.py).
     """
     rows_per_band = num_hashes // bands
     sig_udf = _minhash_signature_udf(num_hashes, shingle_k)
@@ -669,8 +676,9 @@ def minhash_probe(
         ).alias("band"),
     ).select("batch_id", "bmh", "band.band_idx", "band.bucket")
     index_bands = spark.read.parquet(os.path.join(index_path, "bands"))
+    probe_side = F.broadcast(bband) if broadcast_batch else bband
     cands = (
-        index_bands.join(F.broadcast(bband), ["band_idx", "bucket"])
+        index_bands.join(probe_side, ["band_idx", "bucket"])
         .select("batch_id", "bmh", F.col("id").alias("corpus_id"))
         .distinct()
     )
@@ -684,8 +692,9 @@ def minhash_probe(
         ).cast("double"),
         F.lit(num_hashes),
     )
+    cand_side = F.broadcast(cands) if broadcast_batch else cands
     return (
-        sigs.join(F.broadcast(cands), cands.corpus_id == sigs.id)
+        sigs.join(cand_side, cands.corpus_id == sigs.id)
         .select("batch_id", "corpus_id", F.round(est, 6).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )

@@ -435,6 +435,16 @@ def test_minhash_index_probe_incremental(spark, docs_df, tmp_path):
     assert not any(b == 102 for (b, _c) in got)
     # estimator stays within [0, 1] and symmetric re-probe is stable
     assert all(0.0 <= v <= 1.0 for v in got.values())
+    # the giant-batch shuffle-join path returns identical rows
+    shuffled = minhash_probe(
+        spark, idx, batch, id_col="doc_id", text_col="text",
+        broadcast_batch=False,
+    )
+    got2 = {
+        (r["batch_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in shuffled.collect()
+    }
+    assert got2 == got
 
 
 # ----------------------------------------------------- int8 quantization

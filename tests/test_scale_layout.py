@@ -334,3 +334,21 @@ def test_semdedup_intra_cluster_join_is_equi(spark):
     out = semdedup(emb, k=2, threshold=0.95, n_iters=1)
     plan = _plan(out)
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_interval_overlap_rewrite_is_equi_join(spark):
+    """join_interval_overlap_sessions_busy: the hour-grid rewrite must
+    plan the busy-hours join as an equi join (hash-partitionable at
+    scale) — the BroadcastNestedLoopJoin an inequality-overlap join
+    would produce must not appear."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["join_interval_overlap_sessions_busy"].spark(spark, SF001)
+    # count operators in the tree block only (explain('formatted')
+    # repeats each operator name in the details section below the tree)
+    tree = _plan(df).split("\n\n")[0]
+    # exactly one nested-loop join is expected: the 1-row avg-count
+    # stats frame crossed onto hourly (bounded build side); the
+    # busy-hours join itself must be hash/merge on the hour bucket
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+    assert "BroadcastHashJoin" in tree or "SortMergeJoin" in tree
