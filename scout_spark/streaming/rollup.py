@@ -87,3 +87,77 @@ def with_avg(rollup: DataFrame) -> DataFrame:
     return rollup.withColumn(
         "avg_value", F.try_divide(F.col("sum_value"), F.col("n_events"))
     )
+
+
+def merge_rollup_state(existing: DataFrame, partial: DataFrame) -> DataFrame:
+    """Merge two decomposable-state rollup tables (same schema) by
+    re-aggregating their union: counts and sums add, min/max compose.
+    Exactly the property that makes the cascade exact — a refresh
+    never needs raw history, only the incoming partial."""
+    return existing.unionByName(partial).groupBy("bucket", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def incremental_rollup_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    seconds: int,
+    checkpoint: str,
+):
+    """Incremental continuous-aggregate refresh — the foreachBatch
+    realization this module's header promises: each micro-batch is
+    rolled up to its OWN decomposable partial (tiny — one row per
+    touched (bucket, event_type)) and merged into the persistent base
+    rollup table; raw events are never re-read. Coarser cascade levels
+    re-derive from the refreshed base via ``rollup_up`` — also without
+    touching raw data.
+
+    At 100 TB the merge rewrite touches only the partitions whose
+    buckets the batch contains (dynamic partition overwrite on a
+    bucket-partitioned table); here the full-table rewrite keeps the
+    plain-parquet demo atomic via the staging swap. NOTE exactly-once:
+    the merge is additive, so replaying an ALREADY-MERGED micro-batch
+    would double-count — availableNow + checkpoint gives effectively-
+    once delivery of each batch to foreachBatch, and the swap is
+    atomic, but a crash BETWEEN the swap and the checkpoint commit
+    re-delivers the batch; production deployments record batch_id in a
+    table property / txn log (Delta's txn appId pattern) and skip
+    already-applied ids. ``batch_id`` is threaded here for exactly
+    that check, demonstrated in tests.
+    """
+    import os
+
+    from scout_spark.sources.maintenance import atomic_swap, recover_swap
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        recover_swap(target_path)
+        applied_marker = os.path.join(
+            target_path + ".applied", f"batch-{batch_id}"
+        )
+        if os.path.exists(applied_marker):
+            return  # replay of an already-merged batch: skip, don't double-count
+        partial = rollup_events(batch_df, seconds)
+        if os.path.exists(target_path):
+            merged = merge_rollup_state(
+                spark.read.parquet(target_path), partial
+            )
+        else:
+            merged = partial
+        staging = target_path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).count()  # materialize before swapping
+        atomic_swap(target_path, staging)
+        os.makedirs(os.path.dirname(applied_marker), exist_ok=True)
+        open(applied_marker, "w").close()
+
+    return (
+        stream_df.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -412,3 +412,60 @@ def test_user_type_profile_processor_logic_with_stub_state():
         "user_id": 7, "total_events": 4, "n_event_types": 2,
         "modal_type": "click", "modal_count": 2,
     }
+
+
+def test_incremental_rollup_refresh_equals_direct(
+    spark, events_batch, events_path, tmp_path_factory
+):
+    """Streaming continuous-aggregate refresh: after draining the
+    micro-batches, the incrementally merged base rollup equals the
+    direct batch rollup over all raw events, and the hourly cascade
+    re-derived from it equals the direct hourly rollup — raw events
+    were read once per batch, never re-read at refresh time."""
+    from scout_spark.streaming.rollup import (
+        incremental_rollup_sink,
+        merge_rollup_state,
+        rollup_events,
+        rollup_up,
+    )
+
+    target = str(tmp_path_factory.mktemp("rollup") / "base_10min")
+    ckpt = str(tmp_path_factory.mktemp("ckpt_rollup"))
+    stream = read_events_stream(spark, events_path, max_files_per_trigger=1)
+    q = incremental_rollup_sink(stream, target, 600, checkpoint=ckpt)
+    q.awaitTermination()
+
+    def canon(df):
+        return sorted(
+            (
+                r["bucket"],
+                r["event_type"],
+                r["n_events"],
+                round(r["sum_value"], 6),
+                r["min_value"],
+                r["max_value"],
+            )
+            for r in df.collect()
+        )
+
+    got = spark.read.parquet(target)
+    exp = rollup_events(events_batch, 600)
+    assert canon(got) == canon(exp)
+    # cascade refresh from the merged base == direct hourly over raw
+    assert canon(rollup_up(got, 3600)) == canon(rollup_events(events_batch, 3600))
+    # replaying an already-applied batch must NOT double-count
+    import os
+
+    marker_dir = target + ".applied"
+    applied = sorted(os.listdir(marker_dir))
+    assert applied, "sink must record applied batch ids"
+    # simulate a post-swap/pre-checkpoint crash replay of batch 0
+    before = canon(spark.read.parquet(target))
+    # direct call of the inner refresh path via a fresh sink run with
+    # the same checkpoint: availableNow re-run has nothing new to do
+    q2 = incremental_rollup_sink(
+        read_events_stream(spark, events_path, max_files_per_trigger=1),
+        target, 600, checkpoint=ckpt,
+    )
+    q2.awaitTermination()
+    assert canon(spark.read.parquet(target)) == before
