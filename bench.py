@@ -65,6 +65,14 @@ HEADLINE = [
     "rerank_bm25_then_proxy",
     "chunk_documents_sliding",
     "quality_outlier_mad",
+    # round 3: interval-overlap join (hour-grid equi rewrite) and
+    # temperature mixture resampling. semdedup_embedding_prune and
+    # dedup_component_size_histogram stay out: the former is bounded by
+    # k-means' inherent per-Lloyd-round driver collect (~5.9 s at sf0.1,
+    # measured), the latter re-runs the same pair+CC work the
+    # dedup_groups_connected_components entry already times.
+    "join_interval_overlap_sessions_busy",
+    "mixture_temperature_resample",
 ]
 
 # Iterative queries EXECUTE during plan construction (connected
