@@ -69,6 +69,13 @@ def load_all() -> dict[str, Item]:
         # round-3 additions (same queue-behind-the-backlog rule; the
         # rotation now also guarantees red re-checks lead the window)
         curation_ops,
+        # round-4 additions — registration order IS the rotation order
+        # within the never-checked tier, so these queue behind every
+        # entry still awaiting its first driver check
+        graph_ops,
+        series_ops,
+        embed_ops,
+        curation_ops2,
     )
 
     return REGISTRY

@@ -1,0 +1,162 @@
+"""Round-4 graph analytics over the part co-purchase graph.
+
+The graph: parts are nodes; an undirected edge connects two parts that
+appear in the same order (distinct pairs over lineitem's orderkey
+groups).  This is the standard "basket co-occurrence" graph and the
+natural sibling of temporal.py::basket_part_cooccurrence, which reports
+pair counts; here the graph itself is the object — triangle counting /
+clustering coefficient (community density of the catalogue) and
+PageRank centrality (hub parts).
+
+Scale design notes are per-operator; the headline one: triangle
+enumeration uses DEGREE ORIENTATION (each edge directed from its
+lower-(degree, id) endpoint to the higher), which bounds the wedge
+fan-out per node by O(sqrt(m)) regardless of hub degree — the classic
+MapReduce triangle-counting trick (Suri & Vassilvitskii, WWW'11).  The
+DuckDB oracle counts the same triangles with the naive a<b<c triple
+join, which is fine at sf0.01 and independently derived.
+
+Registered after curation_ops in load_all so rotation queues these
+behind the round-3 backlog in the driver window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scout_spark.inventory import register
+from scout_spark.inventory.core import _t
+
+# Shared edge-builder SQL (DuckDB): distinct undirected part pairs that
+# co-occur in an order, canonicalized src < dst.
+_EDGES_SQL = """
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-purchase edges (src < dst), one shuffle on orderkey
+    for the self-join + one on the pair for DISTINCT.  The orderkey
+    equi-join keys the self-join, so the blow-up is per-order
+    (basket-sized, ~4-7 items), never corpus-wide."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "graph_triangle_count",
+    "Triangle census of the part co-purchase graph: n_nodes, n_edges, "
+    "n_wedges (open two-paths), n_triangles, and the global clustering "
+    "coefficient 3T/W. Spark enumerates triangles over DEGREE-ORIENTED "
+    "edges (lower-(deg,id) endpoint first): within a triangle the three "
+    "nodes are totally ordered by (deg,id), so counting wedges at the "
+    "lowest node closed by an oriented mid->high edge counts each "
+    "triangle exactly once, and per-node wedge fan-out is bounded by "
+    "O(sqrt(m)) even at hub parts — the plan that survives a 100x "
+    "scale-up where the naive triple self-join explodes on hubs. The "
+    "oracle recounts with the naive a<b<c triple join.",
+    oracle=f"""
+      WITH edges AS ({_EDGES_SQL}),
+      und AS (
+        SELECT src AS u, dst AS v FROM edges
+        UNION ALL
+        SELECT dst, src FROM edges
+      ),
+      deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+      tri AS (
+        SELECT count(*) AS t
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      )
+      SELECT (SELECT count(*) FROM deg)                    AS n_nodes,
+             (SELECT count(*) FROM edges)                  AS n_edges,
+             (SELECT sum(d * (d - 1) // 2)::BIGINT FROM deg) AS n_wedges,
+             (SELECT t FROM tri)                           AS n_triangles,
+             round(3.0 * (SELECT t FROM tri)
+                   / (SELECT sum(d * (d - 1) // 2) FROM deg), 6)
+                                                           AS clustering_coeff
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_edges(spark, sf_dir))
+
+
+@register(
+    "graph_degree_topk",
+    "Hub parts of the co-purchase graph: top-20 nodes by undirected "
+    "degree with the co-purchase reach (distinct neighbors) and the "
+    "part brand for context. One groupBy on the edge list + broadcast "
+    "join to the part dim; deterministic (degree DESC, part ASC) "
+    "ordering.",
+    oracle=f"""
+      WITH edges AS ({_EDGES_SQL}),
+      und AS (
+        SELECT src AS u, dst AS v FROM edges
+        UNION ALL
+        SELECT dst, src FROM edges
+      ),
+      deg AS (SELECT u AS part_id, count(*) AS degree FROM und GROUP BY u)
+      SELECT d.part_id, d.degree, p.p_brand
+      FROM deg d JOIN part p ON d.part_id = p.p_partkey
+      ORDER BY d.degree DESC, d.part_id
+      LIMIT 20
+    """,
+)
+def graph_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    und = edges.select(
+        F.col("src").alias("u")
+    ).unionAll(edges.select(F.col("dst").alias("u")))
+    deg = und.groupBy(F.col("u").alias("part_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_id"), "p_brand"
+    )
+    return (
+        deg.join(F.broadcast(part), "part_id")
+        .orderBy(F.desc("degree"), "part_id")
+        .limit(20)
+        .select("part_id", "degree", "p_brand")
+    )
+
+
+@register(
+    "graph_pagerank_top20",
+    "PageRank centrality (damping 0.85, 10 fixed iterations) on the "
+    "co-purchase graph via operators/graph.py::pagerank — per-iteration "
+    "cost is one shuffle of (node, contribution) pairs keyed by dst; "
+    "ranks are (id, double) only, edges hash-partitioned once and "
+    "reused, lineage truncated by localCheckpoint. Rows-only: a "
+    "10-step damped power iteration is not recursive-CTE-expressible "
+    "in DuckDB with per-step aggregation; ground truth is pinned "
+    "against a dense numpy power iteration on a fixture graph in "
+    "tests/test_graph.py.",
+    tags=("rows-only",),
+)
+def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.graph import pagerank
+
+    edges = _edges(spark, sf_dir)
+    ranks = pagerank(edges, iterations=10, damping=0.85)
+    return (
+        ranks.orderBy(F.desc("rank"), "node")
+        .limit(20)
+        .select("node", F.round("rank", 6).alias("rank"))
+    )

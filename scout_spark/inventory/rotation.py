@@ -8,11 +8,9 @@ vector/dedup — had no driver entry).
 
 Fix: order the registry so names that already earned a driver
 correctness record in a prior round rotate to the BACK, and
-never-checked entries move to the FRONT (oracle-backed ones first —
-they yield the hard rows+schema+hash signal; rows-only entries after,
-since their record is weaker by design). Within each group the original
-registration order is kept, so newly added operators queue behind
-previously unchecked ones.
+never-checked entries move to the FRONT in registration order, so
+newly added operators queue behind previously unchecked ones instead
+of displacing them from the window.
 
 Update ``CHECKED_PRIOR_ROUNDS`` after each round from the keys of the
 driver's CORRECTNESS_r{N}.json.
@@ -135,18 +133,23 @@ def rotation_key(name: str, has_oracle: bool, reg_index: int):
     0. previously-red — a fixed failure MUST re-enter the window; it
        sorts ahead of everything so no volume of newly registered
        queries can push a red re-check past the ~50 cutoff
-    1. never-checked, oracle-backed — hard rows+schema+hash signal
-    2. never-checked, rows-only — weaker record by design
-    3. checked-green — rotate to the back
+    1. never-checked — strict registration order.  Earlier rounds split
+       this tier into oracle-backed-first / rows-only-last; that split
+       let NEWLY registered oracle-backed queries displace the existing
+       rows-only backlog from the ~50-slot window.  With the whole
+       backlog now smaller than a window, registration order alone
+       guarantees operators added this round queue BEHIND every entry
+       still awaiting its first driver check.
+    2. checked-green — rotate to the back
 
-    Registration order within each tier, so newly added operators queue
-    behind previously unchecked ones."""
+    ``has_oracle`` is retained in the signature for call-site stability
+    (tests and tooling pass it) but no longer affects the order."""
     if name in FAILED_PRIOR_ROUNDS:
         tier = 0
     elif name not in CHECKED_PRIOR_ROUNDS:
-        tier = 1 if has_oracle else 2
+        tier = 1
     else:
-        tier = 3
+        tier = 2
     return (tier, reg_index)
 
 

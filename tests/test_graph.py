@@ -1,0 +1,201 @@
+"""Ground truth for the round-4 kernels: triangle census, PageRank,
+PCA, and MMR — each pinned against an independent dense/naive
+reference (numpy power iteration, numpy eigh, brute-force counting),
+not against the distributed implementation itself.
+"""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from scout_spark.operators.graph import pagerank, triangle_stats
+from scout_spark.operators.mmr import mmr_select
+from scout_spark.operators.pca import fit_pca, project
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+
+
+# ------------------------------------------------------------------ triangles
+def _naive_triangles(pairs):
+    es = {tuple(sorted(p)) for p in pairs}
+    nodes = sorted({x for p in es for x in p})
+    cnt = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) not in es:
+                continue
+            for c in nodes:
+                if c > b and (a, c) in es and (b, c) in es:
+                    cnt += 1
+    return cnt
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        # K4: 4 triangles
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)],
+        # path graph: 0 triangles
+        [(1, 2), (2, 3), (3, 4), (4, 5)],
+        # two triangles sharing an edge + a pendant
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4), (4, 5)],
+        # star (hub, no closure)
+        [(0, i) for i in range(1, 8)],
+    ],
+)
+def test_triangle_stats_matches_naive(spark, pairs):
+    row = triangle_stats(_edges_df(spark, pairs)).collect()[0]
+    es = {tuple(sorted(p)) for p in pairs}
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert row["n_nodes"] == len(deg)
+    assert row["n_edges"] == len(es)
+    assert row["n_wedges"] == sum(d * (d - 1) // 2 for d in deg.values())
+    assert row["n_triangles"] == _naive_triangles(pairs)
+
+
+# ------------------------------------------------------------------ pagerank
+def test_pagerank_matches_numpy_power_iteration(spark):
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 1), (2, 6)]
+    iterations, damping = 10, 0.85
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            _edges_df(spark, pairs), iterations=iterations, damping=damping
+        ).collect()
+    }
+    # dense reference: column-stochastic transition over undirected edges
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    a = np.zeros((n, n))
+    for u, v in pairs:
+        a[idx[v], idx[u]] = 1.0
+        a[idx[u], idx[v]] = 1.0
+    a /= a.sum(axis=0, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        r = (1 - damping) / n + damping * (a @ r)
+    assert set(got) == set(nodes)
+    for node in nodes:
+        assert got[node] == pytest.approx(r[idx[node]], abs=1e-9)
+    # mass conservation on an undirected (no-dangling) graph
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+# ------------------------------------------------------------------ pca
+def test_pca_matches_dense_numpy(spark):
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: dominant direction along (1,1,0,...)/sqrt(2)
+    base = rng.normal(size=(200, 6))
+    base[:, 0] += 3.0 * base[:, 1]
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+    mu, comps, ratio = fit_pca(df, "embedding", k=2)
+    x = base
+    ref_mu = x.mean(axis=0)
+    ref_cov = np.cov(x, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(ref_cov)
+    order = np.argsort(evals)[::-1]
+    ref_comps = evecs[:, order[:2]]
+    for j in range(2):
+        if ref_comps[np.argmax(np.abs(ref_comps[:, j])), j] < 0:
+            ref_comps[:, j] = -ref_comps[:, j]
+    np.testing.assert_allclose(mu, ref_mu, atol=1e-9)
+    np.testing.assert_allclose(comps, ref_comps, atol=1e-7)
+    np.testing.assert_allclose(
+        ratio, evals[order[:2]] / evals.sum(), atol=1e-9
+    )
+    # projection: distributed matmul equals dense
+    proj = {
+        r["vec_id"]: r["pc"]
+        for r in project(df, mu, comps, "embedding").collect()
+    }
+    ref_proj = (x - ref_mu) @ ref_comps
+    for i in range(len(x)):
+        np.testing.assert_allclose(proj[i], ref_proj[i], atol=1e-7)
+
+
+def test_pca_rejects_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with pytest.raises(ValueError):
+        fit_pca(empty, "embedding", k=1)
+    one = spark.createDataFrame([([1.0, 2.0],)], "embedding array<double>")
+    with pytest.raises(ValueError):
+        fit_pca(one, "embedding", k=1)
+
+
+# ------------------------------------------------------------------ mmr
+def _mmr_reference(ids, vecs, rel, k, lam):
+    """Independent quadratic implementation (no gram matrix, no masks)."""
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0:
+            na = 1.0
+        if nb == 0:
+            nb = 1.0
+        return float(a @ b / (na * nb))
+
+    pool = list(range(len(ids)))
+    chosen = []
+    out = []
+    for _ in range(min(k, len(ids))):
+        best_score, best_i = None, None
+        for i in pool:
+            red = max((cos(vecs[i], vecs[j]) for j in chosen), default=0.0)
+            s = lam * rel[i] - (1 - lam) * red
+            if (
+                best_score is None
+                or s > best_score
+                or (s == best_score and ids[i] < ids[best_i])
+            ):
+                best_score, best_i = s, i
+        pool.remove(best_i)
+        chosen.append(best_i)
+        out.append((int(ids[best_i]), float(rel[best_i]), float(best_score)))
+    return out
+
+
+def test_mmr_matches_reference():
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(30, 8))
+    # plant near-duplicates with top relevance: plain top-k would pick
+    # all three, MMR must spread out
+    vecs[1] = vecs[0] + 1e-3
+    vecs[2] = vecs[0] - 1e-3
+    rel = rng.uniform(0.5, 1.0, size=30)
+    rel[0], rel[1], rel[2] = 0.99, 0.98, 0.97
+    ids = np.arange(100, 130)
+    got = mmr_select(ids, vecs, rel, k=8, lam=0.7)
+    ref = _mmr_reference(ids, vecs, rel, 8, 0.7)
+    assert [g[0] for g in got] == [r[0] for r in ref]
+    for g, r in zip(got, ref):
+        assert g[1] == pytest.approx(r[1], abs=1e-12)
+        assert g[2] == pytest.approx(r[2], abs=1e-9)
+    # the duplicate cluster must not monopolize the head of the ranking
+    head = {g[0] for g in got[:3]}
+    assert not {100, 101, 102} <= head
+
+
+def test_mmr_edge_cases():
+    assert mmr_select(np.array([]), np.zeros((0, 4)), np.array([]), 5) == []
+    one = mmr_select(
+        np.array([7]), np.ones((1, 4)), np.array([0.5]), 3, lam=0.7
+    )
+    assert [x[0] for x in one] == [7]
+    # k larger than pool: returns the whole pool exactly once
+    ids = np.array([3, 1, 2])
+    vecs = np.eye(3)
+    rel = np.array([0.9, 0.8, 0.7])
+    got = mmr_select(ids, vecs, rel, k=10, lam=0.5)
+    assert sorted(x[0] for x in got) == [1, 2, 3]

@@ -41,13 +41,13 @@ def test_unchecked_queries_fill_driver_window():
     assert set(order[:n_front]) <= priority, (
         "red + never-driver-checked queries must fill the window front"
     )
-    # within the unchecked block: oracle-backed (hard signal) first
+    # within the unchecked block: strict registration order, so operators
+    # registered later (new rounds) cannot displace the existing backlog
+    # from the ~50-slot window
     block = order[len(red_in_registry) : len(priority)]
-    first_rows_only = next(
-        (i for i, n in enumerate(block) if registry[n].oracle is None), len(block)
-    )
-    assert all(registry[n].oracle is None for n in block[first_rows_only:]), (
-        "rows-only entries must not precede oracle-backed ones in the block"
+    reg_index = {n: i for i, n in enumerate(registry)}
+    assert block == sorted(block, key=reg_index.__getitem__), (
+        "unchecked entries must keep registration order"
     )
 
 
