@@ -73,6 +73,18 @@ HEADLINE = [
     # dedup_groups_connected_components entry already times.
     "join_interval_overlap_sessions_busy",
     "mixture_temperature_resample",
+    # round 4: one per new family — graph census, FIR-window smoothing,
+    # SCD2 warehouse build, embedding profile, lexical quality, A-ES
+    # sampling. graph_pagerank_top20 stays out (iterative; its e2e cost
+    # is the edge build the triangle entry already times plus 10
+    # checkpoint rounds); PCA/MMR stay out (bounded driver-side
+    # eigh/greedy steps would time numpy, not the distributed plan).
+    "graph_triangle_count",
+    "timeseries_ewma_bounded",
+    "scd2_event_type_dimension",
+    "embedding_dimension_profile",
+    "text_token_entropy",
+    "sample_weighted_priority",
 ]
 
 # Iterative queries EXECUTE during plan construction (connected
