@@ -76,6 +76,7 @@ def load_all() -> dict[str, Item]:
         series_ops,
         embed_ops,
         curation_ops2,
+        mining_ops,
     )
 
     return REGISTRY

@@ -1,0 +1,198 @@
+"""Round-4 mining additions: contrastive hard-negative mining,
+perplexity-decile corpus composition, and the SQL LATERAL join surface.
+
+Registered last in load_all so rotation queues these behind the
+never-checked backlog in the driver window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scout_spark.functions.vectors import cosine_similarity
+from scout_spark.inventory import register
+from scout_spark.inventory.core import _t, _th
+from scout_spark.inventory.text_ops import _tokens_sql
+
+# Hard-negative mining runs exact over a bounded QUERY BATCH (the
+# per-batch shape of contrastive-training data prep); the corpus side
+# streams. At 100 TB the candidate cut comes from the ANN index
+# (operators/ann.py ivf_probe) instead of the full scan — this query
+# is the exact-verify stage.
+_HN_QUERY_BATCH = 50
+
+
+@register(
+    "mining_hard_negatives",
+    "Hard-negative mining for contrastive training (DPR/Contriever "
+    "recipe): for each query vector in a bounded batch (vec_id < "
+    f"{_HN_QUERY_BATCH}), the top-3 most-cosine-similar vectors with a "
+    "DIFFERENT label — semantically close but wrong — ranked per "
+    "query. The batch side is broadcast (bounded by construction); "
+    "the corpus side is a single streamed scan with JVM zip_with dot "
+    "products, then a per-query top-3 window over the rounded score "
+    "(ULP-stable rank key; ann_cosine_topk pattern). At 100 TB the "
+    "candidate set comes from the IVF index probe instead of the full "
+    "scan; this is the exact-verify stage of that pipeline.",
+    oracle=f"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < {_HN_QUERY_BATCH}
+      ),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neg_id, e.label AS neg_label,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                 AS cos_sim
+        FROM q JOIN embeddings e
+          ON e.label <> q.qlabel
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neg_id) AS rnk
+        FROM scored
+      )
+      SELECT query_id, rnk, neg_id, neg_label, cos_sim
+      FROM ranked WHERE rnk <= 3
+    """,
+)
+def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _HN_QUERY_BATCH).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(
+                cosine_similarity(
+                    F.col("embedding").cast("array<double>"), F.col("qv")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neg_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "rnk", "neg_id", "neg_label", "cos_sim")
+    )
+
+
+@register(
+    "quality_perplexity_decile_mix",
+    "Corpus composition by perplexity decile — the 'how much of my "
+    "data is how surprising' report that drives perplexity-filtered "
+    "mixes (CCNet recipe): per-lang unigram neg-logp per doc "
+    "(quality_unigram_perplexity's model), docs ranked into ntile(10) "
+    "deciles over the ROUNDED score (6dp, doc_id tie-break — the "
+    "rank key is cross-engine ULP-stable), then per-decile count, "
+    "mean perplexity, and share of total tokens.",
+    oracle=f"""
+      WITH tok AS (
+        SELECT doc_id, lang, unnest({_tokens_sql("text")}) AS tok
+        FROM documents
+      ),
+      model AS (
+        SELECT lang, tok, count(*) AS c,
+               sum(count(*)) OVER (PARTITION BY lang) AS total
+        FROM tok GROUP BY lang, tok
+      ),
+      scored AS (
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               round(avg(-ln(m.c::DOUBLE / m.total)), 6) AS avg_nlp
+        FROM tok t JOIN model m ON t.lang = m.lang AND t.tok = m.tok
+        GROUP BY t.doc_id
+      ),
+      ranked AS (
+        SELECT *, ntile(10) OVER (ORDER BY avg_nlp, doc_id) AS decile
+        FROM scored
+      )
+      SELECT decile,
+             count(*) AS n_docs,
+             round(avg(exp(avg_nlp)), 6) AS mean_perplexity,
+             sum(n_tokens)::BIGINT AS n_tokens
+      FROM ranked GROUP BY decile ORDER BY decile
+    """,
+)
+def quality_perplexity_decile_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from scout_spark.inventory.quality_ops import _TOK
+
+    d = _th(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
+    tok = d.select("doc_id", "lang", F.explode(toks).alias("tok"))
+    counts = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    model = counts.withColumn(
+        "total", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    scored = (
+        tok.join(F.broadcast(model), ["lang", "tok"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c").cast("double") / F.col("total"))), 6
+            ).alias("avg_nlp"),
+        )
+    )
+    ranked = scored.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("avg_nlp", "doc_id"))
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.exp("avg_nlp")), 6).alias("mean_perplexity"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "join_lateral_topk_per_customer",
+    "SQL LATERAL correlated subquery (Spark 4 lateral join surface): "
+    "each BUILDING-segment customer paired with its top-3 orders by "
+    "price via a correlated ORDER BY ... LIMIT subquery. Catalyst "
+    "rewrites the lateral into a windowed join (same physical shape "
+    "as window_grouped_topk_orders) — the entry pins the SQL surface, "
+    "not a new physical operator.",
+    oracle="""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+      WHERE c.c_mktsegment = 'BUILDING'
+      ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+    """,
+)
+def join_lateral_topk_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("v_lat_customer")
+    o.createOrReplaceTempView("v_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM v_lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM v_lat_orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+        """
+    )

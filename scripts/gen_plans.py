@@ -48,6 +48,18 @@ GALLERY = [
     "mixture_temperature_resample",
     "dedup_component_size_histogram",
     "semdedup_embedding_prune",
+    # round-4 additions
+    "graph_triangle_count",
+    "timeseries_ewma_bounded",
+    "scd2_event_type_dimension",
+    "skyline_pareto_orders",
+    "embedding_dimension_profile",
+    "text_token_entropy",
+    "text_oov_rate_by_source",
+    "sample_weighted_priority",
+    "mining_hard_negatives",
+    "quality_perplexity_decile_mix",
+    "join_lateral_topk_per_customer",
 ]
 
 
