@@ -77,6 +77,7 @@ def load_all() -> dict[str, Item]:
         embed_ops,
         curation_ops2,
         mining_ops,
+        audit_ops,
     )
 
     return REGISTRY

@@ -143,3 +143,36 @@ def rerank_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (vid, r, s) in enumerate(picks)
     ]
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "ann_pq_adc_topk",
+    "Product-quantized ANN with asymmetric distance computation "
+    "(Jégou et al., TPAMI 2011; operators/pq.py) — the billion-vector "
+    "production recipe: m=8 subspace codebooks (k=16, trained on a "
+    "bounded deterministic driver sample, the faiss practice), corpus "
+    "stored as 8 uint8 codes (32x payload cut at d=64), query scored "
+    "via one (m x k) lookup table — a joinless codes scan into "
+    "TakeOrderedAndProject, no float vector touched at query time. "
+    "Rows-only: codebook contents are engine-specific; recall@50>=0.8 "
+    "of the float brute-force top-10 (the shortlist a float-rerank "
+    "stage would verify) is pinned in tests/test_graph.py.",
+    tags=("rows-only",),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.pq import encode_pq, pq_topk, train_codebooks
+
+    e = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "vec_id long, adc_score double"
+        )
+    qv = np.array(qrows[0][0])
+    books = train_codebooks(e, "embedding", m=8, k=16)
+    codes = encode_pq(e, books, "embedding").select("vec_id", "code")
+    return pq_topk(codes, qv, books, k_results=10, exclude_id=QUERY_VEC_ID)

@@ -60,6 +60,8 @@ GALLERY = [
     "mining_hard_negatives",
     "quality_perplexity_decile_mix",
     "join_lateral_topk_per_customer",
+    "audit_snapshot_diff",
+    "window_count_distinct_running",
 ]
 
 

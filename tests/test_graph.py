@@ -199,3 +199,62 @@ def test_mmr_edge_cases():
     rel = np.array([0.9, 0.8, 0.7])
     got = mmr_select(ids, vecs, rel, k=10, lam=0.5)
     assert sorted(x[0] for x in got) == [1, 2, 3]
+
+
+# ------------------------------------------------------------------ pq
+def test_pq_adc_recall_vs_bruteforce(spark):
+    import numpy as np
+
+    from scout_spark.operators.pq import (
+        adc_table,
+        encode_pq,
+        pq_topk,
+        train_codebooks,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(600, 16)).astype(np.float64)
+    # plant a tight cluster around the query so true neighbors exist
+    q = rng.normal(size=16)
+    for i in range(25):
+        base[i] = q + rng.normal(scale=0.05, size=16)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    books = train_codebooks(df, "embedding", m=4, k=16, sample_mod=1)
+    assert books.shape == (4, 16, 4)
+    codes = encode_pq(df, books, "embedding").select("vec_id", "code")
+    # PQ cannot rank WITHIN a code cell (the planted cluster shares
+    # codes), so the meaningful metric is recall@50 of the exact
+    # top-10 — the shortlist the float-rerank stage would verify
+    got = {
+        r["vec_id"] for r in pq_topk(codes, q, books, k_results=50).collect()
+    }
+    exact = set(np.argsort(-(base @ q))[:10].tolist())
+    recall = len(got & exact) / 10
+    assert recall >= 0.8, f"PQ recall@50 {recall} too low"
+    # ADC table matches direct per-vector reconstruction scoring
+    table = adc_table(q, books)
+    row = codes.where(F.col("vec_id") == 0).collect()[0]["code"]
+    recon = sum(books[j][row[j]] @ q[j * 4 : (j + 1) * 4] for j in range(4))
+    assert recon == pytest.approx(table[np.arange(4), row].sum(), abs=1e-9)
+
+
+def test_pq_rejects_bad_shapes(spark):
+    import numpy as np
+
+    from scout_spark.operators.pq import train_codebooks
+
+    df = spark.createDataFrame(
+        [(i, np.arange(10.0).tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError):  # 10 not divisible by m=4
+        train_codebooks(df, "embedding", m=4, k=8, sample_mod=1)
+    tiny = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError):  # sample smaller than k
+        train_codebooks(tiny, "embedding", m=1, k=16, sample_mod=1)

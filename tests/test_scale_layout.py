@@ -352,3 +352,52 @@ def test_interval_overlap_rewrite_is_equi_join(spark):
     # busy-hours join itself must be hash/merge on the hour bucket
     assert tree.count("BroadcastNestedLoopJoin") == 1, tree
     assert "BroadcastHashJoin" in tree or "SortMergeJoin" in tree
+
+
+def test_runtime_bloom_filter_reduces_probe_side(spark):
+    """Spark's InjectRuntimeFilter is the engine's semi-join reduction:
+    with a selective filter on the build side, the probe side's scan
+    gains a bloom might_contain predicate so most probe rows die before
+    the shuffle. At 100 TB this is the difference between shuffling the
+    full fact table and shuffling the ~1/5 that can match; the
+    size thresholds that gate it locally (10 GB application-side scan)
+    are exactly what a production fact table exceeds. The test lowers
+    the gate to prove the wiring, then restores it."""
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+        # and the result matches the un-filtered plan
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        plain = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert j.collect() == plain.collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

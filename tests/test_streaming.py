@@ -469,3 +469,61 @@ def test_incremental_rollup_refresh_equals_direct(
     )
     q2.awaitTermination()
     assert canon(spark.read.parquet(target)) == before
+
+
+def test_ohlc_stream_equals_batch(spark, events_batch, events_path):
+    """Streaming OHLC (argmin/argmax-by-struct reformulation — no
+    window functions allowed over streams) must equal the row_number
+    batch twin (inventory timeseries_ohlc_hourly semantics)."""
+    from scout_spark.streaming.ohlc import (
+        finalize_ohlc,
+        ohlc_bars_stream,
+        ohlc_partial,
+    )
+
+    stream = read_events_stream(spark, events_path, max_files_per_trigger=2)
+    got = run_to_memory_sink(
+        ohlc_bars_stream(stream), "t_ohlc", output_mode="complete"
+    ).collect()
+    want = finalize_ohlc(ohlc_partial(events_batch)).collect()
+    key = lambda r: (r["user_id"], r["bar_hour"])  # noqa: E731
+    gd = {key(r): r for r in got}
+    wd = {key(r): r for r in want}
+    assert set(gd) == set(wd)
+    for k in wd:
+        for c in ("open_v", "high_v", "low_v", "close_v", "n_events"):
+            assert gd[k][c] == wd[k][c], (k, c)
+    # and both match the oracle-verified batch query's values
+    from scout_spark.inventory import load_all
+
+    inv = load_all()["timeseries_ohlc_hourly"].spark(spark, SF_DIR).collect()
+    ivd = {key(r): r for r in inv}
+    assert set(ivd) == set(wd)
+    for k in wd:
+        for c in ("open_v", "high_v", "low_v", "close_v", "n_events"):
+            assert ivd[k][c] == wd[k][c], (k, c)
+
+
+def test_ohlc_merge_is_split_invariant(spark, events_batch):
+    """Folding per-shard partials through merge_ohlc_state must equal
+    the single-pass state regardless of how the stream was split."""
+    from scout_spark.streaming.ohlc import (
+        finalize_ohlc,
+        merge_ohlc_state,
+        ohlc_partial,
+    )
+
+    parts = [
+        events_batch.where(F.col("event_id") % 3 == i) for i in range(3)
+    ]
+    folded = ohlc_partial(parts[0])
+    for p in parts[1:]:
+        folded = merge_ohlc_state(folded, ohlc_partial(p))
+    direct = finalize_ohlc(ohlc_partial(events_batch)).collect()
+    got = finalize_ohlc(folded).collect()
+    key = lambda r: (r["user_id"], r["bar_hour"])  # noqa: E731
+    gd = {key(r): r for r in got}
+    dd = {key(r): r for r in direct}
+    assert gd.keys() == dd.keys()
+    for k in dd:
+        assert gd[k] == dd[k]
