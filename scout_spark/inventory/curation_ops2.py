@@ -13,8 +13,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from scout_spark.inventory import register
-from scout_spark.inventory.core import _t, _th
-from scout_spark.inventory.text_ops import _tokens_col, _tokens_sql
+from scout_spark.inventory.core import _t
+from scout_spark.inventory.text_ops import _tokens_sql
 
 
 @register(
@@ -152,8 +152,12 @@ def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _th(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(_tokens_col(F.col("text"))).alias("tok"))
+    # single-job query, but reading the shared persisted token frame
+    # means back-to-back rotation runs of the token family tokenize
+    # the corpus once, not once per entry
+    from scout_spark.inventory.quality_ops import doc_tokens
+
+    tok = doc_tokens(spark, sf_dir).select("doc_id", "tok")
     cnt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_distinct")
@@ -204,8 +208,12 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _th(spark, sf_dir, "documents")
-    tok = d.select("source", F.explode(_tokens_col(F.col("text"))).alias("tok"))
+    # shared persisted token frame (quality_ops.doc_tokens): the vocab
+    # broadcast build is a separate job from the probe scan, so the
+    # persist keeps the corpus tokenization to one execution
+    from scout_spark.inventory.quality_ops import doc_tokens
+
+    tok = doc_tokens(spark, sf_dir).select("source", "tok")
     vocab = (
         tok.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -242,8 +250,8 @@ def text_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, o_totalprice
       FROM (
         SELECT o_orderkey, o_totalprice,
-               -ln((('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
-                    + 1.0) / 4294967296.0) / o_totalprice AS k
+               round(-ln((('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+                    + 1.0) / 4294967296.0) / o_totalprice, 10) AS k
         FROM orders
       )
       ORDER BY k, o_orderkey
@@ -256,7 +264,11 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
     ).cast("long")
     u = (h + F.lit(1.0)) / F.lit(4294967296.0)
-    key = -F.log(u) / F.col("o_totalprice")
+    # rank key rounded to 10dp: ln() is only ~1-ulp accurate and the
+    # engines' libm may disagree in the last bit — rounding far above
+    # ulp scale but far below key resolution (~1e-4) makes the LIMIT
+    # boundary cross-engine deterministic (tie-break already present)
+    key = F.round(-F.log(u) / F.col("o_totalprice"), 10)
     return (
         o.select("o_orderkey", "o_totalprice", key.alias("k"))
         .orderBy("k", "o_orderkey")

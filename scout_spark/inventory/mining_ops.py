@@ -13,7 +13,7 @@ from pyspark.sql.window import Window
 
 from scout_spark.functions.vectors import cosine_similarity
 from scout_spark.inventory import register
-from scout_spark.inventory.core import _t, _th
+from scout_spark.inventory.core import _t
 from scout_spark.inventory.text_ops import _tokens_sql
 
 # Hard-negative mining runs exact over a bounded QUERY BATCH (the
@@ -127,15 +127,14 @@ def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_perplexity_decile_mix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from scout_spark.inventory.quality_ops import _TOK
+    # shared persisted token frame + model helper (quality_ops): the
+    # model-broadcast build and the probe scan are separate jobs with
+    # no shared exchange, so without the persist the corpus regex
+    # tokenization would execute twice per run
+    from scout_spark.inventory.quality_ops import doc_tokens, unigram_model
 
-    d = _th(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
-    tok = d.select("doc_id", "lang", F.explode(toks).alias("tok"))
-    counts = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
-    model = counts.withColumn(
-        "total", F.sum("c").over(Window.partitionBy("lang"))
-    )
+    tok = doc_tokens(spark, sf_dir).select("doc_id", "lang", "tok")
+    model = unigram_model(tok)
     scored = (
         tok.join(F.broadcast(model), ["lang", "tok"])
         .groupBy("doc_id")

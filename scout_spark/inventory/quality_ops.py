@@ -554,6 +554,46 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one persisted exploded-token frame per (session, sf_dir) — the
+# perplexity, perplexity-decile, and OOV entries each read it from 2+
+# jobs of one query (model/vocab broadcast build + probe scan share no
+# exchange), and rotation invokes several of them back to back; the
+# BM25 _PER_DOC_CACHE pattern (retrieval.py) keeps exactly one live
+# materialization instead of re-running the corpus regex per job.
+_DOC_TOKENS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, lang, source, tok) exploded token frame."""
+    key = (id(spark), sf_dir)
+    hit = _DOC_TOKENS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for stale in _DOC_TOKENS_CACHE.values():
+        try:
+            stale.unpersist()
+        except Exception:
+            pass  # session already stopped — blocks died with it
+    _DOC_TOKENS_CACHE.clear()
+    d = _th(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
+    tok = d.select(
+        "doc_id", "lang", "source", F.explode(toks).alias("tok")
+    ).persist()
+    _DOC_TOKENS_CACHE[key] = tok
+    return tok
+
+
+def unigram_model(tok: DataFrame) -> DataFrame:
+    """Per-lang unigram counts + totals — the model frame shared by the
+    perplexity and perplexity-decile entries."""
+    counts = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return counts.withColumn(
+        "total", F.sum("c").over(Window.partitionBy("lang"))
+    )
+
+
+
 @register(
     "quality_unigram_perplexity",
     "LM-based quality scoring, two-pass (the KenLM/CCNet stage shape "
@@ -585,13 +625,8 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def quality_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _th(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
-    tok = d.select("doc_id", "lang", F.explode(toks).alias("tok"))
-    counts = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
-    model = counts.withColumn(
-        "total", F.sum("c").over(Window.partitionBy("lang"))
-    )
+    tok = doc_tokens(spark, sf_dir)
+    model = unigram_model(tok)
     scored = tok.join(F.broadcast(model), ["lang", "tok"]).select(
         "doc_id",
         "lang",

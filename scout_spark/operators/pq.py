@@ -34,22 +34,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 
-def _kmeans_1sub(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+def _kmeans_1sub(x: np.ndarray, k: int, iters: int) -> np.ndarray:
     """Tiny dense Lloyd's for one subspace (driver-side, sample-sized).
-    Deterministic: seeded init by evenly-spaced picks of the sample
-    sorted by first coordinate, empty clusters re-seeded from the
-    farthest points."""
+    Deterministic: init by evenly-spaced picks of the sample sorted by
+    first coordinate; empty clusters re-seed from the DISTINCT farthest
+    points (one per empty cluster — re-seeding them all from the single
+    farthest point would collapse them into duplicate centroids that
+    never separate)."""
     order = np.argsort(x[:, 0], kind="stable")
     cents = x[order[np.linspace(0, len(x) - 1, k).astype(int)]].copy()
     for _ in range(iters):
         d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
+        empties = [j for j in range(k) if not (assign == j).any()]
+        farthest = np.argsort(-d2.min(axis=1), kind="stable")
         for j in range(k):
-            mask = assign == j
-            if mask.any():
-                cents[j] = x[mask].mean(axis=0)
-            else:
-                cents[j] = x[d2.min(axis=1).argmax()]
+            if j not in empties:
+                cents[j] = x[assign == j].mean(axis=0)
+        for slot, j in enumerate(empties):
+            cents[j] = x[farthest[slot % len(x)]]
     return cents
 
 
@@ -63,16 +66,21 @@ def train_codebooks(
 ) -> np.ndarray:
     """Fit per-subspace codebooks on a deterministic hash sample.
 
-    Returns an (m, k, d/m) array.  The only collect is the sample
-    (every ``sample_mod``-th row by xxhash64 of the vector bytes —
-    row-local predicate, corpus-size independent result size per
-    partition is NOT guaranteed, but the sample is bounded by
-    totalrows/sample_mod; for 100 TB corpora raise ``sample_mod`` or
-    add a LIMIT — the codebook quality needs only thousands of rows).
+    Returns an (m, k, d/m) array.  The only collect is the sample:
+    rows whose vector xxhash64 lands in the 1/``sample_mod`` slice,
+    cut to the 4096 SMALLEST hashes via a distributed top-k
+    (TakeOrderedAndProject) — fully deterministic for a given logical
+    dataset regardless of partition layout or scan order (a bare
+    LIMIT would depend on both).  For 100 TB corpora raise
+    ``sample_mod``; codebook quality needs only thousands of rows.
     """
+    hashed = df.select(
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.abs(F.xxhash64(F.col(vec_col).cast("array<float>"))).alias("h"),
+    )
     sample = (
-        df.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .where(F.abs(F.xxhash64(F.col("v").cast("array<float>"))) % sample_mod == 0)
+        hashed.where(F.col("h") % sample_mod == 0)
+        .orderBy("h")
         .limit(4096)
         .collect()
     )
@@ -84,10 +92,7 @@ def train_codebooks(
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
     books = np.stack(
-        [
-            _kmeans_1sub(x[:, j * sub : (j + 1) * sub], k, iters, seed=j)
-            for j in range(m)
-        ]
+        [_kmeans_1sub(x[:, j * sub : (j + 1) * sub], k, iters) for j in range(m)]
     )
     return books
 

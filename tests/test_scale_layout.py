@@ -354,7 +354,7 @@ def test_interval_overlap_rewrite_is_equi_join(spark):
     assert "BroadcastHashJoin" in tree or "SortMergeJoin" in tree
 
 
-def test_runtime_bloom_filter_reduces_probe_side(spark):
+def test_runtime_bloom_filter_reduces_probe_side(spark, oracle_sf_dir):
     """Spark's InjectRuntimeFilter is the engine's semi-join reduction:
     with a selective filter on the build side, the probe side's scan
     gains a bloom might_contain predicate so most probe rows die before
@@ -363,7 +363,7 @@ def test_runtime_bloom_filter_reduces_probe_side(spark):
     size thresholds that gate it locally (10 GB application-side scan)
     are exactly what a production fact table exceeds. The test lowers
     the gate to prove the wiring, then restores it."""
-    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    sf = oracle_sf_dir
     confs = {
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
