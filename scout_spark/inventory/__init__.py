@@ -78,6 +78,7 @@ def load_all() -> dict[str, Item]:
         curation_ops2,
         mining_ops,
         audit_ops,
+        linkage_ops,
     )
 
     return REGISTRY

@@ -258,3 +258,51 @@ def test_pq_rejects_bad_shapes(spark):
     )
     with pytest.raises(ValueError):  # sample smaller than k
         train_codebooks(tiny, "embedding", m=1, k=16, sample_mod=1)
+
+
+# ------------------------------------------------------------------ ppjoin
+def test_prefix_filter_join_complete_vs_bruteforce(spark):
+    """PPJoin must return EXACTLY the brute-force pair set — the prefix
+    principle guarantees no false negatives; the verify step kills the
+    false positives."""
+    from itertools import combinations
+
+    from scout_spark.operators.setjoin import prefix_filter_join
+
+    rng = __import__("numpy").random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        k = int(rng.integers(3, 12))
+        docs.append((i, sorted(set(rng.choice(vocab, size=k).tolist()))))
+    # plant exact and near duplicates
+    docs.append((100, docs[0][1]))
+    docs.append((101, docs[1][1][:-1] + ["w39"]))
+    df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    t = 0.7
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_join(df, "doc_id", "toks", t).collect()
+    }
+    want = {}
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        sa, sb = set(ta), set(tb)
+        j = len(sa & sb) / len(sa | sb)
+        if j >= t:
+            a, b = min(ia, ib), max(ia, ib)
+            want[(a, b)] = round(j, 6)
+    assert got == want
+    # the planted exact duplicate must surface at jaccard 1.0
+    assert got[(0, 100)] == 1.0
+
+
+def test_prefix_filter_join_validates_threshold(spark):
+    from scout_spark.operators.setjoin import prefix_filter_join
+
+    df = spark.createDataFrame([(1, ["a"])], "doc_id long, toks array<string>")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        prefix_filter_join(df, "doc_id", "toks", 0.0)
+    with _pt.raises(ValueError):
+        prefix_filter_join(df, "doc_id", "toks", 1.5)
