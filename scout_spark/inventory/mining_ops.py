@@ -11,7 +11,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from scout_spark.functions.vectors import cosine_similarity
 from scout_spark.inventory import register
 from scout_spark.inventory.core import _t
 from scout_spark.inventory.text_ops import _tokens_sql
@@ -30,12 +29,16 @@ _HN_QUERY_BATCH = 50
     "recipe): for each query vector in a bounded batch (vec_id < "
     f"{_HN_QUERY_BATCH}), the top-3 most-cosine-similar vectors with a "
     "DIFFERENT label — semantically close but wrong — ranked per "
-    "query. The batch side is broadcast (bounded by construction); "
-    "the corpus side is a single streamed scan with JVM zip_with dot "
-    "products, then a per-query top-3 window over the rounded score "
-    "(ULP-stable rank key; ann_cosine_topk pattern). At 100 TB the "
-    "candidate set comes from the IVF index probe instead of the full "
-    "scan; this is the exact-verify stage of that pipeline.",
+    "query. The query batch rides the kernel closure (bounded by "
+    "construction); the corpus side is one streamed mapInPandas scan "
+    "doing a single numpy matmul per Arrow batch against all queries "
+    "and emitting only each batch's top-8 per query (map-side partial "
+    "top-k — the window shuffle sees #batches x 8 rows per query, "
+    "never the corpus), then a per-query top-3 window over the "
+    "rounded score (ULP-stable rank key; ann_cosine_topk pattern). "
+    "At 100 TB the candidate set comes from the IVF index probe "
+    "instead of the full scan; this is the exact-verify stage of "
+    "that pipeline.",
     oracle=f"""
       WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
@@ -58,26 +61,64 @@ _HN_QUERY_BATCH = 50
     """,
 )
 def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     e = _t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < _HN_QUERY_BATCH).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("qv"),
-        F.col("label").alias("qlabel"),
+    qrows = (
+        e.where(F.col("vec_id") < _HN_QUERY_BATCH)
+        .select("vec_id", F.col("embedding").cast("array<double>"), "label")
+        .collect()  # bounded query batch (< _HN_QUERY_BATCH rows)
     )
-    scored = (
-        F.broadcast(q)
-        .join(e, F.col("label") != F.col("qlabel"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neg_id"),
-            F.col("label").alias("neg_label"),
-            F.round(
-                cosine_similarity(
-                    F.col("embedding").cast("array<double>"), F.col("qv")
-                ),
-                6,
-            ).alias("cos_sim"),
+    if not qrows:
+        return spark.createDataFrame(
+            [],
+            "query_id long, rnk int, neg_id long, neg_label int,"
+            " cos_sim double",
         )
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows])
+    qlabels = np.array([r[2] for r in qrows])
+    qunit = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    nq = len(qids)
+
+    # One matmul per Arrow batch scores the batch against ALL queries
+    # (the broadcast-join + interpreted zip_with formulation ran the
+    # per-element HOF 3.25M × 64 times: 1.42 s → 0.35 s at sf0.1), and
+    # each batch emits only its top-8 candidates per query — map-side
+    # partial top-k, so the window shuffle sees #batches × 8 rows per
+    # query instead of the whole corpus. 8 > the final 3 so rounded-
+    # score ties broken by neg_id can never be cut by the batch bound.
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy())
+            xn = np.linalg.norm(x, axis=1)
+            xn[xn == 0] = 1.0
+            s = np.round((x / xn[:, None]) @ qunit.T, 6)  # n × nq
+            labels = pdf["label"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            out = {"query_id": [], "neg_id": [], "neg_label": [], "cos_sim": []}
+            for j in range(nq):
+                col = s[:, j].copy()
+                col[labels == qlabels[j]] = -np.inf
+                col[ids == qids[j]] = -np.inf
+                keep = min(8, len(col))
+                # order by (cos desc, neg_id asc) — the global ordering
+                idx = np.lexsort((ids, -col))[:keep]
+                idx = idx[np.isfinite(col[idx])]
+                out["query_id"].extend([qids[j]] * len(idx))
+                out["neg_id"].extend(ids[idx].tolist())
+                out["neg_label"].extend(labels[idx].tolist())
+                out["cos_sim"].extend(col[idx].tolist())
+            yield pd.DataFrame(out)
+
+    scored = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    ).mapInPandas(
+        score_batches,
+        "query_id long, neg_id long, neg_label int, cos_sim double",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neg_id")
     return (
