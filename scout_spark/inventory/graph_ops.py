@@ -97,7 +97,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT sum(d * (d - 1) // 2)::BIGINT FROM deg) AS n_wedges,
              (SELECT t FROM tri)                           AS n_triangles,
              round(3.0 * (SELECT t FROM tri)
-                   / (SELECT sum(d * (d - 1) // 2) FROM deg), 6)
+                   / nullif((SELECT sum(d * (d - 1) // 2) FROM deg), 0), 6)
                                                            AS clustering_coeff
     """,
 )

@@ -175,3 +175,40 @@ def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+_JW_PROBE = "Customer#000000500"
+
+
+@register(
+    "scalar_jaro_winkler_rank",
+    "Jaro-Winkler fuzzy ranking (functions/jaro.py — Spark has no "
+    "built-in JW): top-20 customer names by similarity to a probe "
+    "string. The Python implementation is verified CHARACTER-EXACT "
+    "against DuckDB's jaro_winkler_similarity (same match window, "
+    "half-transposition, and prefix-bonus semantics), so this scalar "
+    "is oracle-checked, not rows-only; it runs as an Arrow pandas UDF "
+    "over a joinless scan into TakeOrderedAndProject. Rank key "
+    "rounded to 6dp with custkey tie-break (ULP-stable LIMIT).",
+    oracle=f"""
+      SELECT c_custkey, c_name,
+             round(jaro_winkler_similarity(c_name, '{_JW_PROBE}'), 6) AS jw
+      FROM customer
+      ORDER BY jw DESC, c_custkey
+      LIMIT 20
+    """,
+)
+def scalar_jaro_winkler_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.functions.jaro import jaro_winkler_to
+
+    c = _t(spark, sf_dir, "customer")
+    jw = jaro_winkler_to(_JW_PROBE)
+    return (
+        c.select(
+            "c_custkey",
+            "c_name",
+            F.round(jw(F.col("c_name")), 6).alias("jw"),
+        )
+        .orderBy(F.desc("jw"), "c_custkey")
+        .limit(20)
+    )

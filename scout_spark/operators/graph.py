@@ -84,7 +84,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         "n_edges",
         "n_wedges",
         F.col("t").alias("n_triangles"),
-        F.round(3.0 * F.col("t") / F.col("n_wedges"), 6).alias(
+        # try_divide: a wedge-free graph (perfect matching) has a
+        # well-defined NULL coefficient, not an ANSI divide-by-zero
+        F.round(F.try_divide(3.0 * F.col("t"), F.col("n_wedges")), 6).alias(
             "clustering_coeff"
         ),
     )

@@ -306,3 +306,55 @@ def test_prefix_filter_join_validates_threshold(spark):
         prefix_filter_join(df, "doc_id", "toks", 0.0)
     with _pt.raises(ValueError):
         prefix_filter_join(df, "doc_id", "toks", 1.5)
+
+
+# ------------------------------------------------------------------ jaro
+def test_jaro_winkler_matches_duckdb():
+    """The scalar must be CHARACTER-EXACT vs DuckDB's implementation —
+    that's what lets the inventory entry carry a hard oracle."""
+    import duckdb
+
+    from scout_spark.functions.jaro import jaro_winkler
+
+    con = duckdb.connect()
+    pairs = [
+        ("martha", "marhta"),
+        ("dixon", "dicksonx"),
+        ("jellyfish", "smellyfish"),
+        ("dwayne", "duane"),
+        ("crate", "trace"),
+        ("ab", "ba"),
+        ("", "abc"),
+        ("abc", ""),
+        ("abc", "abc"),
+        ("a", "a"),
+        ("Customer#000000001", "Customer#000000500"),
+        ("aaaaaa", "aaaaaa"),
+        ("prefixmatch", "prefixxxxxx"),
+    ]
+    for a, b in pairs:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert abs(jaro_winkler(a, b) - want) < 1e-12, (a, b)
+
+
+def test_jaro_winkler_random_fuzz_vs_duckdb():
+    """200 random pairs (shared alphabet, varied lengths) — catches
+    window/transposition/boost-threshold edges no fixed list covers."""
+    import random
+
+    import duckdb
+
+    from scout_spark.functions.jaro import jaro_winkler
+
+    con = duckdb.connect()
+    rnd = random.Random(42)
+    alpha = "abcde#01"
+    for _ in range(200):
+        a = "".join(rnd.choice(alpha) for _ in range(rnd.randint(0, 12)))
+        b = "".join(rnd.choice(alpha) for _ in range(rnd.randint(0, 12)))
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert abs(jaro_winkler(a, b) - want) < 1e-12, (a, b, want)
