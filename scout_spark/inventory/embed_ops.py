@@ -176,3 +176,23 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_codebooks(e, "embedding", m=8, k=16)
     codes = encode_pq(e, books, "embedding").select("vec_id", "code")
     return pq_topk(codes, qv, books, k_results=10, exclude_id=QUERY_VEC_ID)
+
+
+@register(
+    "ann_ivf_pq_topk",
+    "IVF-PQ composite ANN (faiss IndexIVFPQ shape; operators/pq.py::"
+    "ivf_pq_topk): coarse quantizer routes vectors to cells, corpus "
+    "persists as m=8-byte PQ codes, the query probes nprobe=2 of 8 "
+    "cells and ADC-scores only their codes — candidate-fraction and "
+    "payload reductions COMPOSE (2/8 of the rows x 32x smaller each). "
+    "Rows-only: codebooks and cell sample are engine-specific; "
+    "recall and actual-pruning assertions are pinned in "
+    "tests/test_graph.py.",
+    tags=("rows-only",),
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.operators.pq import ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    topk, _diag = ivf_pq_topk(e, QUERY_VEC_ID, k_results=10)
+    return topk

@@ -158,3 +158,69 @@ def pq_topk(
         .orderBy(F.desc("adc_score"), id_col)
         .limit(k_results)
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k_results: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF-PQ composite — the production billion-vector serving shape
+    (faiss IndexIVFPQ): a coarse quantizer routes each vector to one of
+    ``n_centroids`` cells; vectors are stored ONLY as m-byte PQ codes;
+    a query probes the ``nprobe`` nearest cells and ADC-scores just
+    their codes.  Candidate fraction ≈ nprobe/n_centroids AND payload
+    per candidate is m bytes — the two reductions compose.  This
+    variant encodes raw vectors (IVF-Flat-PQ); production faiss
+    encodes residuals (x − centroid) for tighter cells — noted, not
+    implemented, since the plumbing (route → encode → prune → ADC) is
+    identical.
+
+    Returns (topk DataFrame, diagnostics dict with candidate/total
+    counts so callers and tests can verify the pruning actually
+    happened).
+    """
+    import numpy as np
+
+    from scout_spark.operators.ann import _assign_udf, _sample_centroid_arrays
+
+    qrows = (
+        embeddings.where(F.col(id_col) == query_vec_id)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    if not qrows:
+        empty = embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} long, adc_score double"
+        )
+        return empty, {"n_candidates": 0, "n_total": 0}
+    qv = np.array(qrows[0][0])
+    cent_ids, cent_unit = _sample_centroid_arrays(
+        embeddings, n_centroids, vec_col, id_col
+    )
+    books = train_codebooks(embeddings, vec_col, m=m, k=k_codes)
+    assigned = embeddings.select(
+        id_col,
+        vec_col,
+        _assign_udf(cent_ids, cent_unit)(F.col(vec_col)).alias("cell"),
+    )
+    codes = encode_pq(assigned, books, vec_col).select(id_col, "cell", "code")
+    qu = qv / (np.linalg.norm(qv) or 1.0)
+    sims = cent_unit @ qu
+    probe = cent_ids[np.argsort(-sims, kind="stable")[:nprobe]].tolist()
+    cand = codes.where(F.col("cell").isin(probe))
+    diag = {
+        "n_candidates": cand.count(),
+        "n_total": codes.count(),
+        "probed_cells": probe,
+    }
+    return (
+        pq_topk(cand, qv, books, k_results, id_col, exclude_id=query_vec_id),
+        diag,
+    )

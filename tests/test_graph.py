@@ -358,3 +358,47 @@ def test_jaro_winkler_random_fuzz_vs_duckdb():
             "SELECT jaro_winkler_similarity(?, ?)", [a, b]
         ).fetchone()[0]
         assert abs(jaro_winkler(a, b) - want) < 1e-12, (a, b, want)
+
+
+def test_ivf_pq_composite_prunes_and_recalls(spark):
+    import numpy as np
+
+    from scout_spark.operators.pq import ivf_pq_topk
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(500, 16)).astype(np.float64)
+    q = rng.normal(size=16)
+    for i in range(20):
+        base[i] = q + rng.normal(scale=0.05, size=16)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    # nprobe < n_centroids: the scan must actually prune
+    topk, diag = ivf_pq_topk(
+        df, 0, k_results=10, n_centroids=8, nprobe=2, m=4, k_codes=16
+    )
+    assert 0 < diag["n_candidates"] < diag["n_total"]
+    got = [r["vec_id"] for r in topk.collect()]
+    assert len(got) == 10
+    # all cells probed -> only PQ error remains: the planted cluster
+    # (the true top neighbors) must dominate the shortlist
+    topk_all, diag_all = ivf_pq_topk(
+        df, 0, k_results=50, n_centroids=8, nprobe=8, m=4, k_codes=16
+    )
+    assert diag_all["n_candidates"] == diag_all["n_total"]
+    got_all = {r["vec_id"] for r in topk_all.collect()}
+    exact = set(np.argsort(-(base @ q))[:10].tolist()) - {0}
+    recall = len(got_all & exact) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ recall@50 {recall}"
+
+
+def test_ivf_pq_missing_query_returns_empty(spark):
+    from scout_spark.operators.pq import ivf_pq_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    topk, diag = ivf_pq_topk(df, 999, m=1, k_codes=4)
+    assert topk.count() == 0 and diag["n_candidates"] == 0
