@@ -85,6 +85,11 @@ HEADLINE = [
     "embedding_dimension_profile",
     "text_token_entropy",
     "sample_weighted_priority",
+    # round-4 second wave: exact similarity self-join (beats the
+    # oracle's quadratic 4.5x) and batch hard-negative mining
+    # (numpy-matmul + map-side partial top-k)
+    "dedup_ppjoin_prefix",
+    "mining_hard_negatives",
 ]
 
 # Iterative queries EXECUTE during plan construction (connected

@@ -35,9 +35,12 @@ def prefix_filter_join(
 
     ``records`` must carry a distinct-token array column.  The global
     frequency dictionary is aggregated once and joined back via the
-    exploded token stream (at 100 TB the dictionary can itself be
-    large, so it is NOT broadcast — the join is a shuffle on the
-    token, the same key the prefix join shuffles on).
+    exploded token stream.  The dictionary join is deliberately NOT
+    broadcast-FORCED: at 100 TB the dictionary is itself large, and
+    the plan degrades gracefully to a token-keyed shuffle join (the
+    same key the prefix join shuffles on); at bench scale the planner
+    broadcasts the tiny dictionary on its own — both are the right
+    plan at their size.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")

@@ -62,6 +62,10 @@ GALLERY = [
     "join_lateral_topk_per_customer",
     "audit_snapshot_diff",
     "window_count_distinct_running",
+    "dedup_ppjoin_prefix",
+    "er_record_linkage",
+    "scalar_jaro_winkler_rank",
+    "mining_hard_negatives",
 ]
 
 
