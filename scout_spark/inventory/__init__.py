@@ -79,6 +79,7 @@ def load_all() -> dict[str, Item]:
         mining_ops,
         audit_ops,
         linkage_ops,
+        modern_sql_ops,
     )
 
     return REGISTRY

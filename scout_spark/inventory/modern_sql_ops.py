@@ -1,0 +1,113 @@
+"""Round-4 modern-SQL surface: Spark 4 VARIANT (semi-structured
+native type) and the ANSI-mode try_* error-tolerant family.
+
+Registered last in load_all so rotation queues these behind the
+never-checked backlog in the driver window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scout_spark.inventory import register
+from scout_spark.inventory.core import _t
+
+
+@register(
+    "scalar_variant_json_path",
+    "Spark 4 VARIANT ingestion of the events props JSON: parse_json "
+    "into the native semi-structured type once, then typed "
+    "variant_get path extraction — the open-format answer to "
+    "schema-on-read JSON columns (binary-encoded, no per-query "
+    "string re-parse, pushdown-friendly). Aggregates the extracted "
+    "value per event_type. The oracle reads the same paths with "
+    "DuckDB's JSON extraction.",
+    oracle="""
+      SELECT event_type,
+             count(*) AS n_events,
+             count(json_extract(props, '$.k')) AS n_with_k,
+             sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+             min(json_extract(props, '$.k')::BIGINT) AS min_k,
+             max(json_extract(props, '$.k')::BIGINT) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scalar_variant_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "scalar_try_error_tolerant",
+    "ANSI-mode error-tolerant scalar family (this repo runs Spark 4 "
+    "with ANSI on, where a bad cast or /0 ABORTS the query): "
+    "Column.try_cast turns deterministic parse failures into NULLs "
+    "(every 3rd event's rendering is corrupted with a trailing 'x'), "
+    "try_divide turns a zero denominator into NULL — the per-row "
+    "quarantine pattern for dirty 100 TB inputs, where one malformed "
+    "record must not kill a 1000-executor job. Counts good/bad parses "
+    "and aggregates the survivors per event_type.",
+    oracle="""
+      WITH s AS (
+        SELECT event_type,
+               CASE WHEN event_id % 3 = 0
+                    THEN value::VARCHAR || 'x'
+                    ELSE value::VARCHAR END AS raw,
+               value,
+               event_id % 5 AS denom
+        FROM events
+      )
+      SELECT event_type,
+             count(*) AS n_rows,
+             count(TRY_CAST(raw AS DOUBLE)) AS n_parsed,
+             sum(CASE WHEN TRY_CAST(raw AS DOUBLE) IS NULL
+                      THEN 1 ELSE 0 END)::BIGINT AS n_quarantined,
+             CAST(round(sum(CAST(TRY_CAST(raw AS DOUBLE) AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS sum_parsed,
+             count(value / nullif(denom, 0)) AS n_divisible
+      FROM s GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scalar_try_error_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(F.col("value").cast("string"), F.lit("x")),
+    ).otherwise(F.col("value").cast("string"))
+    s = ev.select(
+        "event_type",
+        raw.alias("raw"),
+        "value",
+        (F.col("event_id") % 5).alias("denom"),
+    )
+    parsed = F.col("raw").try_cast("double")
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(parsed).alias("n_parsed"),
+            F.sum(F.when(parsed.isNull(), 1).otherwise(0)).alias(
+                "n_quarantined"
+            ),
+            F.round(F.sum(parsed.cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_parsed"),
+            F.count(F.try_divide(F.col("value"), F.col("denom"))).alias(
+                "n_divisible"
+            ),
+        )
+        .orderBy("event_type")
+    )
