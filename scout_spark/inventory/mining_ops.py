@@ -42,7 +42,9 @@ _HN_QUERY_BATCH = 50
     oracle=f"""
       WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
-        FROM embeddings WHERE vec_id < {_HN_QUERY_BATCH}
+        FROM embeddings
+        WHERE vec_id < {_HN_QUERY_BATCH}
+          AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
       ),
       scored AS (
         SELECT q.query_id, e.vec_id AS neg_id, e.label AS neg_label,
@@ -50,6 +52,7 @@ _HN_QUERY_BATCH = 50
                  AS cos_sim
         FROM q JOIN embeddings e
           ON e.label <> q.qlabel
+        WHERE list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
       ),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id
@@ -79,7 +82,13 @@ def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([r[1] for r in qrows])
     qlabels = np.array([r[2] for r in qrows])
-    qunit = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    # zero-norm queries are excluded on BOTH sides (the oracle's q CTE
+    # filters list_inner_product > 0): their cosine is undefined, and
+    # an asymmetric guard would emit rows the other engine doesn't
+    qn = np.linalg.norm(qmat, axis=1)
+    keep_q = qn > 0
+    qids, qmat, qlabels, qn = qids[keep_q], qmat[keep_q], qlabels[keep_q], qn[keep_q]
+    qunit = qmat / qn[:, None]
     nq = len(qids)
 
     # One matmul per Arrow batch scores the batch against ALL queries
@@ -95,8 +104,17 @@ def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             x = np.stack(pdf["embedding"].to_numpy())
             xn = np.linalg.norm(x, axis=1)
-            xn[xn == 0] = 1.0
-            s = np.round((x / xn[:, None]) @ qunit.T, 6)  # n × nq
+            zero_rows = xn == 0
+            xn[zero_rows] = 1.0
+            raw = (x / xn[:, None]) @ qunit.T  # n × nq
+            # round HALF AWAY FROM ZERO: np.round is banker's (half to
+            # even) while both Spark's round and DuckDB's round are
+            # half-away — a cosine landing exactly on an even .5 at
+            # 6dp would otherwise disagree across engines
+            s = np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6 * np.sign(raw)
+            # zero-norm corpus vectors: undefined cosine, excluded on
+            # both sides (oracle filters list_inner_product > 0)
+            s[zero_rows, :] = -np.inf
             labels = pdf["label"].to_numpy()
             ids = pdf["vec_id"].to_numpy()
             out = {"query_id": [], "neg_id": [], "neg_label": [], "cos_sim": []}

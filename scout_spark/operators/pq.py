@@ -170,6 +170,7 @@ def ivf_pq_topk(
     k_codes: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    with_diagnostics: bool = False,
 ):
     """IVF-PQ composite — the production billion-vector serving shape
     (faiss IndexIVFPQ): a coarse quantizer routes each vector to one of
@@ -182,9 +183,11 @@ def ivf_pq_topk(
     implemented, since the plumbing (route → encode → prune → ADC) is
     identical.
 
-    Returns (topk DataFrame, diagnostics dict with candidate/total
-    counts so callers and tests can verify the pruning actually
-    happened).
+    Returns (topk DataFrame, diagnostics dict).  ``with_diagnostics``
+    adds candidate/total counts (one extra job over the route-only
+    frame, no PQ encode) so tests can verify the pruning actually
+    happened; serving callers leave it off and pay only the final
+    top-k job.
     """
     import numpy as np
 
@@ -215,11 +218,20 @@ def ivf_pq_topk(
     sims = cent_unit @ qu
     probe = cent_ids[np.argsort(-sims, kind="stable")[:nprobe]].tolist()
     cand = codes.where(F.col("cell").isin(probe))
-    diag = {
-        "n_candidates": cand.count(),
-        "n_total": codes.count(),
-        "probed_cells": probe,
-    }
+    diag = {"probed_cells": probe}
+    if with_diagnostics:
+        # one job over the ROUTE-ONLY frame (no PQ encode) yields both
+        # counts; counting `cand`/`codes` directly would re-run the
+        # assign+encode UDF pipeline once per count on top of the
+        # final top-k job (CLAUDE.md cross-job reuse rule)
+        cell_counts = {
+            r["cell"]: r["n"]
+            for r in assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        diag["n_total"] = sum(cell_counts.values())
+        diag["n_candidates"] = sum(cell_counts.get(c, 0) for c in probe)
     return (
         pq_topk(cand, qv, books, k_results, id_col, exclude_id=query_vec_id),
         diag,

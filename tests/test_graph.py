@@ -376,7 +376,8 @@ def test_ivf_pq_composite_prunes_and_recalls(spark):
     ).repartition(4)
     # nprobe < n_centroids: the scan must actually prune
     topk, diag = ivf_pq_topk(
-        df, 0, k_results=10, n_centroids=8, nprobe=2, m=4, k_codes=16
+        df, 0, k_results=10, n_centroids=8, nprobe=2, m=4, k_codes=16,
+        with_diagnostics=True,
     )
     assert 0 < diag["n_candidates"] < diag["n_total"]
     got = [r["vec_id"] for r in topk.collect()]
@@ -384,7 +385,8 @@ def test_ivf_pq_composite_prunes_and_recalls(spark):
     # all cells probed -> only PQ error remains: the planted cluster
     # (the true top neighbors) must dominate the shortlist
     topk_all, diag_all = ivf_pq_topk(
-        df, 0, k_results=50, n_centroids=8, nprobe=8, m=4, k_codes=16
+        df, 0, k_results=50, n_centroids=8, nprobe=8, m=4, k_codes=16,
+        with_diagnostics=True,
     )
     assert diag_all["n_candidates"] == diag_all["n_total"]
     got_all = {r["vec_id"] for r in topk_all.collect()}
