@@ -527,3 +527,77 @@ def test_ohlc_merge_is_split_invariant(spark, events_batch):
     assert gd.keys() == dd.keys()
     for k in dd:
         assert gd[k] == dd[k]
+
+
+def test_decayed_trending_merge_is_split_invariant(spark, events_batch):
+    """Folding per-batch decayed partials (each at its own as-of time,
+    re-based at merge) must equal one partial over the whole stream at
+    the final time — the mergeability identity the operator rests on."""
+    import datetime as dt
+
+    from scout_spark.streaming.trending import (
+        decayed_partial,
+        merge_decayed_state,
+    )
+
+    half_life = 3600.0
+    toks = events_batch.select(
+        F.col("event_type").alias("tok"), F.col("ts")
+    )
+    t_end = toks.agg(F.max("ts")).collect()[0][0]
+    cuts = [
+        t_end - dt.timedelta(hours=48),
+        t_end - dt.timedelta(hours=24),
+        t_end,
+    ]
+    batches = [
+        toks.where(F.col("ts") <= cuts[0]),
+        toks.where((F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1])),
+        toks.where(F.col("ts") > cuts[1]),
+    ]
+    state = decayed_partial(batches[0], cuts[0], half_life)
+    state_t = cuts[0]
+    for b, t in zip(batches[1:], cuts[1:]):
+        state = merge_decayed_state(
+            state, state_t, decayed_partial(b, t, half_life), t, half_life,
+            prune_below=0.0,
+        )
+        state_t = t
+    direct = {
+        r["token"]: r["decayed_count"]
+        for r in decayed_partial(toks, t_end, half_life).collect()
+    }
+    folded = {r["token"]: r["decayed_count"] for r in state.collect()}
+    assert folded.keys() == direct.keys()
+    for k in direct:
+        assert abs(folded[k] - direct[k]) < 1e-9 * max(1.0, direct[k])
+
+
+def test_decayed_trending_recency_beats_volume(spark):
+    """A small recent burst must outrank a large stale pile, and stale
+    tokens must prune out of the state."""
+    import datetime as dt
+
+    from scout_spark.streaming.trending import (
+        decayed_partial,
+        merge_decayed_state,
+        trending_topk,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    t_now = t0 + dt.timedelta(hours=100)
+    rows = [("stale", t0)] * 100 + [
+        ("fresh", t_now - dt.timedelta(minutes=m)) for m in range(5)
+    ]
+    df = spark.createDataFrame(rows, "tok string, ts timestamp")
+    state = decayed_partial(df, t_now, half_life_s=3600.0)
+    top = trending_topk(state, k=2).collect()
+    assert top[0]["token"] == "fresh"
+    # 100 stale mentions decayed 100 half-lives: far below any floor
+    merged = merge_decayed_state(
+        state, t_now, decayed_partial(
+            spark.createDataFrame([], "tok string, ts timestamp"),
+            t_now, 3600.0,
+        ), t_now, 3600.0, prune_below=1e-6,
+    )
+    assert "stale" not in {r["token"] for r in merged.collect()}
