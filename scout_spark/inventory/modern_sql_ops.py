@@ -111,3 +111,48 @@ def scalar_try_error_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_TREND_HALF_LIFE_S = 21600.0  # 6 h
+_LN2 = 0.6931471805599453
+
+
+@register(
+    "trending_decayed_topk",
+    "Exponentially-decayed trending counts (streaming/trending.py's "
+    "batch shape): each event-type mention weighs 2^(-age/6h) as of "
+    "the corpus max timestamp, so a recent burst outranks a stale "
+    "pile — the 'what is trending NOW' primitive. One broadcast "
+    "1-row max-ts frame + one groupBy; weights are exp of "
+    "non-positive arguments (no overflow), ages in microsecond-exact "
+    "double seconds on both engines, identical ln2 literal. "
+    "Deterministic top-5 on the rounded count with a token "
+    "tie-break.",
+    oracle=f"""
+      WITH t AS (SELECT max(ts) AS t_end FROM events)
+      SELECT event_type,
+             count(*) AS n_mentions,
+             round(sum(exp((epoch(ts) - epoch(t_end))
+                           / {_TREND_HALF_LIFE_S} * {_LN2})), 6)
+               AS decayed_count
+      FROM events, t
+      GROUP BY event_type
+      ORDER BY decayed_count DESC, event_type
+      LIMIT 5
+    """,
+)
+def trending_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    t_end = ev.agg(F.max("ts").alias("t_end"))
+    age = F.col("ts").cast("double") - F.col("t_end").cast("double")
+    w = F.exp(age / F.lit(_TREND_HALF_LIFE_S) * F.lit(_LN2))
+    return (
+        ev.crossJoin(F.broadcast(t_end))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.round(F.sum(w), 6).alias("decayed_count"),
+        )
+        .orderBy(F.desc("decayed_count"), "event_type")
+        .limit(5)
+    )
