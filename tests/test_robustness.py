@@ -170,3 +170,53 @@ def test_recover_swap_cleans_stale_old_dir(tmp_path):
     assert recover_swap(target) == "cleaned_old"
     assert not os.path.exists(target + ".old")
     assert (tmp_path / "t2" / "data.txt").read_text() == "CURRENT"
+
+
+def test_timezone_sabotage_queries_self_reset_to_utc(spark, oracle_sf_dir):
+    """The driver may hand us a session with ANY timezone configured;
+    every queries() callable routes through tune_for_engine, which must
+    force UTC — otherwise window/date/trunc results drift vs the
+    oracle. Sabotage the session, then run the most timestamp-heavy
+    entries through the full parity check."""
+    from scout_spark.inventory import load_all
+
+    registry = load_all()
+    names = [
+        "sessionize_30min_gap",
+        "timeseries_ohlc_hourly",
+        "scd2_event_type_dimension",
+        "timeseries_ewma_bounded",
+        "trending_decayed_topk",
+        "scalar_date_trunc_monthly",
+    ]
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for name in names:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            from scout_spark.testing import check_item
+
+            ok, msg = check_item(spark, registry[name], oracle_sf_dir)
+            assert ok, f"under sabotaged timezone: {msg}"
+            # and the query actually reset the session
+            assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+
+
+def test_driver_entry_is_stable_across_invocations(spark):
+    """The driver may re-invoke entry() on one session; result set and
+    schema must be identical both times (no temp-view collisions, no
+    stateful plan-build surprises)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod_stability", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    a = mod.entry(spark)
+    b = mod.entry(spark)
+    assert a.schema == b.schema
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) >= 0
