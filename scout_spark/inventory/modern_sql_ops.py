@@ -156,3 +156,65 @@ def trending_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_count"), "event_type")
         .limit(5)
     )
+
+
+@register(
+    "udf_cogrouped_pandas_stats",
+    "Cogrouped-map applyInPandas (the one pandas-UDF surface the "
+    "registry didn't yet pin: two tables cogrouped on a key, the "
+    "kernel sees BOTH sides' rows per key as pandas frames): per "
+    "BUILDING-segment customer, order count and exact spend (integer-"
+    "cent arithmetic inside the kernel — no FP summation-order "
+    "drift), including zero-order customers via the empty right "
+    "frame. The oracle recomputes with a LEFT JOIN + GROUP BY; the "
+    "entry pins the cogroup API and its empty-side edge, not new "
+    "relational semantics.",
+    oracle="""
+      SELECT c.c_custkey,
+             count(o.o_orderkey) AS n_orders,
+             CAST(round(coalesce(sum(CAST(o.o_totalprice
+                  AS DECIMAL(18,2))), 0), 2) AS DOUBLE) AS total_spend,
+             c.c_acctbal
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY c.c_custkey, c.c_acctbal
+    """,
+)
+def udf_cogrouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def stats(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        if not len(cust):
+            # orders for a customer outside the BUILDING filter: the
+            # cogroup still delivers the key — emit nothing
+            return pd.DataFrame(
+                columns=["c_custkey", "n_orders", "total_spend", "c_acctbal"]
+            )
+        # exact integer-cent sum: 2dp doubles -> cents -> back (no
+        # FP summation-order drift vs the oracle's DECIMAL sum)
+        cents = (
+            (orders["o_totalprice"].to_numpy() * 100).round().astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(cust["c_custkey"].iloc[0])],
+                "n_orders": [len(orders)],
+                "total_spend": [round(int(cents.sum()) / 100.0, 2)],
+                "c_acctbal": [float(cust["c_acctbal"].iloc[0])],
+            }
+        )
+
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            stats,
+            "c_custkey long, n_orders long, total_spend double,"
+            " c_acctbal double",
+        )
+    )
