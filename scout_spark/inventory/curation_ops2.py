@@ -128,27 +128,26 @@ def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "type-token ratio — the lexical-diversity quality signals that "
     "catch keyword-stuffed and boilerplate documents (low entropy) "
     "before training. Tokens via the repo's guarded codegen tokenizer; "
-    "one explode + two hash aggregates keyed by doc; map-side combine "
-    "keeps the shuffle at distinct-(doc, token) size.",
+    "one explode + two hash aggregates keyed by doc — the per-doc "
+    "totals fold into the SAME agg as the entropy sum via the identity "
+    "H = log2(N) - sum(c*log2(c))/N, so there is no cnt-to-totals join "
+    "(r03 verdict item 7: was 3 shuffles + join, now 2 shuffles); "
+    "map-side combine keeps both shuffles at distinct-key size.",
     oracle=f"""
       WITH tok AS (
         SELECT doc_id, unnest({_tokens_sql("text")}) AS tok FROM documents
       ),
       cnt AS (
         SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
-      ),
-      tot AS (
-        SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct
-        FROM cnt GROUP BY doc_id
       )
-      SELECT c.doc_id,
-             t.n_tokens::BIGINT AS n_tokens,
-             t.n_distinct,
-             round(-sum((c.c::DOUBLE / t.n_tokens)
-                        * log2(c.c::DOUBLE / t.n_tokens)), 6) AS entropy,
-             round(t.n_distinct::DOUBLE / t.n_tokens, 6) AS ttr
-      FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
-      GROUP BY c.doc_id, t.n_tokens, t.n_distinct
+      SELECT doc_id,
+             sum(c)::BIGINT AS n_tokens,
+             count(*) AS n_distinct,
+             round(log2(sum(c)::DOUBLE)
+                   - sum(c::DOUBLE * log2(c::DOUBLE)) / sum(c)::DOUBLE,
+                   6) AS entropy,
+             round(count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS ttr
+      FROM cnt GROUP BY doc_id
     """,
 )
 def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,22 +158,21 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tok = doc_tokens(spark, sf_dir).select("doc_id", "tok")
     cnt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_distinct")
-    )
-    p = F.col("c").cast("double") / F.col("n_tokens")
+    c = F.col("c").cast("double")
+    n = F.col("n_tokens").cast("double")
     return (
-        cnt.join(tot, "doc_id")
-        .groupBy("doc_id", "n_tokens", "n_distinct")
-        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"))
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(c * F.log2(c)).alias("_s"),
+        )
         .select(
             "doc_id",
             "n_tokens",
             "n_distinct",
-            "entropy",
-            F.round(
-                F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
-            ).alias("ttr"),
+            F.round(F.log2(n) - F.col("_s") / n, 6).alias("entropy"),
+            F.round(F.col("n_distinct").cast("double") / n, 6).alias("ttr"),
         )
     )
 

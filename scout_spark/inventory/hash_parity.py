@@ -200,13 +200,16 @@ def _minhash_md5_signature(text: Column) -> Column:
     "full shingle→hash→min pipeline in DuckDB SQL and the value hash "
     "pins every signature element. Companion to dedup_minhash_lsh "
     "(whose crc32/SipHash kernels are faster but engine-specific, hence "
-    "rows-only). Top-100 docs by id keep the check O(100·shingles).",
+    "rows-only). Top-100 docs by id keep the check O(100·shingles). "
+    "The signature is serialized as a comma-joined string — the "
+    "driver's canonicalizer cannot hash list cells.",
     oracle=f"""
       SELECT doc_id,
-             list_transform(range(0, {_MINHASH_K}), k ->
-               coalesce(list_min(list_transform(th, h ->
-                 (h * (2*k + 3) + (k * 1000003 + 7)) % {_MINHASH_P})),
-                 {_MINHASH_P})) AS minhash_sig
+             array_to_string(
+               list_transform(range(0, {_MINHASH_K}), k ->
+                 coalesce(list_min(list_transform(th, h ->
+                   (h * (2*k + 3) + (k * 1000003 + 7)) % {_MINHASH_P})),
+                   {_MINHASH_P})), ',') AS minhash_sig
       FROM (
         SELECT doc_id,
                list_transform(
@@ -231,7 +234,14 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.orderBy("doc_id")
         .limit(100)
         .select(
-            "doc_id", _minhash_md5_signature(F.col("text")).alias("minhash_sig")
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    _minhash_md5_signature(F.col("text")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("minhash_sig"),
         )
         .orderBy("doc_id")
     )

@@ -560,12 +560,26 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exchange), and rotation invokes several of them back to back; the
 # BM25 _PER_DOC_CACHE pattern (retrieval.py) keeps exactly one live
 # materialization instead of re-running the corpus regex per job.
-_DOC_TOKENS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_DOC_TOKENS_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
+
+def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, float]:
+    # applicationId is stable per live session and never reused the way
+    # id(spark) can be after GC (ADVICE r03); the parquet mtime folds in
+    # so a driver-regenerated testdata dir invalidates the entry.
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = 0.0
+    return (spark.sparkContext.applicationId, sf_dir, mtime)
 
 
 def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted (doc_id, lang, source, tok) exploded token frame."""
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     hit = _DOC_TOKENS_CACHE.get(key)
     if hit is not None:
         return hit

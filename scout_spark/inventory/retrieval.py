@@ -76,15 +76,17 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one persisted posting frame per (session, sf_dir) — repeated rotation
 # invocations (topk + rerank both call _bm25_all_scored) reuse ONE
 # materialization instead of stacking a new persist per call until
-# storage eviction. Keyed on the live session object; a stopped
-# session's entry is dropped on the next call with a fresh session.
-_PER_DOC_CACHE: dict[tuple[int, str], DataFrame] = {}
+# storage eviction. Keyed on applicationId (stable per live session,
+# never GC-reused like id(spark)) + source parquet mtime so a
+# regenerated testdata dir invalidates the entry (ADVICE r03).
+_PER_DOC_CACHE: dict[tuple[str, str, float], DataFrame] = {}
 
 
 def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scout_spark.functions.normalize import canon_ascii
+    from scout_spark.inventory.quality_ops import _cache_key
 
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     hit = _PER_DOC_CACHE.get(key)
     if hit is not None:
         return hit

@@ -103,15 +103,17 @@ def _winnow_fingerprints(text: Column) -> Column:
     "distinct fingerprint set per doc. The oracle reproduces gram "
     "hashing and window minima element-for-element in DuckDB SQL, so "
     "the value hash pins the whole kernel. First 50 docs by id (array "
-    "payload grows with text length).",
+    "payload grows with text length). Fingerprint set serialized as a "
+    "comma-joined string — the driver's canonicalizer cannot hash "
+    "list cells.",
     oracle=f"""
       SELECT doc_id,
-             list_sort(list_distinct(
+             array_to_string(list_sort(list_distinct(
                CASE WHEN len(grams) >= {_WIN_W}
                     THEN list_transform(range(1, len(grams) - {_WIN_W} + 2), j ->
                            list_min(list_transform(range(0, {_WIN_W}), x ->
                              grams[j + x])))
-                    ELSE [list_min(grams)] END)) AS fingerprints,
+                    ELSE [list_min(grams)] END)), ',') AS fingerprints,
              len(grams) AS n_grams
       FROM (
         SELECT doc_id,
@@ -141,7 +143,13 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_FP_DOCS)
         .select(
             "doc_id",
-            _winnow_fingerprints(F.col("text")).alias("fingerprints"),
+            F.array_join(
+                F.transform(
+                    _winnow_fingerprints(F.col("text")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("fingerprints"),
             n_grams.cast("long").alias("n_grams"),
         )
         .orderBy("doc_id")

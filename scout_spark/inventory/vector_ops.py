@@ -278,7 +278,12 @@ def ann_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keyed on (label, dim) with map-side combine, then ordered "
     "re-assembly into a fixed-width array. Scale-safe: the shuffle "
     "carries scalars, never whole vectors, and skew is bounded by "
-    "dim-fanout. Oracle rebuilds the same via index unnest + list().",
+    "dim-fanout. Oracle rebuilds the same via index unnest + list(). "
+    "The pooled vector is serialized as comma-joined micro-scaled "
+    "integers (round(mv*1e6)::BIGINT) — the driver's canonicalizer "
+    "sorts/hashes with pandas and cannot handle list cells, and "
+    "integer serialization sidesteps double-rendering drift between "
+    "engines.",
     oracle="""
       WITH x AS (
         SELECT label, unnest(range(1, len(embedding) + 1)) AS dim, embedding
@@ -292,7 +297,8 @@ def ann_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v GROUP BY label, dim
       )
       SELECT label, count(*) AS n_dims,
-             list(mv ORDER BY dim) AS pooled
+             string_agg(round(mv * 1e6)::BIGINT::VARCHAR, ','
+                        ORDER BY dim) AS pooled
       FROM m GROUP BY label
     """,
 )
@@ -304,8 +310,11 @@ def embedding_mean_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = v.groupBy("label", "dim").agg(F.round(F.avg("val"), 6).alias("mv"))
     return m.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_dims"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mv"))),
-            lambda s: s.mv,
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                lambda s: F.round(s.mv * 1e6, 0).cast("long").cast("string"),
+            ),
+            ",",
         ).alias("pooled"),
     )

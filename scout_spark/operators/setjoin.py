@@ -66,7 +66,12 @@ def prefix_filter_join(
         )
     )
     n = F.size("toks")
-    prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    # integer-safe ceil(t*n): double arithmetic can land just above an
+    # exact integer for thresholds whose binary form exceeds the
+    # rational value, inflating ceil by 1 and silently dropping the
+    # no-false-negative guarantee (ADVICE r03). Nudge below by 1e-9 —
+    # sound for any practical threshold granularity (>= 1e-6).
+    prefix_len = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
     prefixes = ranked.select(
         "rid",
         "toks",

@@ -57,8 +57,18 @@ def _canon_cell(v) -> str:
         if ts.tzinfo is not None:
             ts = ts.tz_convert("UTC").tz_localize(None)
         return ts.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
+        # The DRIVER's canonicalizer sorts the frame with pandas before
+        # hashing and dies on unhashable list cells (r03 reds:
+        # embedding_mean_pool_by_label, dedup_minhash_md5_signatures,
+        # text_fingerprint_winnowing). Mirror that: an oracle-backed
+        # entry must serialize arrays/maps/structs to scalars
+        # (array_join / to_json) in its final projection on BOTH sides.
+        raise TypeError(
+            "non-scalar cell in oracle-backed output (driver canon would "
+            f"crash): {type(v).__name__}={v!r}. Serialize with array_join/"
+            "to_json on both engine and oracle sides."
+        )
     return str(v)
 
 

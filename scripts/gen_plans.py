@@ -65,7 +65,6 @@ GALLERY = [
     "dedup_ppjoin_prefix",
     "er_record_linkage",
     "scalar_jaro_winkler_rank",
-    "mining_hard_negatives",
 ]
 
 
