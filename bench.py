@@ -92,6 +92,13 @@ HEADLINE = [
     "mining_hard_negatives",
 ]
 
+# Frozen round-2 comparison subset: the headline set as of BENCH_r02
+# (the list grows every round, so the full-total number is composition-
+# sensitive; this key is the like-for-like round-over-round signal —
+# r03 verdict item 9). Never append to this list.
+CORE32 = HEADLINE[: HEADLINE.index("quality_outlier_mad") + 1]
+assert len(CORE32) == 32, len(CORE32)
+
 # Iterative queries EXECUTE during plan construction (connected
 # components runs its propagation loop and localCheckpoints each
 # round), so prepared-plan re-execution would time only the final
@@ -187,6 +194,9 @@ def main() -> None:
                 "value": sequential,
                 "unit": "sec",
                 "queries": timings,
+                "headline_core32_sec": round(
+                    sum(timings[n] for n in CORE32), 3
+                ),
                 "build_sec": build_sec,
                 "concurrent_wall_sec": wall,
                 "concurrency": 8,

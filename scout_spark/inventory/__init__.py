@@ -80,6 +80,8 @@ def load_all() -> dict[str, Item]:
         audit_ops,
         linkage_ops,
         modern_sql_ops,
+        # round-4 second wave (sketch twins, corpus stats, FK audit)
+        analytics_ops,
     )
 
     return REGISTRY

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scout_spark.inventory import register
-from scout_spark.inventory.core import _t
+from scout_spark.inventory.core import _t, _th
 from scout_spark.inventory.text_ops import _tokens_col, _tokens_sql
 
 # PPJoin entry bound: the oracle recomputes the EXACT unblocked result
@@ -117,8 +117,15 @@ _ER_DROP_MOD = 11
     """,
 )
 def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    v2 = c.where(F.col("c_custkey") % _ER_DROP_MOD != 0).select(
+    # probe side widened (_th): the banded-levenshtein loop over the
+    # ~1.65M block pairs runs inside the probe scan's codegen stage, and
+    # bench parquet arrives as ONE row group — without the widen the
+    # whole pair loop lands on a single core (measured 3.0 s -> 0.7 s
+    # at sf0.1). The broadcast build side stays narrow.
+    c = _th(spark, sf_dir, "customer")
+    v2 = _t(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % _ER_DROP_MOD != 0
+    ).select(
         F.col("c_custkey").alias("k2"),
         F.col("c_nationkey").alias("nk2"),
         F.col("c_mktsegment").alias("seg2"),
@@ -138,9 +145,26 @@ def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold (returns -1) — a banded O(threshold·n) computation per
     # pair instead of O(n²); only the ≤ 2 predicate matters here, so
     # "within threshold" ≡ "result != -1". Measured 4.7 s → ~2 s on
-    # the 1.8M-pair candidate set at sf0.1.
+    # the 1.8M-pair candidate set at sf0.1. Edit distance is invariant
+    # under a shared prefix (ed(xu, xv) = ed(u, v)), so when BOTH names
+    # carry the corpus-constant 'customer#' prefix the DP runs on the
+    # 9-12 char tails instead of the full 18-21 — half the band cells;
+    # the guard keeps the predicate exact for arbitrary names. (An
+    # ED-Join q-gram prefix filter was measured here and cut the block
+    # pairs only 1.1-2.1x: every record's rare-gram prefix gets padded
+    # with corpus-universal grams on these fixed-shape names — see
+    # PLANS.md round-4 notes.)
+    _pfx = "customer#"
+    nm1, nm2 = F.lower(F.col("c_name")), F.lower(F.col("name2"))
+    both_pfx = nm1.startswith(_pfx) & nm2.startswith(_pfx)
+    _cut = len(_pfx) + 1
     name_agree = (
-        F.levenshtein(F.lower(F.col("c_name")), F.lower(F.col("name2")), 2)
+        F.when(
+            both_pfx,
+            F.levenshtein(
+                F.substring(nm1, _cut, 64), F.substring(nm2, _cut, 64), 2
+            ),
+        ).otherwise(F.levenshtein(nm1, nm2, 2))
         != -1
     )
     bal_agree = F.abs(F.col("c_acctbal") - F.col("bal2")) <= 0.02

@@ -120,6 +120,125 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(e, query_vec_id=QUERY_VEC_ID, k=10, n_planes=4)
 
 
+_LSH_MD5_PLANES = 4
+
+
+def _lsh_md5_coef(plane: int, dim: int) -> int:
+    """±1 hyperplane coefficient from md5 parity — md5 is md5 in every
+    engine, so DuckDB's `('0x'||substr(md5(p||'_'||i),1,1))::INT % 2`
+    reproduces this exactly (verified: md5('0_0')[0]='5' → -1)."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+
+def _lsh_md5_sig_sql(n_planes: int) -> str:
+    """DuckDB bucket-id expression over `embedding` (cross-engine twin
+    of the Spark kernel below). Projections use EXACT integer
+    arithmetic — sum of ±floor(v*1e6) — so the sign is order-free and
+    identical across engines (a double-sum dot product could flip sign
+    near zero under different summation orders). Literal plane weights
+    1/2/4/8, not shifts (DuckDB gives + higher precedence than <<)."""
+    terms = []
+    for p in range(n_planes):
+        proj = (
+            "list_sum(list_transform(range(0, len(embedding)), i -> "
+            f"(CASE WHEN ('0x'||substr(md5({p} || '_' || i), 1, 1))::INT % 2 = 0 "
+            "THEN 1 ELSE -1 END) * floor(embedding[i + 1]::DOUBLE * 1e6)::BIGINT))"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "ann_lsh_md5_bucketed",
+    "LSH-bucketed ANN with a CROSS-ENGINE bucket kernel — the oracle-"
+    "checked twin of ann_lsh_bucketed (whose fract(sin) hyperplanes "
+    "are FP-fragile across engines): ±1 hyperplane coefficients from "
+    "md5(plane_dim) parity, projections as EXACT integer sums of "
+    "±floor(v*1e6) (order-free sign, no summation-order ULP risk), "
+    "bucket = sign-bit integer. The query's bucket and vector resolve "
+    "driver-side with the identical integer kernel, so execution is "
+    "ONE joinless scan → bucket filter → exact cosine rerank → "
+    "TakeOrderedAndProject, same 100 TB shape as the brute-force "
+    "baseline but touching ~2^-planes of the corpus.",
+    oracle=f"""
+      WITH sigs AS (
+        SELECT vec_id, embedding, {_lsh_md5_sig_sql(_LSH_MD5_PLANES)} AS bucket
+        FROM embeddings
+      ),
+      q AS (
+        SELECT embedding::DOUBLE[] AS qv, bucket AS qbucket
+        FROM sigs WHERE vec_id = {QUERY_VEC_ID}
+      )
+      SELECT s.vec_id, s.bucket,
+             round(list_cosine_similarity(s.embedding::DOUBLE[], q.qv), 6)
+               AS cos_sim
+      FROM sigs s, q
+      WHERE s.bucket = q.qbucket AND s.vec_id <> {QUERY_VEC_ID}
+      ORDER BY cos_sim DESC, s.vec_id
+      LIMIT 10
+    """,
+)
+def ann_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    if not qrows:
+        return e.where(F.lit(False)).select(
+            "vec_id", F.lit(0).alias("bucket"), F.lit(0.0).alias("cos_sim")
+        )
+    qv = qrows[0][0]
+    d = len(qv)
+    coefs = [
+        [_lsh_md5_coef(p, i) for i in range(d)] for p in range(_LSH_MD5_PLANES)
+    ]
+    qbucket = sum(
+        (1 << p)
+        for p in range(_LSH_MD5_PLANES)
+        if sum(coefs[p][i] * math.floor(qv[i] * 1e6) for i in range(d)) >= 0
+    )
+
+    def _proj(p: int):
+        cs = F.array(*[F.lit(c) for c in coefs[p]])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                cs,
+                lambda v, c: c.cast("long")
+                * F.floor(v.cast("double") * 1e6).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = sum(
+        [
+            F.when(_proj(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(_LSH_MD5_PLANES)
+        ],
+        F.lit(0),
+    )
+    return (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            bucket.alias("bucket"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.lit(qv)), 6
+            ).alias("cos_sim"),
+        )
+        .where(F.col("bucket") == qbucket)
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 @register(
     "crossmodal_doc_embedding_join",
     "Cross-modal equi join: documents ⋈ embeddings on id, aggregating "
