@@ -90,6 +90,17 @@ HEADLINE = [
     # (numpy-matmul + map-side partial top-k)
     "dedup_ppjoin_prefix",
     "mining_hard_negatives",
+    # round-4 third wave: one per new family — HOF pair-generated PMI
+    # collocations (map-side pair stream, broadcast marginals),
+    # grid-densified linear interpolation (two IGNORE NULLS fill
+    # windows over one sort), and the all-integer weighted-percentile
+    # window. Link prediction stays out (its e2e cost is the edge
+    # build the triangle entry already times plus a 100-row local
+    # stage); RAKE/OLS/FD-audit are scan+agg shapes the existing
+    # text/agg entries already represent.
+    "text_cooccurrence_pmi",
+    "timeseries_linear_interpolate",
+    "agg_weighted_percentile",
 ]
 
 # Frozen round-2 comparison subset: the headline set as of BENCH_r02

@@ -82,6 +82,10 @@ def load_all() -> dict[str, Item]:
         modern_sql_ops,
         # round-4 second wave (sketch twins, corpus stats, FK audit)
         analytics_ops,
+        # round-4 third wave (event-flow analytics, PMI/RAKE corpus
+        # insight, link prediction, ANN range search, grouped OLS,
+        # weighted percentiles, FD audit)
+        insight_ops,
     )
 
     return REGISTRY

@@ -1,0 +1,967 @@
+"""Round-4 third wave: event-flow analytics (Markov transitions, top
+paths, rolling anomaly detection, linear gap interpolation), corpus
+insight (windowed PMI collocations, RAKE keyword extraction), graph
+link prediction, ANN range search, grouped OLS regression, weighted
+percentiles, and a functional-dependency audit.
+
+Cross-engine FP discipline (same house rules as series_ops):
+
+- Every accumulation that feeds a comparison or a ranking is INTEGER
+  (counts, integer cents, integer quantities, epoch micros) — exact and
+  order-independent on both engines; doubles appear only in final
+  single-expression formulas whose operand order is written identically
+  on both sides (same IEEE op sequence -> same bits).
+- Sums that can exceed int64 (OLS Sigma-y^2 in cents^2) go through
+  decimal(38,0) on Spark / DuckDB's HUGEINT sum — both exact — and are
+  cast to double only at the formula boundary.
+- Per-user/type windows order by (ts, event_id): ts alone ties under
+  generated data and an engine-dependent tie order flips lag values.
+- LIMIT queries carry full deterministic tie-breaks.
+
+Registered last in load_all so rotation queues these behind the
+never-checked round-4 backlog in the driver window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scout_spark.inventory import register
+from scout_spark.inventory.core import _t
+
+# --------------------------------------------------------------- markov
+
+
+@register(
+    "markov_second_order_transitions",
+    "SECOND-order Markov model over per-user event streams: condition "
+    "the next event on the previous TWO (lag-2, lag-1) states — the "
+    "step up from events_transition_matrix's first-order edge counts "
+    "that captures momentum patterns (e.g. view>click converts "
+    "differently than click>view). Per-context conditional "
+    "probabilities are ratios of exact integer counts over a "
+    "|types|^2-sized context space. 100 TB: one window shuffle on "
+    "user_id (both lags share the single sort) + one map-side-combined "
+    "count agg; the context key space stays tiny regardless of data "
+    "volume.",
+    oracle="""
+      WITH p AS (
+        SELECT lag(event_type, 2) OVER w AS s2,
+               lag(event_type, 1) OVER w AS s1,
+               event_type AS dst
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      c AS (
+        SELECT s2 || '>' || s1 AS ctx, dst, count(*) AS n
+        FROM p WHERE s2 IS NOT NULL GROUP BY 1, 2
+      )
+      SELECT ctx, dst, n,
+             round(n::DOUBLE / sum(n) OVER (PARTITION BY ctx), 6) AS prob
+      FROM c
+      ORDER BY n DESC, ctx, dst
+      LIMIT 20
+    """,
+)
+def markov_second_order_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        F.lag("event_type", 2).over(w).alias("s2"),
+        F.lag("event_type", 1).over(w).alias("s1"),
+        F.col("event_type").alias("dst"),
+    ).where(F.col("s2").isNotNull())
+    c = p.groupBy(
+        F.concat_ws(">", "s2", "s1").alias("ctx"), "dst"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("ctx"))
+    return (
+        c.select(
+            "ctx",
+            "dst",
+            "n",
+            F.round(F.col("n").cast("double") / tot, 6).alias("prob"),
+        )
+        .orderBy(F.col("n").desc(), "ctx", "dst")
+        .limit(20)
+    )
+
+
+@register(
+    "path_top_sequences",
+    "Top entry paths: each user's first three events (ordered by ts, "
+    "event_id) joined into an 'a>b>c' path string, counted across "
+    "users — the product-analytics 'common journeys' report. Spark "
+    "builds the path with array_sort(collect_list(struct(rn, type))) + "
+    "a transform/array_join HOF (order pinned by rn, not shuffle "
+    "arrival); the oracle uses DuckDB's ordered string_agg — "
+    "independent formulations. 100 TB: the row_number window and the "
+    "path agg share the user_id partitioning, so the whole plan is one "
+    "shuffle + one tiny count agg.",
+    oracle="""
+      WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ),
+      p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 3 GROUP BY user_id HAVING count(*) = 3
+      )
+      SELECT path, count(*) AS n_users
+      FROM p GROUP BY path
+      ORDER BY n_users DESC, path
+      LIMIT 15
+    """,
+)
+def path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 3)
+    per_user = (
+        first3.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.array_sort(
+                F.collect_list(F.struct("rn", "event_type"))
+            ).alias("seq"),
+        )
+        .where(F.col("n_ev") == 3)
+        .select(
+            F.expr(
+                "array_join(transform(seq, s -> s.event_type), '>')"
+            ).alias("path")
+        )
+    )
+    return (
+        per_user.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(15)
+    )
+
+
+# -------------------------------------------------------------- anomaly
+
+
+@register(
+    "timeseries_anomaly_zscore",
+    "Rolling z-score anomaly detection on hourly event-type counts: "
+    "each (type, hour) bucket is scored against the trailing 24 "
+    "buckets' mean/std (ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) and "
+    "flagged when |z| > 2 with >= 12 history buckets — the volume-spike "
+    "monitor every ingest pipeline runs. The rolling sum/sum-of-squares "
+    "are INTEGER counts (exact, order-independent — no FP window "
+    "accumulation; the variance formula goes double only in the final "
+    "expression, written identically on both engines). 100 TB: the "
+    "hourly pre-agg collapses the stream 10^5:1 before the window, "
+    "which then shuffles only (type, hour, count) triples.",
+    oracle="""
+      WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+        FROM events GROUP BY 1, 2
+      ),
+      w AS (
+        SELECT event_type, hr, n,
+               count(*) OVER win AS m,
+               sum(n) OVER win AS s,
+               sum(n * n) OVER win AS ss
+        FROM h
+        WINDOW win AS (PARTITION BY event_type ORDER BY hr
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      )
+      SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS hour, n,
+             round((n - s::DOUBLE / m) /
+                   sqrt((ss - s::DOUBLE * s / m) / (m - 1)), 4) AS zscore
+      FROM w
+      WHERE m >= 12 AND (ss - s::DOUBLE * s / m) > 0
+        AND abs((n - s::DOUBLE / m) /
+                sqrt((ss - s::DOUBLE * s / m) / (m - 1))) > 2
+      ORDER BY event_type, hour
+    """,
+)
+def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    win = (
+        Window.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+    )
+    w = h.select(
+        "event_type",
+        "hr",
+        "n",
+        F.count(F.lit(1)).over(win).alias("m"),
+        F.sum("n").over(win).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(win).alias("ss"),
+    )
+    s_d = F.col("s").cast("double")
+    mean = s_d / F.col("m")
+    var = (F.col("ss") - s_d * F.col("s") / F.col("m")) / (F.col("m") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        w.where(
+            (F.col("m") >= 12)
+            & ((F.col("ss") - s_d * F.col("s") / F.col("m")) > 0)
+            & (F.abs(z) > 2)
+        )
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+            "n",
+            F.round(z, 4).alias("zscore"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@register(
+    "timeseries_linear_interpolate",
+    "Hourly gap-fill with LINEAR interpolation (the sibling of "
+    "timeseries_gapfill_locf): per event_type, densify the hourly "
+    "avg(value) series onto a complete min..max hour grid and fill "
+    "missing hours as prev + (next - prev) * elapsed-fraction, using "
+    "last/first IGNORE NULLS windows for the bracketing observations "
+    "and exact integer epoch-microsecond arithmetic for the fraction. "
+    "100 TB: the grid explode is per-type and the two fill windows "
+    "reuse one (type ORDER BY hr) sort — a single shuffle over the "
+    "ALREADY hourly-collapsed frame, never the raw stream.",
+    oracle="""
+      WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               round(avg(value), 6) AS v
+        FROM events GROUP BY 1, 2
+      ),
+      b AS (
+        SELECT event_type, min(hr) AS lo, max(hr) AS hi
+        FROM h GROUP BY 1
+      ),
+      grid AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        FROM b
+      ),
+      j AS (
+        SELECT g.event_type, g.hr, h.v FROM grid g
+        LEFT JOIN h ON h.event_type = g.event_type AND h.hr = g.hr
+      ),
+      f AS (
+        SELECT event_type, hr, v,
+               last_value(v IGNORE NULLS) OVER
+                 (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+                 OVER (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+               first_value(v IGNORE NULLS) OVER
+                 (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+                 OVER (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM j
+      )
+      SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS hour,
+             CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+             CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                    round(pv + (nv - pv) *
+                          ((epoch_us(hr) - epoch_us(pt))::DOUBLE
+                           / (epoch_us(nt) - epoch_us(pt))), 6)
+                  ELSE coalesce(pv, nv) END AS filled
+      FROM f
+      ORDER BY event_type, hour
+    """,
+)
+def timeseries_linear_interpolate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Spark formulation avoids the oracle's grid-join entirely: each
+    # OBSERVED hour looks ahead to the next observed hour (lead over
+    # the one per-type sort) and map-side explodes the gap hours in
+    # between, interpolating against the bracketing pair it already
+    # holds — one events scan, one window shuffle, no second hourly
+    # agg for the bounds and no densify join. Produces exactly the
+    # oracle's per-type min..max grid.
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    led = h.select(
+        "event_type",
+        "hr",
+        "v",
+        F.lead("hr").over(w).alias("nt"),
+        F.lead("v").over(w).alias("nv"),
+    )
+    g = led.select(
+        "event_type",
+        "hr",
+        "v",
+        "nt",
+        "nv",
+        F.explode(
+            F.expr(
+                "sequence(hr, coalesce(nt - interval 1 hour, hr), "
+                "interval 1 hour)"
+            )
+        ).alias("ghr"),
+    )
+    frac = (
+        (F.unix_micros(F.col("ghr")) - F.unix_micros(F.col("hr"))).cast(
+            "double"
+        )
+        / (F.unix_micros(F.col("nt")) - F.unix_micros(F.col("hr")))
+    )
+    observed = F.col("ghr") == F.col("hr")
+    filled = F.when(observed, F.col("v")).otherwise(
+        F.round(F.col("v") + (F.col("nv") - F.col("v")) * frac, 6)
+    )
+    return g.select(
+        "event_type",
+        F.date_format("ghr", "yyyy-MM-dd HH:00").alias("hour"),
+        F.when(observed, 1).otherwise(0).alias("observed"),
+        filled.alias("filled"),
+    ).orderBy("event_type", "hour")
+
+
+# ------------------------------------------------------------------ OLS
+
+
+@register(
+    "agg_ols_by_group",
+    "Closed-form simple linear regression (slope / intercept / r^2) of "
+    "extended price on quantity per return flag — grouped OLS from the "
+    "five classic sufficient statistics. All sums are EXACT integers "
+    "(quantity is integral; price in cents; Sigma-y^2 exceeds int64 so "
+    "it runs through decimal(38,0) on Spark and DuckDB's HUGEINT sum — "
+    "both exact), cast to double only inside the final formulas, which "
+    "are written with the identical operand order on both engines. "
+    "100 TB: a single map-side-combined agg — sufficient statistics ARE "
+    "the mergeable-state formulation of regression, the same shape any "
+    "distributed ML preprocessing uses.",
+    oracle="""
+      WITH s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(l_quantity::BIGINT) AS sx,
+               sum(round(l_extendedprice * 100)::BIGINT) AS sy,
+               sum(l_quantity::BIGINT
+                   * round(l_extendedprice * 100)::BIGINT) AS sxy,
+               sum(l_quantity::BIGINT * l_quantity::BIGINT) AS sxx,
+               sum(round(l_extendedprice * 100)::BIGINT
+                   * round(l_extendedprice * 100)::BIGINT) AS syy
+        FROM lineitem GROUP BY 1
+      ),
+      d AS (
+        SELECT l_returnflag, n,
+               n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+               sxy::DOUBLE AS sxyd, sxx::DOUBLE AS sxxd, syy::DOUBLE AS syyd
+        FROM s
+      )
+      SELECT l_returnflag, n,
+             round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) / 100,
+                   6) AS slope,
+             round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                    * sxd) / nd / 100, 2) AS intercept,
+             round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+                   / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)),
+                   6) AS r2
+      FROM d
+      ORDER BY l_returnflag
+    """,
+)
+def agg_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    xi = F.col("l_quantity").cast("bigint")
+    yi = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi).alias("sx"),
+        F.sum(yi).alias("sy"),
+        F.sum(xi * yi).alias("sxy"),
+        F.sum(xi * xi).alias("sxx"),
+        F.sum((yi * yi).cast("decimal(38,0)")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    slope_c = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    num2 = (nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+    den2 = (nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope_c / 100, 6).alias("slope"),
+        F.round((syd - slope_c * sxd) / nd / 100, 2).alias("intercept"),
+        F.round(num2 / den2, 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+# ------------------------------------------------------ weighted median
+
+
+@register(
+    "agg_weighted_percentile",
+    "Quantity-weighted price percentiles per return flag (weighted "
+    "median + weighted p90): sort by price within each flag, take the "
+    "running quantity weight, and pick the first price whose cumulative "
+    "weight crosses the target fraction — the inventory-weighted price "
+    "statistic BI suites ship as PERCENTILE_CONT(weight). Entirely "
+    "integer arithmetic (cents, integer quantities, 2*cumw >= tot "
+    "threshold tests) — zero FP order sensitivity. 100 TB: one window "
+    "sort per flag over slim (flag, cents, qty) rows + a min-agg; the "
+    "same single-shuffle shape as any ranked-percentile pass.",
+    oracle="""
+      WITH r AS (
+        SELECT l_returnflag,
+               round(l_extendedprice * 100)::BIGINT AS pc,
+               l_quantity::BIGINT AS q,
+               sum(l_quantity::BIGINT) OVER
+                 (PARTITION BY l_returnflag
+                  ORDER BY round(l_extendedprice * 100)::BIGINT,
+                           l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+               sum(l_quantity::BIGINT) OVER
+                 (PARTITION BY l_returnflag) AS tot
+        FROM lineitem
+      )
+      SELECT l_returnflag,
+             round(min(CASE WHEN 2 * cumw >= tot THEN pc END) / 100.0, 2)
+               AS weighted_median,
+             round(min(CASE WHEN 10 * cumw >= 9 * tot THEN pc END) / 100.0,
+                   2) AS weighted_p90,
+             min(tot)::BIGINT AS total_weight
+      FROM r GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    q = F.col("l_quantity").cast("bigint")
+    base = li.select(
+        "l_returnflag",
+        pc.alias("pc"),
+        q.alias("q"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pc", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    r = base.select(
+        "l_returnflag",
+        "pc",
+        F.sum("q").over(wcum).alias("cumw"),
+        F.sum("q").over(wtot).alias("tot"),
+    )
+    return (
+        r.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.min(F.when(2 * F.col("cumw") >= F.col("tot"), F.col("pc")))
+                / 100.0,
+                2,
+            ).alias("weighted_median"),
+            F.round(
+                F.min(
+                    F.when(10 * F.col("cumw") >= 9 * F.col("tot"), F.col("pc"))
+                )
+                / 100.0,
+                2,
+            ).alias("weighted_p90"),
+            F.min("tot").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ------------------------------------------------------------------ PMI
+
+
+_TOK = "[a-z0-9]+"
+
+
+@register(
+    "text_cooccurrence_pmi",
+    "Windowed PMI collocations: token pairs co-occurring within "
+    "distance <= 2 inside a document, scored by pointwise mutual "
+    "information log2(p(a,b)/(p(a)p(b))) against unigram marginals — "
+    "the classic collocation-extraction statistic (Church & Hanks "
+    "1990). Spark generates the pair stream with a per-document "
+    "slice/transform HOF over the token array (arrays are "
+    "document-bounded, so the interpreted per-element cost is O(1); no "
+    "positional self-join, no shuffle before the count agg); the "
+    "oracle independently derives pairs via a positional unnest "
+    "self-join. All counts are exact integers; the PMI ratio is one "
+    "fixed-order double expression. 100 TB: token pair generation is "
+    "map-side and the aggs are vocabulary-sized, with the marginals "
+    "broadcast to the pair join.",
+    oracle=f"""
+      WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS toks
+        FROM documents
+      ),
+      pos AS (
+        SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks
+        FROM d
+      ),
+      tok AS (SELECT doc_id, p, toks[p] AS tok FROM pos),
+      pair AS (
+        SELECT least(a.tok, b.tok) AS tok_a, greatest(a.tok, b.tok) AS tok_b
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+      ),
+      pc AS (
+        SELECT tok_a, tok_b, count(*) AS pair_n
+        FROM pair GROUP BY 1, 2
+      ),
+      m AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+      tot AS (
+        SELECT (SELECT count(*) FROM tok) AS nn,
+               (SELECT count(*) FROM pair) AS pp
+      )
+      SELECT p.tok_a, p.tok_b, p.pair_n,
+             round(log2(p.pair_n::DOUBLE * t.nn * t.nn
+                        / (t.pp::DOUBLE * ma.c * mb.c)), 4) AS pmi
+      FROM pc p
+      JOIN m ma ON ma.tok = p.tok_a
+      JOIN m mb ON mb.tok = p.tok_b
+      CROSS JOIN tot t
+      WHERE p.pair_n >= 5
+      ORDER BY pmi DESC, p.tok_a, p.tok_b
+      LIMIT 20
+    """,
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.inventory.quality_ops import doc_tokens
+
+    # Unigram marginals ride the shared persisted doc_tokens frame (one
+    # corpus tokenize per session, BM25 pattern); the positional pair
+    # stream needs its own single scan (doc_tokens drops positions).
+    # The corpus totals nn/pp are attached to the ALREADY-AGGREGATED
+    # vocabulary-sized frames with an unpartitioned window sum — no
+    # second corpus scan per total, and the single-partition window
+    # only ever sees |vocab| / |vocab|^2 rows, never the token stream.
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(_TOK), 0
+        ).alias("toks"),
+    )
+    # pair stream: for 0-based element i, partners are i+1, i+2 ->
+    # 1-based slice start i+2, length 2 (slice clamps at array end)
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(toks, (x, i) -> "
+                "transform(slice(toks, i + 2, 2), y -> "
+                "struct(least(x, y) AS a, greatest(x, y) AS b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+    pc = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("pair_n")
+    )
+    pc = pc.withColumn(
+        "pp", F.sum("pair_n").over(Window.partitionBy())
+    )
+    m = (
+        doc_tokens(spark, sf_dir)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = m.withColumn("nn", F.sum("c").over(Window.partitionBy()))
+    ma = m.select(
+        F.col("tok").alias("tok_a"), F.col("c").alias("ca"), "nn"
+    )
+    mb = m.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb"))
+    j = pc.join(F.broadcast(ma), "tok_a").join(F.broadcast(mb), "tok_b")
+    pmi = F.log2(
+        F.col("pair_n").cast("double") * F.col("nn") * F.col("nn")
+        / (F.col("pp").cast("double") * F.col("ca") * F.col("cb"))
+    )
+    return (
+        j.where(F.col("pair_n") >= 5)
+        .select(
+            "tok_a", "tok_b", "pair_n", F.round(pmi, 4).alias("pmi")
+        )
+        .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+        .limit(20)
+    )
+
+
+# ----------------------------------------------------------------- RAKE
+
+
+_STOPWORDS = (
+    "the,of,and,a,an,in,to,is,was,it,for,on,as,with,at,by,from,that,"
+    "this,be,are,or,not,but,have,has,had,were,which,you,we,they,i"
+).split(",")
+_STOP_RE = r"\b(?:" + "|".join(_STOPWORDS) + r")\b"
+
+
+@register(
+    "text_keyword_rake",
+    "RAKE keyword extraction (Rose et al. 2010): candidate phrases are "
+    "maximal stopword/punctuation-free word runs; each word scores "
+    "deg/freq (deg = total length of phrases it appears in, freq = its "
+    "occurrence count) and a phrase scores by its words' aggregate "
+    "degree-to-frequency ratio. This implementation keeps the ratio "
+    "INTEGER-EXACT — sum(deg)/sum(freq) over the phrase's words, one "
+    "double division at the end — instead of summing per-word double "
+    "ratios whose order the engines could disagree on. Both engines "
+    "run the identical regex pipeline (punctuation -> '|', stopwords "
+    "-> '|', split, trim). 100 TB: phrase extraction is map-side; "
+    "word-stat aggs are vocabulary-sized and broadcast back to the "
+    "phrase-word join.",
+    oracle=f"""
+      WITH ph0 AS (
+        SELECT doc_id,
+               unnest(string_split(
+                 regexp_replace(regexp_replace(lower(text),
+                                               '[^a-z0-9 ]', '|', 'g'),
+                                '{_STOP_RE}', '|', 'g'),
+                 '|')) AS raw
+        FROM documents
+      ),
+      ph AS (
+        SELECT trim(regexp_replace(raw, ' +', ' ', 'g')) AS phrase
+        FROM ph0
+        WHERE length(trim(regexp_replace(raw, ' +', ' ', 'g'))) > 0
+      ),
+      inst AS (
+        SELECT phrase, string_split(phrase, ' ') AS ws,
+               len(string_split(phrase, ' ')) AS plen
+        FROM ph
+      ),
+      k AS (SELECT * FROM inst WHERE plen <= 4),
+      iw AS (SELECT unnest(ws) AS w, plen FROM k),
+      stats AS (
+        SELECT w, count(*) AS freq, sum(plen) AS deg FROM iw GROUP BY w
+      ),
+      uniq AS (
+        SELECT phrase, count(*) AS phrase_freq, min(plen) AS plen
+        FROM k GROUP BY phrase
+      ),
+      uw AS (
+        SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM uniq
+      ),
+      scored AS (
+        SELECT u.phrase, sum(s.deg) AS sum_deg, sum(s.freq) AS sum_freq
+        FROM uw u JOIN stats s ON s.w = u.w GROUP BY u.phrase
+      )
+      SELECT q.phrase, q.phrase_freq, q.plen AS n_words,
+             round(sc.sum_deg::DOUBLE / sc.sum_freq, 4) AS rake_score
+      FROM uniq q JOIN scored sc ON sc.phrase = q.phrase
+      WHERE q.phrase_freq >= 2 AND q.plen >= 2
+      ORDER BY rake_score DESC, q.phrase
+      LIMIT 15
+    """,
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", "|"),
+        _STOP_RE,
+        "|",
+    )
+    raw = d.select(
+        "doc_id", F.explode(F.split(cleaned, r"\|")).alias("raw")
+    )
+    phrase = F.trim(F.regexp_replace(F.col("raw"), " +", " "))
+    ph = raw.select(phrase.alias("phrase")).where(F.length(phrase) > 0)
+    inst = ph.select(
+        "phrase", F.split("phrase", " ").alias("ws")
+    ).withColumn("plen", F.size("ws"))
+    k = inst.where(F.col("plen") <= 4)
+    iw = k.select(F.explode("ws").alias("w"), "plen")
+    stats = iw.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    uniq = k.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("phrase_freq"),
+        F.min("plen").alias("plen"),
+    )
+    uw = uniq.select(
+        "phrase", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    scored = (
+        uw.join(F.broadcast(stats), "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum("deg").alias("sum_deg"), F.sum("freq").alias("sum_freq")
+        )
+    )
+    return (
+        uniq.join(scored, "phrase")
+        .where((F.col("phrase_freq") >= 2) & (F.col("plen") >= 2))
+        .select(
+            "phrase",
+            "phrase_freq",
+            F.col("plen").alias("n_words"),
+            F.round(
+                F.col("sum_deg").cast("double") / F.col("sum_freq"), 4
+            ).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(15)
+    )
+
+
+# -------------------------------------------------------- link predict
+
+
+@register(
+    "graph_link_prediction",
+    "Common-neighbors link prediction over the part co-purchase graph: "
+    "among the top-100 hub parts (by degree, id tie-break), score every "
+    "NON-adjacent pair by shared-neighbor count and neighborhood "
+    "Jaccard — the 'customers who bought these also bought' candidate "
+    "generator. The candidate pool is explicitly bounded (hub pairs, "
+    "never all-pairs wedge materialization — the dense-graph trap); "
+    "common neighbors come from one sorted-array intersect per pair of "
+    "broadcast hub adjacency rows. Counts and degrees are integers; "
+    "Jaccard is one double division. 100 TB: adjacency build shares "
+    "the co-purchase edge shuffle; the 100x100 pair stage is "
+    "broadcast-local, O(hub_degree) per intersect.",
+    oracle="""
+      WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      ),
+      und AS (
+        SELECT src AS u, dst AS v FROM edges
+        UNION ALL
+        SELECT dst, src FROM edges
+      ),
+      deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+      hubs AS (SELECT u, d FROM deg ORDER BY d DESC, u LIMIT 100),
+      adj AS (
+        SELECT und.u, list_sort(list(und.v)) AS vs, any_value(h.d) AS d
+        FROM und JOIN hubs h ON h.u = und.u GROUP BY und.u
+      ),
+      pairs AS (
+        SELECT a.u AS pa, b.u AS pb,
+               len(list_intersect(a.vs, b.vs)) AS cn,
+               a.d AS da, b.d AS db,
+               list_contains(a.vs, b.u) AS adjx
+        FROM adj a JOIN adj b ON a.u < b.u
+      )
+      SELECT pa AS part_a, pb AS part_b, cn AS common_neighbors,
+             round(cn::DOUBLE / (da + db - cn), 6) AS jaccard
+      FROM pairs WHERE NOT adjx AND cn >= 1
+      ORDER BY common_neighbors DESC, jaccard DESC, part_a, part_b
+      LIMIT 20
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.inventory.graph_ops import _edges
+
+    edges = _edges(spark, sf_dir)
+    und = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    hubs = deg.orderBy(F.col("d").desc(), "u").limit(100)
+    adj = (
+        und.join(F.broadcast(hubs), "u")
+        .groupBy("u")
+        .agg(
+            F.array_sort(F.collect_list("v")).alias("vs"),
+            F.first("d").alias("d"),
+        )
+    )
+    a = adj.select(
+        F.col("u").alias("pa"),
+        F.col("vs").alias("vs_a"),
+        F.col("d").alias("da"),
+    )
+    b = adj.select(
+        F.col("u").alias("pb"),
+        F.col("vs").alias("vs_b"),
+        F.col("d").alias("db"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("pa") < F.col("pb")).select(
+        "pa",
+        "pb",
+        F.size(F.array_intersect("vs_a", "vs_b")).alias("cn"),
+        "da",
+        "db",
+        F.array_contains(F.col("vs_a"), F.col("pb")).alias("adjx"),
+    )
+    return (
+        pairs.where(~F.col("adjx") & (F.col("cn") >= 1))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(),
+            F.col("jaccard").desc(),
+            "part_a",
+            "part_b",
+        )
+        .limit(20)
+    )
+
+
+# ----------------------------------------------------------- ANN range
+
+
+_RADIUS_QUERY_ID = 0
+_RADIUS_MIN_COS = 0.25
+
+
+@register(
+    "ann_range_search_radius",
+    "Range similarity search — ALL vectors within a cosine radius of "
+    "the query (threshold 0.25), the dual of top-k ANN: dedup sweeps "
+    "and policy filters want 'everything closer than r', not a fixed "
+    "k. Same 1-job shape as ann_cosine_topk_bruteforce (query vector "
+    "resolved at plan build, joinless scan, JVM-side zip_with dot "
+    "product); the threshold test runs on the UNROUNDED similarity on "
+    "both engines, so the predicate is the identical double comparison. "
+    "100 TB: embarrassingly parallel scan with predicate selectivity "
+    "doing the work of top-k's heap — pair with the IVF partition-"
+    "pruned variant when the radius is tight.",
+    oracle=f"""
+      SELECT e.vec_id, e.label,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+               AS cos_sim
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = {_RADIUS_QUERY_ID}) q
+      WHERE e.vec_id <> {_RADIUS_QUERY_ID}
+        AND list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+            >= {_RADIUS_MIN_COS}
+      ORDER BY cos_sim DESC, e.vec_id
+    """,
+)
+def ann_range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.functions.vectors import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        e.where(F.col("vec_id") == _RADIUS_QUERY_ID)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    if not qrows:
+        return e.where(F.lit(False)).select(
+            "vec_id", "label", F.lit(0.0).alias("cos_sim")
+        )
+    qv = qrows[0][0]
+    cos = cosine_similarity(F.col("embedding"), F.lit(qv))
+    return (
+        e.where(F.col("vec_id") != _RADIUS_QUERY_ID)
+        .where(cos >= _RADIUS_MIN_COS)
+        .select("vec_id", "label", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+    )
+
+
+# ------------------------------------------------------------- FD audit
+
+
+@register(
+    "audit_fd_violations",
+    "Functional-dependency audit: for each candidate FD lhs -> rhs, "
+    "count the lhs keys whose rhs is not unique — the data-contract "
+    "check behind 'is this column derivable from that key'. Five "
+    "candidates across orders/lineitem/customer/nation, each a "
+    "two-level agg (distinct-rhs per key, then violation counts), "
+    "UNION'd into one report. 100 TB: each check is one "
+    "map-side-combined agg keyed by the lhs — the same shape as any "
+    "profiling pass — and the report is a constant-size union.",
+    oracle="""
+      SELECT 'orders' AS tbl, 'o_custkey' AS lhs, 'o_orderpriority' AS rhs,
+             count(*) AS n_keys,
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+             CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+                  THEN 1 ELSE 0 END AS holds
+      FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+            FROM orders GROUP BY 1)
+      UNION ALL
+      SELECT 'lineitem', 'l_orderkey', 'l_returnflag', count(*),
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT,
+             CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+                  THEN 1 ELSE 0 END
+      FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS nd
+            FROM lineitem GROUP BY 1)
+      UNION ALL
+      SELECT 'lineitem', 'l_partkey', 'l_suppkey', count(*),
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT,
+             CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+                  THEN 1 ELSE 0 END
+      FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nd
+            FROM lineitem GROUP BY 1)
+      UNION ALL
+      SELECT 'customer', 'c_nationkey', 'c_mktsegment', count(*),
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT,
+             CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+                  THEN 1 ELSE 0 END
+      FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS nd
+            FROM customer GROUP BY 1)
+      UNION ALL
+      SELECT 'nation', 'n_nationkey', 'n_regionkey', count(*),
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT,
+             CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+                  THEN 1 ELSE 0 END
+      FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS nd
+            FROM nation GROUP BY 1)
+      ORDER BY tbl, lhs, rhs
+    """,
+)
+def audit_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def check(tbl: str, lhs: str, rhs: str) -> DataFrame:
+        t = _t(spark, sf_dir, tbl)
+        nd = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        return nd.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            viol.alias("n_violating"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            "n_keys",
+            "n_violating",
+            F.when(F.col("n_violating") == 0, 1).otherwise(0).alias(
+                "holds"
+            ),
+        )
+
+    out = (
+        check("orders", "o_custkey", "o_orderpriority")
+        .unionAll(check("lineitem", "l_orderkey", "l_returnflag"))
+        .unionAll(check("lineitem", "l_partkey", "l_suppkey"))
+        .unionAll(check("customer", "c_nationkey", "c_mktsegment"))
+        .unionAll(check("nation", "n_nationkey", "n_regionkey"))
+    )
+    return out.orderBy("tbl", "lhs", "rhs")

@@ -65,6 +65,11 @@ GALLERY = [
     "dedup_ppjoin_prefix",
     "er_record_linkage",
     "scalar_jaro_winkler_rank",
+    # round-4 third wave
+    "text_cooccurrence_pmi",
+    "timeseries_linear_interpolate",
+    "agg_weighted_percentile",
+    "graph_link_prediction",
 ]
 
 
