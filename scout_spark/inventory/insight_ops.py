@@ -965,3 +965,428 @@ def audit_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(check("nation", "n_nationkey", "n_regionkey"))
     )
     return out.orderBy("tbl", "lhs", "rhs")
+
+
+# ----------------------------------------------------- chi-square test
+
+
+@register(
+    "stats_chi_square_independence",
+    "Chi-square test of independence for the lang x source contingency "
+    "table (+ Cramer's V effect size) — the categorical-association "
+    "check behind 'is corpus composition skewed by source'. Observed "
+    "and marginal counts are exact integers; each cell's (o-e)^2/e is "
+    "one fixed-order double expression, and the cell contributions are "
+    "folded in (lang, source) order via a sequential list fold on both "
+    "engines (Spark aggregate() vs DuckDB list_reduce — a fold with an "
+    "exact +0.0 seed, so the IEEE op sequences agree bit-for-bit; no "
+    "engine-ordered SUM over doubles anywhere). 100 TB: one count agg "
+    "collapses the corpus to |langs| x |sources| cells; everything "
+    "after is constant-size.",
+    oracle="""
+      WITH o AS (
+        SELECT lang, source, count(*) AS n
+        FROM documents GROUP BY 1, 2
+      ),
+      t AS (
+        SELECT lang, source, n,
+               sum(n) OVER (PARTITION BY lang) AS r,
+               sum(n) OVER (PARTITION BY source) AS c,
+               sum(n) OVER () AS nn
+        FROM o
+      ),
+      cc AS (
+        SELECT lang, source,
+               (n - r::DOUBLE * c / nn) * (n - r::DOUBLE * c / nn)
+                 / (r::DOUBLE * c / nn) AS contrib
+        FROM t
+      ),
+      agg AS (
+        SELECT count(*) AS n_cells,
+               list_reduce(list(contrib ORDER BY lang, source),
+                           (a, b) -> a + b) AS chi2
+        FROM cc
+      ),
+      dims AS (
+        SELECT count(DISTINCT lang) AS nl, count(DISTINCT source) AS ns,
+               count(*) AS nn
+        FROM documents
+      )
+      SELECT agg.n_cells,
+             (dims.nl - 1) * (dims.ns - 1) AS dof,
+             round(agg.chi2, 4) AS chi2,
+             round(sqrt(agg.chi2 / (dims.nn::DOUBLE
+                                    * least(dims.nl - 1, dims.ns - 1))),
+                   6) AS cramers_v
+      FROM agg, dims
+    """,
+)
+def stats_chi_square_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    t = o.select(
+        "lang",
+        "source",
+        "n",
+        F.sum("n").over(Window.partitionBy("lang")).alias("r"),
+        F.sum("n").over(Window.partitionBy("source")).alias("c"),
+        F.sum("n").over(Window.partitionBy()).alias("nn"),
+    )
+    e = F.col("r").cast("double") * F.col("c") / F.col("nn")
+    cc = t.select(
+        "lang",
+        "source",
+        ((F.col("n") - e) * (F.col("n") - e) / e).alias("contrib"),
+    )
+    agg = cc.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(lang, source, contrib))), s -> s.contrib), "
+            "cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("chi2"),
+    )
+    dims = d.agg(
+        F.countDistinct("lang").alias("nl"),
+        F.countDistinct("source").alias("ns"),
+        F.count(F.lit(1)).alias("nn"),
+    )
+    return agg.crossJoin(F.broadcast(dims)).select(
+        "n_cells",
+        ((F.col("nl") - 1) * (F.col("ns") - 1)).alias("dof"),
+        F.round(F.col("chi2"), 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("nn").cast("double")
+                    * F.least(F.col("nl") - 1, F.col("ns") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------- correlation matrix
+
+
+@register(
+    "profile_numeric_correlations",
+    "Pairwise Pearson correlation profile of lineitem's numeric "
+    "measures (quantity, price, discount, tax) — the profiling pass "
+    "behind feature selection and drift monitoring. Each variable is "
+    "quantized to its exact integer grid (units / cents / basis "
+    "points), so all 14 sufficient statistics are EXACT integer sums "
+    "(price-squared exceeds int64 and runs through decimal(38,0) / "
+    "HUGEINT); the correlation formula is one fixed-order double "
+    "expression per pair. One map-side-combined agg over the fact "
+    "table computes every pair simultaneously — never six separate "
+    "scans. 100 TB: sufficient statistics are the mergeable-state "
+    "formulation; the output is constant-size.",
+    oracle="""
+      WITH s AS (
+        SELECT count(*) AS n,
+               sum(l_quantity::BIGINT) AS s_q,
+               sum(round(l_extendedprice * 100)::BIGINT) AS s_p,
+               sum(round(l_discount * 10000)::BIGINT) AS s_d,
+               sum(round(l_tax * 10000)::BIGINT) AS s_t,
+               sum(l_quantity::BIGINT * l_quantity::BIGINT) AS s_qq,
+               sum(round(l_extendedprice * 100)::BIGINT
+                   * round(l_extendedprice * 100)::BIGINT) AS s_pp,
+               sum(round(l_discount * 10000)::BIGINT
+                   * round(l_discount * 10000)::BIGINT) AS s_dd,
+               sum(round(l_tax * 10000)::BIGINT
+                   * round(l_tax * 10000)::BIGINT) AS s_tt,
+               sum(round(l_discount * 10000)::BIGINT
+                   * round(l_extendedprice * 100)::BIGINT) AS s_dp,
+               sum(round(l_discount * 10000)::BIGINT
+                   * l_quantity::BIGINT) AS s_dq,
+               sum(round(l_discount * 10000)::BIGINT
+                   * round(l_tax * 10000)::BIGINT) AS s_dt,
+               sum(round(l_extendedprice * 100)::BIGINT
+                   * l_quantity::BIGINT) AS s_pq,
+               sum(round(l_extendedprice * 100)::BIGINT
+                   * round(l_tax * 10000)::BIGINT) AS s_pt,
+               sum(l_quantity::BIGINT
+                   * round(l_tax * 10000)::BIGINT) AS s_qt
+        FROM lineitem
+      ),
+      d AS (
+        SELECT n, n::DOUBLE AS nd,
+               s_q::DOUBLE AS q, s_p::DOUBLE AS p,
+               s_d::DOUBLE AS dd, s_t::DOUBLE AS t,
+               s_qq::DOUBLE AS qq, s_pp::DOUBLE AS pp,
+               s_dd::DOUBLE AS ddd, s_tt::DOUBLE AS tt,
+               s_dp::DOUBLE AS dp, s_dq::DOUBLE AS dq,
+               s_dt::DOUBLE AS dt, s_pq::DOUBLE AS pq,
+               s_pt::DOUBLE AS pt, s_qt::DOUBLE AS qt
+        FROM s
+      )
+      SELECT var_x, var_y, n, round(corr, 6) AS corr FROM (
+        SELECT 'discount' AS var_x, 'price' AS var_y, n,
+               (nd * dp - dd * p) / (sqrt(nd * ddd - dd * dd)
+                                     * sqrt(nd * pp - p * p)) AS corr
+        FROM d
+        UNION ALL
+        SELECT 'discount', 'quantity', n,
+               (nd * dq - dd * q) / (sqrt(nd * ddd - dd * dd)
+                                     * sqrt(nd * qq - q * q))
+        FROM d
+        UNION ALL
+        SELECT 'discount', 'tax', n,
+               (nd * dt - dd * t) / (sqrt(nd * ddd - dd * dd)
+                                     * sqrt(nd * tt - t * t))
+        FROM d
+        UNION ALL
+        SELECT 'price', 'quantity', n,
+               (nd * pq - p * q) / (sqrt(nd * pp - p * p)
+                                    * sqrt(nd * qq - q * q))
+        FROM d
+        UNION ALL
+        SELECT 'price', 'tax', n,
+               (nd * pt - p * t) / (sqrt(nd * pp - p * p)
+                                    * sqrt(nd * tt - t * t))
+        FROM d
+        UNION ALL
+        SELECT 'quantity', 'tax', n,
+               (nd * qt - q * t) / (sqrt(nd * qq - q * q)
+                                    * sqrt(nd * tt - t * t))
+        FROM d
+      )
+      ORDER BY var_x, var_y
+    """,
+)
+def profile_numeric_correlations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    p = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    dc = F.round(F.col("l_discount") * 10000).cast("bigint")
+    tx = F.round(F.col("l_tax") * 10000).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s_q"),
+        F.sum(p).alias("s_p"),
+        F.sum(dc).alias("s_d"),
+        F.sum(tx).alias("s_t"),
+        F.sum(q * q).alias("s_qq"),
+        F.sum(dec(p * p)).alias("s_pp"),
+        F.sum(dc * dc).alias("s_dd"),
+        F.sum(tx * tx).alias("s_tt"),
+        F.sum(dc * p).alias("s_dp"),
+        F.sum(dc * q).alias("s_dq"),
+        F.sum(dc * tx).alias("s_dt"),
+        F.sum(dec(p * q)).alias("s_pq"),
+        F.sum(dec(p * tx)).alias("s_pt"),
+        F.sum(q * tx).alias("s_qt"),
+    )
+    cols = {
+        "nd": "n",
+        "q": "s_q",
+        "p": "s_p",
+        "dd": "s_d",
+        "t": "s_t",
+        "qq": "s_qq",
+        "pp": "s_pp",
+        "ddd": "s_dd",
+        "tt": "s_tt",
+        "dp": "s_dp",
+        "dq": "s_dq",
+        "dt": "s_dt",
+        "pq": "s_pq",
+        "pt": "s_pt",
+        "qt": "s_qt",
+    }
+    d = s.select(
+        "n", *[F.col(src).cast("double").alias(dst) for dst, src in cols.items()]
+    )
+
+    def corr(sxy: str, sx: str, sy: str, sxx: str, syy: str):
+        nd, xy = F.col("nd"), F.col(sxy)
+        x, y = F.col(sx), F.col(sy)
+        xx, yy = F.col(sxx), F.col(syy)
+        return (nd * xy - x * y) / (
+            F.sqrt(nd * xx - x * x) * F.sqrt(nd * yy - y * y)
+        )
+
+    d = d.select(
+        "n",
+        corr("dp", "dd", "p", "ddd", "pp").alias("c_dp"),
+        corr("dq", "dd", "q", "ddd", "qq").alias("c_dq"),
+        corr("dt", "dd", "t", "ddd", "tt").alias("c_dt"),
+        corr("pq", "p", "q", "pp", "qq").alias("c_pq"),
+        corr("pt", "p", "t", "pp", "tt").alias("c_pt"),
+        corr("qt", "q", "t", "qq", "tt").alias("c_qt"),
+    )
+    return d.selectExpr(
+        "stack(6, "
+        "'discount', 'price', c_dp, "
+        "'discount', 'quantity', c_dq, "
+        "'discount', 'tax', c_dt, "
+        "'price', 'quantity', c_pq, "
+        "'price', 'tax', c_pt, "
+        "'quantity', 'tax', c_qt) AS (var_x, var_y, corr_raw)",
+        "n",
+    ).select(
+        "var_x", "var_y", "n", F.round("corr_raw", 6).alias("corr")
+    ).orderBy("var_x", "var_y")
+
+
+# ------------------------------------------------------ keyset paging
+
+
+@register(
+    "page_keyset_orders",
+    "Keyset (seek-method) pagination — page 3 of orders under "
+    "(o_totalprice DESC, o_orderkey): the cursor (the 40th row) is "
+    "resolved at plan-build time as a bounded top-40 point lookup (the "
+    "same driver-side parameter-resolve pattern as the ANN query "
+    "vector; bench reports it in build_sec), then the page fetch is a "
+    "pushed-down keyset predicate + TakeOrderedAndProject top-20. "
+    "This is THE scalable pagination shape: OFFSET forces every "
+    "executor to produce and discard 40+ rows per partition and the "
+    "driver to merge them all, while the keyset predicate prunes at "
+    "the scan and the top-k heap never holds more than a page. "
+    "Returns empty (like the oracle) when the table has no 40th row.",
+    oracle="""
+      WITH b AS (
+        SELECT o_totalprice AS bp, o_orderkey AS bk FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 40
+      ),
+      bd AS (SELECT bp, bk FROM b ORDER BY bp ASC, bk DESC LIMIT 1),
+      nb AS (SELECT count(*) AS cnt FROM b)
+      SELECT o.o_orderkey, o.o_custkey,
+             round(o.o_totalprice, 2) AS o_totalprice,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+      FROM orders o, bd, nb
+      WHERE nb.cnt = 40
+        AND (o.o_totalprice < bd.bp
+             OR (o.o_totalprice = bd.bp AND o.o_orderkey > bd.bk))
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 20
+    """,
+)
+def page_keyset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    top40 = (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_totalprice", "o_orderkey")
+        .limit(40)
+        .collect()
+    )
+    out_cols = (
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+    )
+    if len(top40) < 40:
+        return o.where(F.lit(False)).select(*out_cols)
+    bp, bk = top40[-1]["o_totalprice"], top40[-1]["o_orderkey"]
+    return (
+        o.where(
+            (F.col("o_totalprice") < F.lit(bp))
+            | (
+                (F.col("o_totalprice") == F.lit(bp))
+                & (F.col("o_orderkey") > F.lit(bk))
+            )
+        )
+        .select(*out_cols)
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ------------------------------------------------- containment dedup
+
+
+@register(
+    "dedup_containment_shingle",
+    "Asymmetric containment detection (C4-style quote/subset check): "
+    "for document pairs, |shingles(src) ∩ shingles(dst)| / "
+    "|shingles(src)| over distinct 3-word shingles — the measure that "
+    "catches 'src is mostly contained in dst' where symmetric Jaccard "
+    "(dedup_ngram_jaccard_pairs) stays low. Spark builds an inverted "
+    "shingle index and counts shared shingles with one equi-join + "
+    "count agg (filter-then-verify; no quadratic pair scan); the "
+    "oracle recounts every pair quadratically with list_intersect — "
+    "independent formulations. Shingling itself is a pure Column HOF "
+    "(no Python). 100 TB: the index join shuffles (shingle, doc) "
+    "pairs; hub shingles are bounded by document length, and the "
+    "candidate stream feeds the same banded-LSH escalation path as "
+    "the MinHash family when the corpus outgrows the exact index.",
+    oracle=f"""
+      WITH tk AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS t
+        FROM documents
+      ),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(t) - 2, 0) + 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM tk
+      ),
+      p AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst,
+               len(list_intersect(a.sh, b.sh)) AS shared,
+               len(a.sh) AS src_size
+        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      )
+      SELECT src, dst, shared,
+             round(shared::DOUBLE / src_size, 6) AS containment
+      FROM p WHERE shared >= 2
+      ORDER BY containment DESC, src, dst
+      LIMIT 20
+    """,
+)
+def dedup_containment_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(_TOK), 0
+        ).alias("t"),
+    )
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 2, 0)), i -> "
+                "concat_ws(' ', element_at(t, i), element_at(t, i + 1), "
+                "element_at(t, i + 2)))"
+            )
+        ).alias("sh"),
+    )
+    ex = sh.select(
+        "doc_id", F.size("sh").alias("total"), F.explode("sh").alias("g")
+    )
+    a = ex.select(
+        F.col("doc_id").alias("src"),
+        F.col("total").alias("src_size"),
+        "g",
+    )
+    b = ex.select(F.col("doc_id").alias("dst"), "g")
+    pairs = (
+        a.join(b, "g")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst", "src_size")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.where(F.col("shared") >= 2)
+        .select(
+            "src",
+            "dst",
+            "shared",
+            F.round(
+                F.col("shared").cast("double") / F.col("src_size"), 6
+            ).alias("containment"),
+        )
+        .orderBy(F.col("containment").desc(), "src", "dst")
+        .limit(20)
+    )
