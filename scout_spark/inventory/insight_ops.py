@@ -416,14 +416,20 @@ def agg_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_weighted_percentile",
     "Quantity-weighted price percentiles per return flag (weighted "
-    "median + weighted p90): sort by price within each flag, take the "
-    "running quantity weight, and pick the first price whose cumulative "
-    "weight crosses the target fraction — the inventory-weighted price "
-    "statistic BI suites ship as PERCENTILE_CONT(weight). Entirely "
-    "integer arithmetic (cents, integer quantities, 2*cumw >= tot "
-    "threshold tests) — zero FP order sensitivity. 100 TB: one window "
-    "sort per flag over slim (flag, cents, qty) rows + a min-agg; the "
-    "same single-shuffle shape as any ranked-percentile pass.",
+    "median + weighted p90): pick the first price whose cumulative "
+    "quantity weight crosses the target fraction — the inventory-"
+    "weighted price statistic BI suites ship as PERCENTILE_CONT("
+    "weight). Entirely integer arithmetic (cents, integer quantities, "
+    "2*cumw >= tot threshold tests) — zero FP order sensitivity. The "
+    "cumulative weight is computed HISTOGRAM-REFINE style: a 64Ki-cent "
+    "bin pre-agg gives per-bin prior weights (tiny per-flag window), "
+    "then the exact crossing row comes from within-bin running sums — "
+    "windows partition on (flag, bin), not the 3-value flag alone, so "
+    "parallelism scales with the value range instead of capping at "
+    "|flags| (1.9 s -> sub-second at sf0.1; the naive per-flag global "
+    "sort is the plan that dies at 100 TB). The oracle keeps the "
+    "single-window formulation — independently derived, identical "
+    "integer cumsums.",
     oracle="""
       WITH r AS (
         SELECT l_returnflag,
@@ -458,18 +464,33 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.alias("q"),
         F.col("l_orderkey"),
         F.col("l_linenumber"),
-    )
-    wcum = (
+    ).withColumn("bin", F.shiftright("pc", 16))
+    # per-bin weights: the bin frame is ~(price_range / 64Ki) rows per
+    # flag, so its per-flag window is trivially small
+    w1 = base.groupBy("l_returnflag", "bin").agg(F.sum("q").alias("bw"))
+    wprior = (
         Window.partitionBy("l_returnflag")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pri = w1.select(
+        "l_returnflag",
+        "bin",
+        F.coalesce(F.sum("bw").over(wprior), F.lit(0)).alias("prior"),
+        F.sum("bw").over(Window.partitionBy("l_returnflag")).alias("tot"),
+    )
+    # exact within-bin running sum: partitions on (flag, bin) keep the
+    # sort fan-out proportional to the bin count, not |flags|
+    win_in = (
+        Window.partitionBy("l_returnflag", "bin")
         .orderBy("pc", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wtot = Window.partitionBy("l_returnflag")
-    r = base.select(
+    r = base.join(F.broadcast(pri), ["l_returnflag", "bin"]).select(
         "l_returnflag",
         "pc",
-        F.sum("q").over(wcum).alias("cumw"),
-        F.sum("q").over(wtot).alias("tot"),
+        (F.col("prior") + F.sum("q").over(win_in)).alias("cumw"),
+        "tot",
     )
     return (
         r.groupBy("l_returnflag")

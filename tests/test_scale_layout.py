@@ -401,3 +401,65 @@ def test_runtime_bloom_filter_reduces_probe_side(spark, oracle_sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_keyset_pagination_pushes_cursor_predicate(spark):
+    """page_keyset_orders' 100 TB claim: the cursor predicate reaches
+    the parquet scan (so row groups beyond the page are skipped) and
+    the page fetch is a TakeOrderedAndProject heap, never a global
+    sort + offset."""
+    from scout_spark.inventory.insight_ops import page_keyset_orders
+
+    df = page_keyset_orders(spark, "/root/testdata/sf0.01")
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], "keyset predicate not pushed to scan"
+    assert "TakeOrderedAndProject" in plan, "page fetch is not a top-k heap"
+
+
+def test_linear_interpolate_single_events_scan(spark):
+    """The lead-based gap-fill must read events ONCE — the oracle's
+    grid-join formulation needs two scans (bounds + join); the Spark
+    plan folds densify+fill into one window pass."""
+    from scout_spark.inventory.insight_ops import timeseries_linear_interpolate
+
+    plan = _plan(timeseries_linear_interpolate(spark, "/root/testdata/sf0.01"))
+    tree = plan.split("\n\n")[0]  # node labels repeat in the detail block
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_weighted_percentile_row_window_partitions_on_bin(spark):
+    """The exact-crossing running sum must window on (l_returnflag,
+    bin), NOT the 3-value flag alone — the histogram-refine property
+    that keeps sort parallelism proportional to the value range. A
+    plan whose row-level window hash-partitions only on l_returnflag
+    has reintroduced the |flags| parallelism ceiling."""
+    from scout_spark.inventory.insight_ops import agg_weighted_percentile
+
+    df = agg_weighted_percentile(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any(
+        "l_returnflag" in s and "bin" in s for s in specs
+    ), f"no (flag, bin) hash partitioning in plan:\n{plan[:4000]}"
+
+
+def test_pmi_marginals_ride_cached_tokens(spark):
+    """text_cooccurrence_pmi must scan the corpus exactly once (the
+    positional pair stream); unigram marginals read the shared
+    persisted doc_tokens frame (InMemoryRelation), not a second
+    parquet scan of documents."""
+    from scout_spark.inventory.insight_ops import text_cooccurrence_pmi
+
+    plan = _plan(text_cooccurrence_pmi(spark, "/root/testdata/sf0.01"))
+    tree = plan.split("\n\n")[0]
+    # both marginal lookups must read the cache ...
+    assert tree.count("InMemoryTableScan") == 2, tree
+    # ... and the only REAL parquet scan is the pair stream; every
+    # other "Scan parquet" in the tree is the build plan embedded in
+    # an InMemoryRelation display node, not an execution-time scan
+    n_imr = tree.count("InMemoryRelation")
+    assert tree.count("Scan parquet") == 1 + n_imr, tree
