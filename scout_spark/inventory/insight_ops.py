@@ -1411,3 +1411,265 @@ def dedup_containment_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("containment").desc(), "src", "dst")
         .limit(20)
     )
+
+
+# ------------------------------------------------------------ KS test
+
+
+@register(
+    "stats_ks_two_sample",
+    "Exact two-sample Kolmogorov-Smirnov test on document length "
+    "(lang en vs de) — the distribution-drift check behind 'did this "
+    "source's length profile shift'. ENTIRELY integer until the final "
+    "division: per-value counts collapse the corpus first, cumulative "
+    "counts are integer window sums over the distinct-value frame, and "
+    "the KS statistic maximizes |cum1*n2 - cum2*n1| (an integer!) "
+    "before one division by n1*n2 — so the argmax is exact, no FP "
+    "comparison anywhere. The asymptotic p-value is one fixed-order "
+    "double expression. 100 TB: the value-histogram pre-agg does the "
+    "collapse (|distinct lengths| rows); the single-partition "
+    "cumulative window only ever sees that tiny frame.",
+    oracle="""
+      WITH pv AS (
+        SELECT n_chars,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS c2
+        FROM documents WHERE lang IN ('en', 'de')
+        GROUP BY n_chars
+      ),
+      c AS (
+        SELECT n_chars,
+               sum(c1) OVER (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ::BIGINT AS cum1,
+               sum(c2) OVER (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ::BIGINT AS cum2,
+               sum(c1) OVER ()::BIGINT AS n1,
+               sum(c2) OVER ()::BIGINT AS n2
+        FROM pv
+      ),
+      d AS (
+        SELECT n_chars, n1, n2,
+               abs(cum1 * n2 - cum2 * n1) AS diffn
+        FROM c
+      )
+      SELECT n1 AS n_en, n2 AS n_de, n_chars AS at_value,
+             round(diffn::DOUBLE / (n1::DOUBLE * n2), 6) AS ks_d,
+             round(2 * exp(-2.0 * (n1::DOUBLE * n2 / (n1 + n2))
+                           * (diffn::DOUBLE / (n1::DOUBLE * n2))
+                           * (diffn::DOUBLE / (n1::DOUBLE * n2))), 6)
+               AS p_approx
+      FROM d
+      ORDER BY diffn DESC, n_chars
+      LIMIT 1
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isin("en", "de")
+    )
+    pv = d.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("c2"),
+    )
+    wcum = (
+        Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy()
+    c = pv.select(
+        "n_chars",
+        F.sum("c1").over(wcum).alias("cum1"),
+        F.sum("c2").over(wcum).alias("cum2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    diffn = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    n1d = F.col("n1").cast("double")
+    dd = F.col("diffn").cast("double") / (n1d * F.col("n2"))
+    out = c.select(
+        "n_chars", "n1", "n2", diffn.alias("diffn")
+    ).select(
+        F.col("n1").alias("n_en"),
+        F.col("n2").alias("n_de"),
+        F.col("n_chars").alias("at_value"),
+        F.round(dd, 6).alias("ks_d"),
+        F.round(
+            2
+            * F.exp(
+                -2.0 * (n1d * F.col("n2") / (F.col("n1") + F.col("n2")))
+                * dd
+                * dd
+            ),
+            6,
+        ).alias("p_approx"),
+        F.col("diffn"),
+    )
+    return (
+        out.orderBy(F.col("diffn").desc(), "at_value")
+        .limit(1)
+        .drop("diffn")
+    )
+
+
+# ---------------------------------------------------------------- PSI
+
+
+@register(
+    "stats_psi_drift",
+    "Population stability index between en and de document-length "
+    "distributions over EXACT en-decile bins — the standard ML-ops "
+    "drift gate (PSI > 0.2 = investigate). Decile edges are derived "
+    "with pure integer arithmetic (edge_k = min value whose cumulative "
+    "en count satisfies 10*cum >= k*n1 — no engine percentile "
+    "function, so both engines agree exactly); bin assignment is a "
+    "broadcast HOF count of edges <= value; missing bins are densified "
+    "so the 0.5-count smoothing applies uniformly; and the PSI sum "
+    "folds the 10 per-bin terms in bin order (Spark aggregate vs "
+    "DuckDB list_reduce — sequential, deterministic). 100 TB: the "
+    "value histogram collapses the corpus first; everything downstream "
+    "is decile-sized.",
+    oracle="""
+      WITH pv AS (
+        SELECT n_chars,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS c2
+        FROM documents WHERE lang IN ('en', 'de')
+        GROUP BY n_chars
+      ),
+      c AS (
+        SELECT n_chars, c1, c2,
+               sum(c1) OVER (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ::BIGINT AS cum1,
+               sum(c1) OVER ()::BIGINT AS n1,
+               sum(c2) OVER ()::BIGINT AS n2
+        FROM pv
+      ),
+      e AS (
+        SELECT k, min(CASE WHEN 10 * cum1 >= k * n1 THEN n_chars END)
+                 AS edge
+        FROM c, unnest(range(1, 10)) AS t(k)
+        GROUP BY k
+      ),
+      ea AS (SELECT list(edge ORDER BY k) AS earr FROM e),
+      binned AS (
+        SELECT len(list_filter(ea.earr, x -> x <= c.n_chars)) AS bin,
+               c.c1, c.c2, c.n1, c.n2
+        FROM c, ea
+      ),
+      bybin AS (
+        SELECT bin, sum(c1)::BIGINT AS b1, sum(c2)::BIGINT AS b2,
+               min(n1) AS n1, min(n2) AS n2
+        FROM binned GROUP BY bin
+      ),
+      dense AS (
+        SELECT g.bin, coalesce(b.b1, 0) AS b1, coalesce(b.b2, 0) AS b2,
+               t.n1, t.n2
+        FROM (SELECT unnest(range(0, 10)) AS bin) g
+        LEFT JOIN bybin b USING (bin)
+        CROSS JOIN (SELECT min(n1) AS n1, min(n2) AS n2 FROM bybin) t
+      ),
+      terms AS (
+        SELECT bin,
+               ((b1 + 0.5) / (n1::DOUBLE + 5.0)
+                - (b2 + 0.5) / (n2::DOUBLE + 5.0))
+               * ln(((b1 + 0.5) / (n1::DOUBLE + 5.0))
+                    / ((b2 + 0.5) / (n2::DOUBLE + 5.0))) AS term,
+               n1, n2
+        FROM dense
+      )
+      SELECT min(n1) AS n_en, min(n2) AS n_de,
+             count(*) AS n_bins,
+             round(list_reduce(list(term ORDER BY bin),
+                               (a, b) -> a + b), 6) AS psi
+      FROM terms
+    """,
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isin("en", "de")
+    )
+    pv = d.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("c2"),
+    )
+    wcum = (
+        Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy()
+    c = pv.select(
+        "n_chars",
+        "c1",
+        "c2",
+        F.sum("c1").over(wcum).alias("cum1"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    e = (
+        c.crossJoin(F.broadcast(spark.range(1, 10).select(F.col("id").alias("k"))))
+        .groupBy("k")
+        .agg(
+            F.min(
+                F.when(
+                    10 * F.col("cum1") >= F.col("k") * F.col("n1"),
+                    F.col("n_chars"),
+                )
+            ).alias("edge")
+        )
+    )
+    ea = e.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(k, edge))), "
+            "s -> s.edge)"
+        ).alias("earr")
+    )
+    binned = c.crossJoin(F.broadcast(ea)).select(
+        F.expr("size(filter(earr, x -> x <= n_chars))").alias("bin"),
+        "c1",
+        "c2",
+        "n1",
+        "n2",
+    )
+    bybin = binned.groupBy("bin").agg(
+        F.sum("c1").alias("b1"),
+        F.sum("c2").alias("b2"),
+        F.min("n1").alias("n1"),
+        F.min("n2").alias("n2"),
+    )
+    tot = bybin.agg(
+        F.min("n1").alias("n1"), F.min("n2").alias("n2")
+    )
+    grid = spark.range(0, 10).select(F.col("id").alias("bin"))
+    dense = (
+        grid.join(F.broadcast(bybin.select("bin", "b1", "b2")), "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce("b1", F.lit(0)).alias("b1"),
+            F.coalesce("b2", F.lit(0)).alias("b2"),
+            "n1",
+            "n2",
+        )
+    )
+    p1 = (F.col("b1") + 0.5) / (F.col("n1").cast("double") + 5.0)
+    p2 = (F.col("b2") + 0.5) / (F.col("n2").cast("double") + 5.0)
+    terms = dense.select(
+        "bin",
+        ((p1 - p2) * F.log(p1 / p2)).alias("term"),
+        "n1",
+        "n2",
+    )
+    return terms.agg(
+        F.min("n1").alias("n_en"),
+        F.min("n2").alias("n_de"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(bin, term))), s -> s.term), "
+                "cast(0.0 as double), (a, x) -> a + x)"
+            ),
+            6,
+        ).alias("psi"),
+    )
