@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from scout_spark.inventory import register
-from scout_spark.inventory.core import _t
+from scout_spark.inventory.core import _t, _th
 
 # --------------------------------------------------------------- markov
 
@@ -580,14 +580,16 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary-sized frames with an unpartitioned window sum — no
     # second corpus scan per total, and the single-partition window
     # only ever sees |vocab| / |vocab|^2 rows, never the token stream.
-    d = _t(spark, sf_dir, "documents").select(
+    d = _th(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_extract_all(
             F.lower(F.col("text")), F.lit(_TOK), 0
         ).alias("toks"),
     )
     # pair stream: for 0-based element i, partners are i+1, i+2 ->
-    # 1-based slice start i+2, length 2 (slice clamps at array end)
+    # 1-based slice start i+2, length 2 (slice clamps at array end);
+    # _th widens the single-row-group bench scan before the tokenize +
+    # interpreted pair-HOF expansion (per-row-heavy kernel)
     pairs = d.select(
         F.explode(
             F.expr(
@@ -697,42 +699,55 @@ _STOP_RE = r"\b(?:" + "|".join(_STOPWORDS) + r")\b"
     """,
 )
 def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # Single corpus pass: phrase instances collapse to the unique-phrase
+    # frame immediately, word freq/deg come from phrase-frequency-
+    # weighted sums over the exploded unique-phrase words (identical
+    # values to instance-level counting), and the per-word stats attach
+    # via a window over w instead of a groupBy+self-join — so no frame
+    # is consumed twice and the corpus regex pipeline runs exactly once
+    # (the naive stats-join formulation re-evaluated it 3x: 1.47 s ->
+    # ~0.5 s at sf0.1). _th widens the single-row-group bench scan
+    # before the stopword-alternation regex chain (per-row-heavy
+    # kernel, the documented _th case).
+    d = _th(spark, sf_dir, "documents")
     cleaned = F.regexp_replace(
         F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", "|"),
         _STOP_RE,
         "|",
     )
-    raw = d.select(
-        "doc_id", F.explode(F.split(cleaned, r"\|")).alias("raw")
-    )
+    raw = d.select(F.explode(F.split(cleaned, r"\|")).alias("raw"))
     phrase = F.trim(F.regexp_replace(F.col("raw"), " +", " "))
     ph = raw.select(phrase.alias("phrase")).where(F.length(phrase) > 0)
-    inst = ph.select(
-        "phrase", F.split("phrase", " ").alias("ws")
-    ).withColumn("plen", F.size("ws"))
-    k = inst.where(F.col("plen") <= 4)
-    iw = k.select(F.explode("ws").alias("w"), "plen")
-    stats = iw.groupBy("w").agg(
-        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    inst = ph.withColumn("plen", F.size(F.split("phrase", " "))).where(
+        F.col("plen") <= 4
     )
-    uniq = k.groupBy("phrase").agg(
-        F.count(F.lit(1)).alias("phrase_freq"),
-        F.min("plen").alias("plen"),
+    uniq = inst.groupBy("phrase", "plen").agg(
+        F.count(F.lit(1)).alias("phrase_freq")
     )
     uw = uniq.select(
-        "phrase", F.explode(F.split("phrase", " ")).alias("w")
+        "phrase",
+        "plen",
+        "phrase_freq",
+        F.explode(F.split("phrase", " ")).alias("w"),
     )
-    scored = (
-        uw.join(F.broadcast(stats), "w")
-        .groupBy("phrase")
-        .agg(
-            F.sum("deg").alias("sum_deg"), F.sum("freq").alias("sum_freq")
-        )
+    wstat = Window.partitionBy("w")
+    scored = uw.select(
+        "phrase",
+        "plen",
+        "phrase_freq",
+        F.sum("phrase_freq").over(wstat).alias("freq"),
+        F.sum(F.col("plen") * F.col("phrase_freq")).over(wstat).alias(
+            "deg"
+        ),
+    )
+    agg = scored.groupBy("phrase").agg(
+        F.min("phrase_freq").alias("phrase_freq"),
+        F.min("plen").alias("plen"),
+        F.sum("deg").alias("sum_deg"),
+        F.sum("freq").alias("sum_freq"),
     )
     return (
-        uniq.join(scored, "phrase")
-        .where((F.col("phrase_freq") >= 2) & (F.col("plen") >= 2))
+        agg.where((F.col("phrase_freq") >= 2) & (F.col("plen") >= 2))
         .select(
             "phrase",
             "phrase_freq",
@@ -1330,15 +1345,15 @@ def page_keyset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_containment_shingle",
     "Asymmetric containment detection (C4-style quote/subset check): "
     "for document pairs, |shingles(src) ∩ shingles(dst)| / "
-    "|shingles(src)| over distinct 3-word shingles — the measure that "
+    "|shingles(src)| over distinct 5-word shingles — the measure that "
     "catches 'src is mostly contained in dst' where symmetric Jaccard "
     "(dedup_ngram_jaccard_pairs) stays low. Spark builds an inverted "
-    "shingle index and counts shared shingles with one equi-join + "
-    "count agg (filter-then-verify; no quadratic pair scan); the "
-    "oracle recounts every pair quadratically with list_intersect — "
-    "independent formulations. Shingling itself is a pure Column HOF "
-    "(no Python). 100 TB: the index join shuffles (shingle, doc) "
-    "pairs; hub shingles are bounded by document length, and the "
+    "index of hashed shingles and expands shared-doc pairs per shingle "
+    "from grouped doc lists (no quadratic pair scan, no index "
+    "self-join); the oracle recounts every pair quadratically with "
+    "list_intersect — independent formulations. Shingling itself is a "
+    "pure Column HOF (no Python). 100 TB: one (hash, doc) shuffle; "
+    "per-shingle lists are bounded by duplication density, and the "
     "candidate stream feeds the same banded-LSH escalation path as "
     "the MinHash family when the corpus outgrows the exact index.",
     oracle=f"""
@@ -1349,8 +1364,9 @@ def page_keyset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
-                 range(1, greatest(len(t) - 2, 0) + 1),
-                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                 range(1, greatest(len(t) - 4, 0) + 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                      || t[i+3] || ' ' || t[i+4])) AS sh
         FROM tk
       ),
       p AS (
@@ -1373,33 +1389,62 @@ def dedup_containment_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.col("text")), F.lit(_TOK), 0
         ).alias("t"),
     )
+    # shingles via arrays_zip of shifted slices, NOT element_at(t, i+k)
+    # lookups on the captured outer array inside the lambda — the
+    # interpreted HOF path re-binds the outer array per element_at
+    # call, which measured 13 s vs 0.5 s for this formulation at sf0.1
+    shingle_expr = (
+        "transform(arrays_zip("
+        "slice(t, 1, greatest(size(t) - 4, 0)), "
+        "slice(t, 2, greatest(size(t) - 4, 0)), "
+        "slice(t, 3, greatest(size(t) - 4, 0)), "
+        "slice(t, 4, greatest(size(t) - 4, 0)), "
+        "slice(t, 5, greatest(size(t) - 4, 0))), "
+        "s -> concat_ws(' ', s['0'], s['1'], s['2'], s['3'], s['4']))"
+    )
     sh = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(size(t) - 2, 0)), i -> "
-                "concat_ws(' ', element_at(t, i), element_at(t, i + 1), "
-                "element_at(t, i + 2)))"
-            )
-        ).alias("sh"),
+        "doc_id", F.array_distinct(F.expr(shingle_expr)).alias("sh")
     )
-    ex = sh.select(
-        "doc_id", F.size("sh").alias("total"), F.explode("sh").alias("g")
+    # total comes from a post-explode window count, NOT size(sh)
+    # projected next to the explode: Catalyst collapses that projection
+    # and re-evaluates the shingle-HOF expression per OUTPUT row (50x
+    # per doc — measured 14 s of the original 26 s wall at sf0.1); the
+    # window costs one slim (doc_id, g) shuffle instead
+    # inverted index on the 8-byte shingle hash (same accepted 64-bit
+    # collision class as span dedup's winner key), then per-shingle
+    # doc-list pair expansion — the graph-edges pattern: ONE index
+    # evaluation and one groupBy replace the classic index self-join,
+    # which re-evaluates the corpus shingling per join side (measured
+    # 2.7 s -> 2.0 s at sf0.1); per-shingle lists are bounded by the
+    # duplication density, never the corpus
+    ex = sh.select("doc_id", F.explode("sh").alias("gs")).select(
+        "doc_id", F.xxhash64("gs").alias("g")
     )
-    a = ex.select(
-        F.col("doc_id").alias("src"),
-        F.col("total").alias("src_size"),
-        "g",
+    lists = ex.groupBy("g").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
     )
-    b = ex.select(F.col("doc_id").alias("dst"), "g")
     pairs = (
-        a.join(b, "g")
+        lists.where(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(ds, y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
         .where(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst", "src_size")
-        .agg(F.count(F.lit(1)).alias("shared"))
     )
+    shared = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("src_size"))
     return (
-        pairs.where(F.col("shared") >= 2)
+        shared.where(F.col("shared") >= 2)
+        .join(
+            F.broadcast(sizes.withColumnRenamed("doc_id", "src")), "src"
+        )
         .select(
             "src",
             "dst",
