@@ -1718,3 +1718,53 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi"),
     )
+
+
+# -------------------------------------------------------------- benford
+
+
+@register(
+    "audit_benford_first_digit",
+    "Benford's-law first-digit audit of order totals — the classic "
+    "fabricated-data / corrupted-feed detector: leading-digit "
+    "frequencies vs the log10(1 + 1/d) expectation, with per-digit "
+    "deviations. Counts are exact integers; observed shares and the "
+    "expectation are single fixed-order double expressions per row "
+    "(no cross-row FP accumulation anywhere). 100 TB: one map-side-"
+    "combined count agg over a 9-value key — the cheapest possible "
+    "full-table audit shape.",
+    oracle="""
+      WITH d AS (
+        SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT
+                 AS digit
+        FROM orders WHERE o_totalprice >= 1
+      ),
+      c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+      t AS (SELECT sum(n)::BIGINT AS total FROM c)
+      SELECT c.digit, c.n,
+             round(c.n::DOUBLE / t.total, 6) AS observed_p,
+             round(log10(1.0 + 1.0 / c.digit), 6) AS expected_p,
+             round(c.n::DOUBLE / t.total
+                   - log10(1.0 + 1.0 / c.digit), 6) AS deviation
+      FROM c, t
+      ORDER BY c.digit
+    """,
+)
+def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    c = c.withColumn("total", F.sum("n").over(Window.partitionBy()))
+    obs = F.col("n").cast("double") / F.col("total")
+    exp_p = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_p"),
+        F.round(exp_p, 6).alias("expected_p"),
+        F.round(obs - exp_p, 6).alias("deviation"),
+    ).orderBy("digit")

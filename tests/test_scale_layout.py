@@ -462,5 +462,9 @@ def test_pmi_marginals_ride_cached_tokens(spark):
     # subtrees, whose rendering varies with cache materialization
     # state — so the tight assertion is on the cache reads)
     assert tree.count("InMemoryTableScan") == 2, tree
-    n_imr = tree.count("InMemoryRelation")
-    assert tree.count("Scan parquet") <= 1 + n_imr, tree
+    # scan-count heuristics are hopeless here: each InMemoryRelation
+    # display prints its build plan (and, once materialized under AQE,
+    # BOTH the initial and final plans), multiplying "Scan parquet"
+    # lines that are never executed. The pair-stream branch ends at
+    # node (1); assert it scans parquet directly (not the cache)
+    assert "Scan parquet" in tree.split("BroadcastExchange")[0], tree
