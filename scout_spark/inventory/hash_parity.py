@@ -121,11 +121,11 @@ def _simhash_from_tokens(tk: Column) -> Column:
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _th(spark, sf_dir, "documents")
-    # the signature frame has THREE consumers (band explode + both
-    # join sides) — the repartition barrier materializes the simhash
-    # expression once and ReuseExchange shares it, instead of each
-    # consumer re-running the token fold (with the single-fold sign
-    # collapse above: 21 s -> ~1 s at sf0.1)
+    # the repartition barrier below is LOAD-BEARING even though sigs
+    # now has a single consumer (the band explode): without it,
+    # projection collapse inlines the token/vote fold into each of the
+    # 8 band-bucket expressions in the explode projection — 8x the
+    # signature cost per row (part of the measured 21 s)
     sigs = (
         d.select(
             "doc_id",

@@ -1074,8 +1074,12 @@ def stats_chi_square_independence(
     cc = t.select(
         "lang",
         "source",
+        "nn",
         ((F.col("n") - e) * (F.col("n") - e) / e).alias("contrib"),
     )
+    # dims (nl/ns/nn) come from the SAME cell frame — every lang and
+    # source present in the corpus has a cell, so a second documents
+    # scan for the distinct counts would be pure waste (review r04)
     agg = cc.agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.expr(
@@ -1083,13 +1087,11 @@ def stats_chi_square_independence(
             "struct(lang, source, contrib))), s -> s.contrib), "
             "cast(0.0 as double), (a, x) -> a + x)"
         ).alias("chi2"),
-    )
-    dims = d.agg(
         F.countDistinct("lang").alias("nl"),
         F.countDistinct("source").alias("ns"),
-        F.count(F.lit(1)).alias("nn"),
+        F.min("nn").alias("nn"),
     )
-    return agg.crossJoin(F.broadcast(dims)).select(
+    return agg.select(
         "n_cells",
         ((F.col("nl") - 1) * (F.col("ns") - 1)).alias("dof"),
         F.round(F.col("chi2"), 4).alias("chi2"),
@@ -1383,7 +1385,7 @@ def page_keyset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_containment_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select(
+    d = _th(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_extract_all(
             F.lower(F.col("text")), F.lit(_TOK), 0
@@ -1391,8 +1393,9 @@ def dedup_containment_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # shingles via arrays_zip of shifted slices, NOT element_at(t, i+k)
     # lookups on the captured outer array inside the lambda — the
-    # interpreted HOF path re-binds the outer array per element_at
-    # call, which measured 13 s vs 0.5 s for this formulation at sf0.1
+    # projection-collapse duplication measured 13 s vs 0.5 s for this
+    # formulation at sf0.1 (CLAUDE.md rule). _th widens the single-
+    # row-group bench scan before the per-row-heavy shingle kernel.
     shingle_expr = (
         "transform(arrays_zip("
         "slice(t, 1, greatest(size(t) - 4, 0)), "
@@ -1405,23 +1408,27 @@ def dedup_containment_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", F.array_distinct(F.expr(shingle_expr)).alias("sh")
     )
-    # total comes from a post-explode window count, NOT size(sh)
-    # projected next to the explode: Catalyst collapses that projection
-    # and re-evaluates the shingle-HOF expression per OUTPUT row (50x
-    # per doc — measured 14 s of the original 26 s wall at sf0.1); the
-    # window costs one slim (doc_id, g) shuffle instead
-    # inverted index on the 8-byte shingle hash (same accepted 64-bit
-    # collision class as span dedup's winner key), then per-shingle
-    # doc-list pair expansion — the graph-edges pattern: ONE index
-    # evaluation and one groupBy replace the classic index self-join,
-    # which re-evaluates the corpus shingling per join side (measured
-    # 2.7 s -> 2.0 s at sf0.1); per-shingle lists are bounded by the
-    # duplication density, never the corpus
-    ex = sh.select("doc_id", F.explode("sh").alias("gs")).select(
-        "doc_id", F.xxhash64("gs").alias("g")
+    # SINGLE evaluation of the corpus shingle pipeline: hash the
+    # exploded shingles (8-byte index keys — same accepted 64-bit
+    # collision class as span dedup's winner key), attach each doc's
+    # shingle count with a post-explode window (size(sh) next to the
+    # explode would be re-evaluated per output row by projection
+    # collapse), and let the totals RIDE the per-shingle doc lists —
+    # so the pair expansion (graph-edges pattern, no index self-join,
+    # no second corpus scan for sizes) emits src_size directly.
+    # Per-shingle lists are bounded by duplication density, never the
+    # corpus.
+    ex = (
+        sh.select("doc_id", F.explode("sh").alias("gs"))
+        .select("doc_id", F.xxhash64("gs").alias("g"))
+        .withColumn(
+            "total", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
     )
     lists = ex.groupBy("g").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ds")
+        F.array_sort(F.collect_list(F.struct("doc_id", "total"))).alias(
+            "ds"
+        )
     )
     pairs = (
         lists.where(F.size("ds") > 1)
@@ -1429,22 +1436,19 @@ def dedup_containment_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     "flatten(transform(ds, (x, i) -> "
-                    "transform(ds, y -> struct(x AS src, y AS dst))))"
+                    "transform(ds, y -> struct(x.doc_id AS src, "
+                    "x.total AS src_size, y.doc_id AS dst))))"
                 )
             ).alias("p")
         )
-        .select("p.src", "p.dst")
+        .select("p.src", "p.src_size", "p.dst")
         .where(F.col("src") != F.col("dst"))
     )
-    shared = pairs.groupBy("src", "dst").agg(
+    shared = pairs.groupBy("src", "dst", "src_size").agg(
         F.count(F.lit(1)).alias("shared")
     )
-    sizes = sh.select("doc_id", F.size("sh").alias("src_size"))
     return (
         shared.where(F.col("shared") >= 2)
-        .join(
-            F.broadcast(sizes.withColumnRenamed("doc_id", "src")), "src"
-        )
         .select(
             "src",
             "dst",
@@ -1455,6 +1459,20 @@ def dedup_containment_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("containment").desc(), "src", "dst")
         .limit(20)
+    )
+
+
+
+def _lang_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-length (n_chars) en/de counts — the value-histogram collapse
+    shared by the KS and PSI drift entries (one definition so the two
+    metrics can never silently diverge on the sample construction)."""
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isin("en", "de")
+    )
+    return d.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("c2"),
     )
 
 
@@ -1511,13 +1529,7 @@ def dedup_containment_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").where(
-        F.col("lang").isin("en", "de")
-    )
-    pv = d.groupBy("n_chars").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c1"),
-        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("c2"),
-    )
+    pv = _lang_length_hist(spark, sf_dir)
     wcum = (
         Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -1632,13 +1644,7 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").where(
-        F.col("lang").isin("en", "de")
-    )
-    pv = d.groupBy("n_chars").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c1"),
-        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("c2"),
-    )
+    pv = _lang_length_hist(spark, sf_dir)
     wcum = (
         Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
     )

@@ -134,8 +134,9 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Relational winnowing: explode gram positions and take window
     # minima with a ROWS frame instead of nesting the per-window
     # array_min lambda over the gram-array expression. The nested
-    # formulation (_winnow_fingerprints, kept for the pytest ground
-    # truth) hits projection-collapse expression duplication: `grams`
+    # formulation (_winnow_fingerprints — the ground truth of
+    # tests/test_operators.py::test_winnowing_relational_matches_
+    # nested_hof) hits projection-collapse expression duplication: `grams`
     # (an O(n) md5 map over a regex-derived string) is inlined into
     # EVERY window slice, going O(n^2) md5+regex per document —
     # measured 89 s at sf0.1 vs 0.4 s for this plan. The repartition

@@ -717,3 +717,62 @@ def test_cc_delta_phase_broadcast_path(spark):
     assert got == {i: 0 for i in range(13)}
     with _pytest.raises(ValueError):
         connected_components(pairs, delta_after=0)
+
+
+def test_winnowing_relational_matches_nested_hof(spark):
+    """text_fingerprint_winnowing's relational formulation (explode
+    gram positions + ROWS-frame window min — the fast plan) must
+    produce exactly the per-doc fingerprint sets of the nested-HOF
+    reference `_winnow_fingerprints` (the direct Schleimer et al.
+    transcription, quadratic under projection collapse and kept
+    precisely as this test's ground truth). Covers the short-text
+    edge cases: len(t) < gram width and n_grams < window width."""
+    from pyspark.sql import functions as F
+
+    from scout_spark.inventory.trainprep import (
+        _FP_DOCS,
+        _winnow_fingerprints,
+    )
+    from scout_spark.inventory import load_all
+
+    reg = load_all()
+    got = {
+        r["doc_id"]: (r["fingerprints"], r["n_grams"])
+        for r in reg["text_fingerprint_winnowing"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .orderBy("doc_id")
+        .limit(_FP_DOCS)
+    )
+    # synthesize short-text edge cases through the SAME reference HOF
+    edge = spark.createDataFrame(
+        [(10**9, "ab"), (10**9 + 1, "abcdefghij")], ["doc_id", "text"]
+    )
+    for frame, ids in ((docs, None), (edge, [10**9, 10**9 + 1])):
+        want = {
+            r["doc_id"]: ",".join(str(v) for v in r["fp"])
+            for r in frame.select(
+                "doc_id", _winnow_fingerprints(F.col("text")).alias("fp")
+            ).collect()
+        }
+        if ids is None:
+            assert {k: v[0] for k, v in got.items()} == want
+        else:
+            # run the registered entry against the edge frame via a view
+            from scout_spark.inventory.trainprep import fingerprint_winnowing
+            import tempfile, os
+
+            with tempfile.TemporaryDirectory() as td:
+                edge.withColumn("lang", F.lit("en")).withColumn(
+                    "source", F.lit("s")
+                ).withColumn("n_chars", F.length("text")).write.parquet(
+                    os.path.join(td, "documents.parquet")
+                )
+                got_edge = {
+                    r["doc_id"]: r["fingerprints"]
+                    for r in fingerprint_winnowing(spark, td).collect()
+                }
+            assert got_edge == want

@@ -441,10 +441,21 @@ def test_weighted_percentile_row_window_partitions_on_bin(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     import re
 
-    specs = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
-    assert any(
-        "l_returnflag" in s and "bin" in s for s in specs
-    ), f"no (flag, bin) hash partitioning in plan:\n{plan[:4000]}"
+    # the assertion targets the WINDOW NODE's own spec, not any
+    # exchange in the plan (the bin pre-agg also hash-partitions on
+    # (flag, bin), which would make an exchange-level check vacuous):
+    # the row-level cumulative window is the one whose spec orders by
+    # pc — its windowspecdefinition must list bin as a partition key
+    row_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "pc#" in ln
+    ]
+    assert row_windows, plan[:4000]
+    assert all(
+        re.search(r"windowspecdefinition\(l_returnflag#\d+, bin#\d+", ln)
+        for ln in row_windows
+    ), "\n".join(row_windows)
 
 
 def test_pmi_marginals_ride_cached_tokens(spark):
