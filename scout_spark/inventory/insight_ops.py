@@ -1774,3 +1774,166 @@ def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp_p, 6).alias("expected_p"),
         F.round(obs - exp_p, 6).alias("deviation"),
     ).orderBy("digit")
+
+
+# --------------------------------------------------------- Mann-Whitney
+
+
+@register(
+    "stats_mann_whitney_u",
+    "Mann-Whitney U rank-sum test on document length (en vs de) with "
+    "EXACT tie handling: midranks over the value histogram stay "
+    "integer by carrying 2*midrank = 2*prev + ties + 1, so the doubled "
+    "rank sum and doubled U statistic are exact BIGINTs; the normal "
+    "approximation (with the full tie-correction term, itself an exact "
+    "integer sum of t^3 - t) is one fixed-order double expression. "
+    "Completes the drift-test family: KS sees shape, PSI sees binned "
+    "mass, U sees stochastic dominance. 100 TB: identical shape to the "
+    "KS entry — value-histogram collapse, then constant-size windows.",
+    oracle="""
+      WITH pv AS (
+        SELECT n_chars,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS c2
+        FROM documents WHERE lang IN ('en', 'de')
+        GROUP BY n_chars
+      ),
+      c AS (
+        SELECT n_chars, c1, c2, c1 + c2 AS cv,
+               sum(c1 + c2) OVER (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ::BIGINT AS cum,
+               sum(c1) OVER ()::BIGINT AS n1,
+               sum(c2) OVER ()::BIGINT AS n2
+        FROM pv
+      ),
+      s AS (
+        SELECT min(n1) AS n1, min(n2) AS n2,
+               sum(c1 * (2 * (cum - cv) + cv + 1))::BIGINT AS r2x,
+               sum(cv * cv * cv - cv)::BIGINT AS tie_t
+        FROM c
+      )
+      SELECT n1 AS n_en, n2 AS n_de,
+             r2x - n1 * (n1 + 1) AS u2x,
+             (r2x - n1 * (n1 + 1)) / 2.0 AS u_stat,
+             round(((r2x - n1 * (n1 + 1)) - n1::DOUBLE * n2)
+                   / (2 * sqrt((n1::DOUBLE * n2 / 12)
+                       * ((n1 + n2 + 1)
+                          - tie_t::DOUBLE / ((n1 + n2)
+                                             * (n1 + n2 - 1))))),
+                   4) AS z_score
+      FROM s
+    """,
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pv = _lang_length_hist(spark, sf_dir)
+    wcum = (
+        Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy()
+    cv = F.col("c1") + F.col("c2")
+    c = pv.select(
+        "n_chars",
+        "c1",
+        "c2",
+        cv.alias("cv"),
+        F.sum(cv).over(wcum).alias("cum"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    s = c.agg(
+        F.min("n1").alias("n1"),
+        F.min("n2").alias("n2"),
+        F.sum(
+            F.col("c1")
+            * (2 * (F.col("cum") - F.col("cv")) + F.col("cv") + 1)
+        ).alias("r2x"),
+        F.sum(
+            F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv")
+        ).alias("tie_t"),
+    )
+    n1d = F.col("n1").cast("double")
+    u2x = F.col("r2x") - F.col("n1") * (F.col("n1") + 1)
+    n = F.col("n1") + F.col("n2")
+    sigma2 = (n1d * F.col("n2") / 12) * (
+        (n + 1) - F.col("tie_t").cast("double") / (n * (n - 1))
+    )
+    return s.select(
+        F.col("n1").alias("n_en"),
+        F.col("n2").alias("n_de"),
+        u2x.alias("u2x"),
+        (u2x / 2.0).alias("u_stat"),
+        F.round(
+            (u2x - n1d * F.col("n2")) / (2 * F.sqrt(sigma2)), 4
+        ).alias("z_score"),
+    )
+
+
+# ----------------------------------------------------------------- Gini
+
+
+@register(
+    "agg_gini_concentration",
+    "Gini concentration coefficient of order revenue per order "
+    "priority — the inequality/concentration audit ('do 20% of orders "
+    "carry 80% of revenue, and does it differ by priority band'). "
+    "Computed from the exact rank formula G = 2*Sigma(i*x) / "
+    "(n*Sigma x) - (n+1)/n with integer-cent values, row_number ranks "
+    "(tie-broken by orderkey; permuting equal values leaves "
+    "Sigma i*x unchanged, so the statistic is order-independent), and "
+    "decimal(38,0)/HUGEINT for the rank-weighted sum. The per-priority "
+    "rank window caps parallelism at |priorities| — at 100 TB this "
+    "entry uses the same histogram-refine decomposition the weighted-"
+    "percentile entry demonstrates (i = bin prior + within-bin rank). "
+    "One double expression at the end, rounded 6dp.",
+    oracle="""
+      WITH r AS (
+        SELECT o_orderpriority,
+               round(o_totalprice * 100)::BIGINT AS pc,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY round(o_totalprice * 100)::BIGINT, o_orderkey)
+                 AS i
+        FROM orders
+      ),
+      s AS (
+        SELECT o_orderpriority,
+               count(*) AS n,
+               sum(pc) AS sx,
+               sum(i::HUGEINT * pc) AS six
+        FROM r GROUP BY 1
+      )
+      SELECT o_orderpriority, n,
+             round(sx / 100.0, 2) AS total_revenue,
+             round(2.0 * (six::DOUBLE / (n::DOUBLE * sx::DOUBLE))
+                   - (n + 1)::DOUBLE / n, 6) AS gini
+      FROM s
+      ORDER BY o_orderpriority
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pc = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy("pc", "o_orderkey")
+    r = o.select(
+        "o_orderpriority", pc.alias("pc"), "o_orderkey"
+    ).withColumn("i", F.row_number().over(w))
+    s = r.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pc").alias("sx"),
+        F.sum(
+            (F.col("i").cast("decimal(38,0)") * F.col("pc")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("six"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        2.0 * (F.col("six").cast("double") / (nd * F.col("sx").cast("double")))
+        - (F.col("n") + 1).cast("double") / F.col("n")
+    )
+    return s.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("sx") / 100.0, 2).alias("total_revenue"),
+        F.round(gini, 6).alias("gini"),
+    ).orderBy("o_orderpriority")
