@@ -223,3 +223,163 @@ from dataclasses import replace as _replace
 _REG["layout_zorder_key"] = _replace(
     _REG["layout_zorder_key"], oracle=_zorder_oracle()
 )
+
+
+# ------------------------------------------------------- CSV roundtrip
+
+
+def _csv_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write the orders table out as header'd CSV once per (sf_dir,
+    parquet mtime) — the driver regenerates testdata between rounds,
+    so the mtime in the key invalidates stale fixtures. Timestamps are
+    serialized as explicit formatted strings (the classic CSV fidelity
+    trap this entry exists to pin)."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    try:
+        mtime = int(os.path.getmtime(src))
+    except OSError:
+        mtime = 0
+    key = hashlib.sha1(f"{sf_dir}|{mtime}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"scout_csv_orders_{key}")
+    if os.path.isdir(path):
+        return path
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "o_orderdate"
+        ),
+        "o_orderpriority",
+    )
+    tmp = path + f".tmp{os.getpid()}"
+    o.write.mode("overwrite").option("header", True).csv(tmp)
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "ingest_csv_roundtrip",
+    "CSV source connector fidelity check: orders exported to header'd "
+    "CSV (timestamps as explicit formatted strings) and read back with "
+    "an explicit schema, then digested per order status — row counts, "
+    "EXACT integer cent sums, key and date min/max, priority "
+    "cardinality. The oracle computes the identical digest from the "
+    "original parquet, so a hash match proves the text roundtrip lost "
+    "nothing (the float-formatting and date-parsing traps are exactly "
+    "what the cent-sum and min/max pin down). 100 TB: CSV read is "
+    "splittable and schema-explicit (no inference scan); the digest "
+    "is one map-side-combined agg.",
+    oracle="""
+      SELECT o_orderstatus,
+             count(*) AS n,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents,
+             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+             strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date,
+             count(DISTINCT o_orderpriority) AS n_priorities
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """,
+)
+def ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _csv_fixture_dir(spark, sf_dir)
+    df = spark.read.csv(
+        path,
+        header=True,
+        schema=(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate string, "
+            "o_orderpriority string"
+        ),
+    )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("total_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ------------------------------------------------------ JSONL roundtrip
+
+
+def _jsonl_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """documents exported as JSONL once per (sf_dir, parquet mtime) —
+    free text with whatever quotes/newlines the corpus carries, the
+    exact payload sources/writers.py::write_jsonl exists to escape."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = int(os.path.getmtime(src))
+    except OSError:
+        mtime = 0
+    key = hashlib.sha1(f"{sf_dir}|{mtime}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"scout_jsonl_docs_{key}")
+    if os.path.isdir(path):
+        return path
+    from scout_spark.sources.writers import write_jsonl
+
+    tmp = path + f".tmp{os.getpid()}"
+    write_jsonl(_t(spark, sf_dir, "documents"), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "ingest_jsonl_roundtrip",
+    "JSONL (line-delimited JSON) connector fidelity check — the "
+    "interchange format LLM-corpus shards actually move in: documents "
+    "exported via sources/writers.py::write_jsonl and read back with "
+    "an explicit schema (no inference scan), digested per lang — row "
+    "counts, exact char-count sums, md5-of-concatenated-sorted-text "
+    "prefix sums as a content fingerprint. A hash match against the "
+    "parquet-side oracle proves text (quotes, arbitrary bytes) "
+    "survived JSON escaping byte-for-byte. 100 TB: JSONL is the "
+    "sharded-corpus layout; the read is splittable and the digest one "
+    "map-side-combined agg.",
+    oracle="""
+      SELECT lang,
+             count(*) AS n,
+             sum(n_chars)::BIGINT AS total_chars,
+             sum(length(text))::BIGINT AS total_text_len,
+             sum(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT
+               AS text_md5_sum
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang
+    """,
+)
+def ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.sources.writers import read_jsonl
+
+    path = _jsonl_fixture_dir(spark, sf_dir)
+    df = read_jsonl(
+        spark,
+        path,
+        schema=(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        ),
+    )
+    md5_32 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_text_len"),
+            F.sum(md5_32).alias("text_md5_sum"),
+        )
+        .orderBy("lang")
+    )
