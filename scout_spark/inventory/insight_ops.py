@@ -1937,3 +1937,79 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sx") / 100.0, 2).alias("total_revenue"),
         F.round(gini, 6).alias("gini"),
     ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------- rolling mode
+
+
+@register(
+    "window_rolling_mode",
+    "Rolling MODE — each event's most frequent event_type over the "
+    "user's trailing 10 events (count desc, type asc tie-break): the "
+    "'dominant recent behavior' feature engines rarely ship because "
+    "mode doesn't decompose like sum/min. Spark: ONE window pass "
+    "collects the trailing types (frame-ordered, deterministic) and a "
+    "bounded HOF picks the mode via array_min over (-count, type) "
+    "structs — per-row cost is window-sized, never corpus-sized, and "
+    "the lambda only references the window-materialized array (safe "
+    "from projection-collapse duplication). The oracle independently "
+    "recounts via a bounded rn-band self-join + argmax. 100 TB: the "
+    "single user_id window shuffle every sessionization pass already "
+    "pays; no joins.",
+    oracle="""
+      WITH r AS (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ),
+      pairs AS (
+        SELECT a.user_id, a.rn, b.event_type AS t
+        FROM r a JOIN r b
+          ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn
+      ),
+      c AS (
+        SELECT user_id, rn, t, count(*) AS cnt
+        FROM pairs GROUP BY user_id, rn, t
+      ),
+      m AS (
+        SELECT user_id, rn, t, cnt,
+               sum(cnt) OVER (PARTITION BY user_id, rn)::BIGINT AS wn,
+               row_number() OVER (PARTITION BY user_id, rn
+                                  ORDER BY cnt DESC, t) AS pick
+        FROM c
+      )
+      SELECT user_id, rn, t AS mode_type, cnt AS mode_cnt, wn AS window_n
+      FROM m WHERE pick = 1
+      ORDER BY user_id, rn
+    """,
+)
+def window_rolling_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wtrail = w.rowsBetween(-9, 0)
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.collect_list("event_type").over(wtrail).alias("arr"),
+    )
+    # mode = min over (-count, type): highest count first, then the
+    # lexicographically smallest type — matches the oracle's ORDER BY
+    # cnt DESC, t tie-break exactly. The expression is referenced
+    # twice below (projection collapse duplicates it) — deliberate:
+    # the HOF scans a <=10-element window array, so the duplicated
+    # cost is O(20) per row, not the corpus-derived blowup the
+    # CLAUDE.md collapse rule targets.
+    mode = F.expr(
+        "array_min(transform(array_distinct(arr), x -> "
+        "struct(-size(filter(arr, y -> y = x)) AS negc, x AS t)))"
+    )
+    return base.select(
+        "user_id",
+        "rn",
+        mode.getField("t").alias("mode_type"),
+        (-mode.getField("negc")).cast("long").alias("mode_cnt"),
+        F.size("arr").cast("long").alias("window_n"),
+    ).orderBy("user_id", "rn")
