@@ -2013,3 +2013,55 @@ def window_rolling_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-mode.getField("negc")).cast("long").alias("mode_cnt"),
         F.size("arr").cast("long").alias("window_n"),
     ).orderBy("user_id", "rn")
+
+
+# ------------------------------------------------------ diurnal profile
+
+
+@register(
+    "timeseries_diurnal_profile",
+    "Diurnal (hour-of-day) seasonality profile per event type: volume, "
+    "share of the type's events, mean value, and a peak-hour flag — "
+    "the seasonal component every capacity planner and anomaly "
+    "baseline starts from. Counts and shares are exact integers/"
+    "ratios; the per-bucket mean is rounded 6dp (the proven hourly-avg "
+    "discipline); the peak flag compares integer counts only. 100 TB: "
+    "one map-side-combined agg onto a 24x|types| key space, then "
+    "constant-size windows.",
+    oracle="""
+      WITH h AS (
+        SELECT event_type, hour(ts) AS hod, count(*) AS n,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2
+      )
+      SELECT event_type, hod, n,
+             round(n::DOUBLE / sum(n) OVER (PARTITION BY event_type), 6)
+               AS share,
+             avg_value,
+             CASE WHEN n = max(n) OVER (PARTITION BY event_type)
+                  THEN 1 ELSE 0 END AS is_peak_hour
+      FROM h
+      ORDER BY event_type, hod
+    """,
+)
+def timeseries_diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    wt = Window.partitionBy("event_type")
+    return h.select(
+        "event_type",
+        "hod",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias(
+            "share"
+        ),
+        "avg_value",
+        F.when(F.col("n") == F.max("n").over(wt), 1)
+        .otherwise(0)
+        .alias("is_peak_hour"),
+    ).orderBy("event_type", "hod")
