@@ -136,7 +136,13 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             _simhash_from_tokens(F.col("tk")).alias("simhash"),
         )
-        .repartition(8, "doc_id")
+        .repartition(
+            # barrier count scales with the cluster, not the bench box
+            # (ADVICE r04): parallelism is whatever the session offers,
+            # floored at 8 so the bench's single row group still fans out
+            max(spark.sparkContext.defaultParallelism, 8),
+            "doc_id",
+        )
     )
     band_width = _SIMHASH_BITS // _BANDS
     banded = sigs.select(

@@ -17,7 +17,28 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
+
+
+def _publish(tmp: str, path: str) -> None:
+    """Atomically publish a built fixture. Concurrency-safe: if another
+    session published `path` first, os.replace onto the existing
+    non-empty directory raises OSError — the racing fixture is
+    identical by construction (the path key embeds the source mtime),
+    so the loser discards its tmp dir and uses the winner's."""
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        if not os.path.exists(path):
+            raise
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,7 +83,7 @@ def _build_fixture(spark: SparkSession, sf_dir: str) -> str:
     ]
     tmp = path + f".tmp{os.getpid()}"
     write_pbf(tmp, nodes, blob_size=2000)  # several blobs even at sf0.01
-    os.replace(tmp, path)
+    _publish(tmp, path)
     return path
 
 
@@ -255,7 +276,7 @@ def _csv_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     tmp = path + f".tmp{os.getpid()}"
     o.write.mode("overwrite").option("header", True).csv(tmp)
-    os.replace(tmp, path)
+    _publish(tmp, path)
     return path
 
 
@@ -332,7 +353,7 @@ def _jsonl_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
 
     tmp = path + f".tmp{os.getpid()}"
     write_jsonl(_t(spark, sf_dir, "documents"), tmp)
-    os.replace(tmp, path)
+    _publish(tmp, path)
     return path
 
 

@@ -576,10 +576,12 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Unigram marginals ride the shared persisted doc_tokens frame (one
     # corpus tokenize per session, BM25 pattern); the positional pair
     # stream needs its own single scan (doc_tokens drops positions).
-    # The corpus totals nn/pp are attached to the ALREADY-AGGREGATED
-    # vocabulary-sized frames with an unpartitioned window sum — no
-    # second corpus scan per total, and the single-partition window
-    # only ever sees |vocab| / |vocab|^2 rows, never the token stream.
+    # The corpus totals nn/pp are 1-row scalar aggs cross-joined back
+    # with an explicit broadcast: at web scale the distinct-pair frame
+    # is billions of rows, so an unpartitioned window sum over it would
+    # funnel everything through one partition — the scalar-agg job costs
+    # one extra tiny stage and keeps every stage parallel. The pair
+    # frame feeds two jobs (total + main), so it is persisted.
     d = _th(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_extract_all(
@@ -599,18 +601,21 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
-    pc = pairs.groupBy("tok_a", "tok_b").agg(
-        F.count(F.lit(1)).alias("pair_n")
+    pc = (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .persist()
     )
-    pc = pc.withColumn(
-        "pp", F.sum("pair_n").over(Window.partitionBy())
+    pc = pc.crossJoin(
+        F.broadcast(pc.agg(F.sum("pair_n").alias("pp")))
     )
     m = (
         doc_tokens(spark, sf_dir)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
-    m = m.withColumn("nn", F.sum("c").over(Window.partitionBy()))
+    m = m.crossJoin(F.broadcast(m.agg(F.sum("c").alias("nn"))))
     ma = m.select(
         F.col("tok").alias("tok_a"), F.col("c").alias("ca"), "nn"
     )
@@ -1062,6 +1067,9 @@ def stats_chi_square_independence(
 ) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    # unpartitioned windows OK: the frame is the pre-collapsed
+    # |lang|x|source| contingency table (tens of rows at ANY corpus
+    # size), never the document stream
     t = o.select(
         "lang",
         "source",
@@ -1466,7 +1474,12 @@ def dedup_containment_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-length (n_chars) en/de counts — the value-histogram collapse
     shared by the KS and PSI drift entries (one definition so the two
-    metrics can never silently diverge on the sample construction)."""
+    metrics can never silently diverge on the sample construction).
+
+    Downstream unpartitioned windows over this frame are scale-safe:
+    its cardinality is |distinct n_chars| (bounded by the length domain,
+    a few thousand rows at ANY corpus size), never the document stream.
+    """
     d = _t(spark, sf_dir, "documents").where(
         F.col("lang").isin("en", "de")
     )
@@ -1524,6 +1537,7 @@ def _lang_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * (diffn::DOUBLE / (n1::DOUBLE * n2))), 6)
                AS p_approx
       FROM d
+      WHERE n1 > 0 AND n2 > 0
       ORDER BY diffn DESC, n_chars
       LIMIT 1
     """,
@@ -1541,6 +1555,11 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").over(wall).alias("n1"),
         F.sum("c2").over(wall).alias("n2"),
     )
+    # degenerate-corpus guard (ADVICE r04): a regenerated corpus with
+    # zero en or de docs would divide by 0 (Spark NULL vs DuckDB inf —
+    # a parity break, not a graceful degrade); both sides filter the
+    # empty-sample case identically and return 0 rows instead
+    c = c.where((F.col("n1") > 0) & (F.col("n2") > 0))
     diffn = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
     n1d = F.col("n1").cast("double")
     dd = F.col("diffn").cast("double") / (n1d * F.col("n2"))
@@ -1641,6 +1660,7 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(list_reduce(list(term ORDER BY bin),
                                (a, b) -> a + b), 6) AS psi
       FROM terms
+      HAVING min(n1) > 0 AND min(n2) > 0
     """,
 )
 def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1723,6 +1743,11 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("psi"),
+    ).where(
+        # degenerate-corpus guard (ADVICE r04): if either lang has zero
+        # docs, drop the meaningless PSI row identically on both sides
+        # (oracle HAVING) instead of risking NULL-vs-inf divergence
+        (F.col("n_en") > 0) & (F.col("n_de") > 0)
     )
 
 
@@ -1764,6 +1789,8 @@ def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = o.select(digit.alias("digit")).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n")
     )
+    # unpartitioned window OK: the frame is the 9-row first-digit
+    # histogram (digits 1-9), collapsed before the window at any scale
     c = c.withColumn("total", F.sum("n").over(Window.partitionBy()))
     obs = F.col("n").cast("double") / F.col("total")
     exp_p = F.log10(1.0 + 1.0 / F.col("digit"))
@@ -1823,6 +1850,7 @@ def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              * (n1 + n2 - 1))))),
                    4) AS z_score
       FROM s
+      WHERE n1 > 0 AND n2 > 0
     """,
 )
 def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1866,6 +1894,11 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (u2x - n1d * F.col("n2")) / (2 * F.sqrt(sigma2)), 4
         ).alias("z_score"),
+    ).where(
+        # degenerate-corpus guard (ADVICE r04): zero en or de docs makes
+        # sigma 0 (divide-by-zero, NULL-vs-inf across engines) — both
+        # sides drop the row identically (oracle WHERE n1>0 AND n2>0)
+        (F.col("n_en") > 0) & (F.col("n_de") > 0)
     )
 
 

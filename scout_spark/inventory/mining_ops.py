@@ -204,8 +204,14 @@ def quality_perplexity_decile_mix(
             ).alias("avg_nlp"),
         )
     )
-    ranked = scored.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("avg_nlp", "doc_id"))
+    # exact distributed ntile (operators/rank.py): range-shuffle +
+    # per-partition row_number + broadcast offsets — same bucket
+    # assignment as the oracle's single ntile window, but no
+    # single-partition WindowExec funnel at corpus scale
+    from scout_spark.operators.rank import global_ntile
+
+    ranked = global_ntile(
+        scored, ["avg_nlp", "doc_id"], 10, out="decile"
     )
     return (
         ranked.groupBy("decile")

@@ -148,7 +148,12 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.array_join(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0), " "
     )
-    base = d.select("doc_id", t.alias("t")).repartition(8, "doc_id")
+    base = d.select("doc_id", t.alias("t")).repartition(
+        # cluster-derived barrier width, floored at 8 for the bench's
+        # single-row-group scan (ADVICE r04)
+        max(spark.sparkContext.defaultParallelism, 8),
+        "doc_id",
+    )
     g = base.select(
         "doc_id",
         "t",

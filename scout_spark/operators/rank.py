@@ -1,0 +1,109 @@
+"""Distributed exact global ranking (no single-partition WindowExec).
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY forces every
+row through ONE task — correct at test scale, a corpus-sized funnel at
+100 TB. These helpers produce the IDENTICAL rank/ntile values with every
+stage parallel:
+
+1. ``repartitionByRange`` on the order keys — the same sampled range
+   shuffle Spark's own distributed sort uses, so partition p holds a
+   contiguous key range and p < q implies every key in p sorts before q.
+2. per-partition ``row_number`` windowed on ``spark_partition_id()`` —
+   parallel across partitions.
+3. per-partition offsets: a P-row count frame (P = shuffle partitions,
+   bounded by cluster size, never data size) gets a cumulative sum via
+   an unpartitioned window over those P rows, then broadcast-joins back.
+
+The ranged frame is persisted: the offset job and the main job must see
+the same range boundaries (RangePartitioner samples at materialization),
+and persistence also avoids recomputing the upstream pipeline twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PID = "__rank_pid"
+_OFF = "__rank_off"
+_TOT = "__rank_total"
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    out: str = "rn",
+    num_partitions: int | None = None,
+    with_total: bool = False,
+) -> DataFrame:
+    """Exact global ``row_number`` by ``order_cols``, fully parallel.
+
+    ``order_cols`` should end in a unique tie-break column so the total
+    order (and therefore every rank) is deterministic cross-engine.
+    With ``with_total`` the frame also carries the global row count in
+    column ``__rank_total`` (useful for ntile math) at no extra job.
+    """
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("_n"))
+    # P rows only: the unpartitioned cumulative window is bounded by the
+    # partition count, not the data
+    offs = counts.select(
+        _PID,
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy(_PID).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias(_OFF),
+        F.sum("_n").over(Window.partitionBy()).alias(_TOT),
+    )
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    keep = [_OFF, _TOT] if with_total else [_OFF]
+    res = (
+        ranged.join(F.broadcast(offs.select(_PID, *keep)), _PID)
+        .withColumn(out, F.row_number().over(w) + F.col(_OFF))
+        .drop(_PID, _OFF)
+    )
+    return res
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    n_tiles: int,
+    out: str = "tile",
+) -> DataFrame:
+    """Exact global ``ntile(n)`` by ``order_cols`` — same bucket
+    assignment as the single-window formulation (first ``total mod n``
+    buckets get one extra row), computed row-locally from the
+    distributed global rank. All-integer arithmetic."""
+    def _idiv(a: Column, b: Column) -> Column:
+        # exact integer floor-division on non-negative longs: the
+        # numerator is made an exact multiple of b first, so the double
+        # division is exact for any total < 2^53
+        return ((a - a % b) / b).cast("bigint")
+
+    r = global_row_number(df, order_cols, out="_grn", with_total=True)
+    total = F.col(_TOT)
+    base = _idiv(total, F.lit(n_tiles))  # floor bucket size
+    rem = total % n_tiles  # first `rem` buckets hold base+1
+    cut = rem * (base + 1)
+    rank0 = F.col("_grn") - 1
+    # base==0 (fewer rows than tiles): each row its own tile == rank;
+    # greatest() keeps the untaken divide branch ANSI-safe
+    base_safe = F.greatest(base, F.lit(1))
+    tile = F.when(base == 0, F.col("_grn")).otherwise(
+        F.when(F.col("_grn") <= cut, _idiv(rank0, base + 1) + 1).otherwise(
+            rem + _idiv(rank0 - cut, base_safe) + 1
+        )
+    )
+    return r.withColumn(out, tile.cast("int")).drop("_grn", _TOT)

@@ -66,12 +66,21 @@ def prefix_filter_join(
         )
     )
     n = F.size("toks")
-    # integer-safe ceil(t*n): double arithmetic can land just above an
-    # exact integer for thresholds whose binary form exceeds the
-    # rational value, inflating ceil by 1 and silently dropping the
-    # no-false-negative guarantee (ADVICE r03). Nudge below by 1e-9 —
-    # sound for any practical threshold granularity (>= 1e-6).
-    prefix_len = n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)).cast("int") + 1
+    # integer-EXACT ceil(t*n): the threshold is snapped to the rational
+    # p/1e6 it was written as (Fraction.limit_denominator guards inputs
+    # like 1/3), then ceil(p*n/q) = (p*n + q - 1) div q in pure bigint
+    # arithmetic — no double rounding anywhere, so the documented
+    # no-false-negative guarantee holds for EVERY threshold, including
+    # adversarial ones where double ceil(t*n) lands one high (ADVICE
+    # r03/r04; property test: tests/test_operators.py).
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    p, q = frac.numerator, frac.denominator
+    ceil_tn = ((F.lit(p) * n.cast("bigint") + F.lit(q - 1)) - (
+        (F.lit(p) * n.cast("bigint") + F.lit(q - 1)) % F.lit(q)
+    )) / F.lit(q)
+    prefix_len = n - ceil_tn.cast("int") + 1
     prefixes = ranked.select(
         "rid",
         "toks",

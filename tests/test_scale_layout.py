@@ -479,3 +479,44 @@ def test_pmi_marginals_ride_cached_tokens(spark):
     # lines that are never executed. The pair-stream branch ends at
     # node (1); assert it scans parquet directly (not the cache)
     assert "Scan parquet" in tree.split("BroadcastExchange")[0], tree
+
+
+def test_decile_mix_row_window_partitions_on_rank_pid(spark):
+    """quality_perplexity_decile_mix formerly ranked every document
+    through an unpartitioned ntile(10) — a corpus-sized single-partition
+    funnel (VERDICT r04). The distributed-rank rewrite must keep the
+    row-level window partitioned on the range-shuffle partition id; the
+    only unpartitioned window allowed anywhere in the plan is the
+    offset cumulative sum over the P-row per-partition counts frame."""
+    from scout_spark.inventory.mining_ops import (
+        quality_perplexity_decile_mix,
+    )
+
+    df = quality_perplexity_decile_mix(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    row_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "row_number" in ln
+    ]
+    assert row_windows, plan[:4000]
+    assert all("__rank_pid#" in ln for ln in row_windows), "\n".join(
+        row_windows
+    )
+
+
+def test_pmi_totals_are_scalar_aggs_not_windows(spark):
+    """text_cooccurrence_pmi's corpus totals (nn, pp) must come from
+    1-row scalar aggregates cross-joined back with a broadcast — an
+    unpartitioned window sum over the distinct-pair frame is billions
+    of rows through one task at web scale (VERDICT r04). The plan must
+    contain NO window node at all."""
+    from scout_spark.inventory.insight_ops import text_cooccurrence_pmi
+
+    plan = (
+        text_cooccurrence_pmi(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition" not in plan, plan[:4000]
