@@ -281,3 +281,186 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------- incremental probe twin
+
+
+_PROBE_BANDS = 4
+_PROBE_ROWS_PER_BAND = _MINHASH_K // _PROBE_BANDS
+_PROBE_CORPUS_N = 150
+_PROBE_MIN_AGREE = 8  # est jaccard >= 0.5
+
+
+def _probe_sig_sql(src: str) -> str:
+    """DuckDB twin of _minhash_md5_signature over ``src`` (id, text)."""
+    return f"""
+        SELECT id,
+               list_transform(range(0, {_MINHASH_K}), k ->
+                 coalesce(list_min(list_transform(th, h ->
+                   (h * (2*k + 3) + (k * 1000003 + 7)) % {_MINHASH_P})),
+                   {_MINHASH_P})) AS sig
+        FROM (
+          SELECT id,
+                 list_transform(
+                   list_distinct(
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(1, len(toks) - 1), i ->
+                                 concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                          ELSE [array_to_string(toks, ' ')] END),
+                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS th
+          FROM (
+            SELECT id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM ({src}) _t0) _t1
+        ) _t2
+    """
+
+
+def _probe_band_sql(sig_cte: str) -> str:
+    w = _PROBE_ROWS_PER_BAND
+    return f"""
+        SELECT id, b.b AS band,
+               array_to_string(
+                 list_slice(sig, b.b * {w} + 1, b.b * {w} + {w}), ',') AS bucket
+        FROM {sig_cte}, (SELECT unnest(range(0, {_PROBE_BANDS})) AS b) b
+    """
+
+
+@register(
+    "dedup_minhash_md5_incremental_probe",
+    "Incremental near-dup probe with a CROSS-ENGINE kernel: the md5 "
+    "minhash signatures (dedup_minhash_md5_signatures' kernel) are "
+    "banded into 4x4 LSH buckets whose ids are the band's literal "
+    "signature slice (engine-exact strings, per VERDICT r04 item 8); "
+    "a deterministic synthetic batch (first-token-dropped near-copies "
+    "that must hit + salted novel docs that must miss) probes the "
+    "corpus index via a band-bucket equi-join with the batch side "
+    "broadcast, and candidates verify with the INTEGER agreement "
+    "count (n positions equal of 16) — corpus text is read only to "
+    "build the index, exactly the steady-state shape of "
+    "operators/dedup.py::minhash_probe. The oracle reproduces "
+    "signatures, banding, probe join, and verification in DuckDB SQL, "
+    "so the hash match pins the full incremental path. 100 TB: probe "
+    "cost is O(batch x bands) bucket lookups against a sorted index; "
+    "the corpus-side frame never re-shuffles.",
+    oracle=f"""
+      WITH corpus_src AS (
+        SELECT doc_id AS id, text FROM documents
+        ORDER BY doc_id LIMIT {_PROBE_CORPUS_N}
+      ),
+      batch_src AS (
+        SELECT id + 1000000 AS id,
+               regexp_replace(text, '^\\S+\\s+', '') AS text
+        FROM corpus_src WHERE id % 20 = 0
+        UNION ALL
+        SELECT id + 2000000 AS id,
+               concat('novel', id, ' isolated vocabulary payload') AS text
+        FROM corpus_src WHERE id % 20 = 7
+      ),
+      csig AS ({_probe_sig_sql("SELECT * FROM corpus_src")}),
+      bsig AS ({_probe_sig_sql("SELECT * FROM batch_src")}),
+      cband AS ({_probe_band_sql("csig")}),
+      bband AS ({_probe_band_sql("bsig")}),
+      cand AS (
+        SELECT DISTINCT bb.id AS batch_id, cb.id AS corpus_id
+        FROM bband bb JOIN cband cb
+          ON bb.band = cb.band AND bb.bucket = cb.bucket
+      )
+      SELECT c.batch_id::BIGINT AS batch_id,
+             c.corpus_id::BIGINT AS corpus_id,
+             len(list_filter(range(1, {_MINHASH_K} + 1),
+                             i -> bs.sig[i] = cs.sig[i]))::BIGINT AS n_agree
+      FROM cand c
+      JOIN bsig bs ON bs.id = c.batch_id
+      JOIN csig cs ON cs.id = c.corpus_id
+      WHERE len(list_filter(range(1, {_MINHASH_K} + 1),
+                            i -> bs.sig[i] = cs.sig[i])) >= {_PROBE_MIN_AGREE}
+      ORDER BY batch_id, corpus_id
+    """,
+)
+def dedup_minhash_md5_incremental_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _th(spark, sf_dir, "documents")
+    corpus = (
+        d.orderBy("doc_id")
+        .limit(_PROBE_CORPUS_N)
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    near = corpus.where(F.col("id") % 20 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    novel = corpus.where(F.col("id") % 20 == 7).select(
+        (F.col("id") + 2_000_000).alias("id"),
+        F.concat(
+            F.lit("novel"),
+            F.col("id").cast("string"),
+            F.lit(" isolated vocabulary payload"),
+        ).alias("text"),
+    )
+    batch = near.unionByName(novel)
+    # signatures materialize ONCE (localCheckpoint): each frame feeds
+    # both the band explode and the verification join, and the band
+    # struct array references `sig` 4x — CollapseProject would inline
+    # the signature fold per reference otherwise
+    csig = corpus.select(
+        "id", _minhash_md5_signature(F.col("text")).alias("sig")
+    ).localCheckpoint()
+    bsig = batch.select(
+        "id", _minhash_md5_signature(F.col("text")).alias("sig")
+    ).localCheckpoint()
+
+    w = _PROBE_ROWS_PER_BAND
+
+    def _bands(s: DataFrame) -> DataFrame:
+        return s.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.array_join(
+                                F.slice("sig", b * w + 1, w), ","
+                            ).alias("bucket"),
+                        )
+                        for b in range(_PROBE_BANDS)
+                    ]
+                )
+            ).alias("x"),
+        ).select("id", "x.band", "x.bucket")
+
+    cband = _bands(csig)
+    bband = _bands(bsig)
+    cand = (
+        cband.join(F.broadcast(bband), ["band", "bucket"])
+        .select(
+            bband["id"].alias("batch_id"), cband["id"].alias("corpus_id")
+        )
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("bs"), F.col("cs"), lambda a, b: (a == b).cast("int")
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return (
+        cand.join(
+            F.broadcast(bsig.select(F.col("id").alias("batch_id"), F.col("sig").alias("bs"))),
+            "batch_id",
+        )
+        .join(
+            csig.select(F.col("id").alias("corpus_id"), F.col("sig").alias("cs")),
+            "corpus_id",
+        )
+        .select(
+            F.col("batch_id").cast("bigint").alias("batch_id"),
+            F.col("corpus_id").cast("bigint").alias("corpus_id"),
+            agree.cast("bigint").alias("n_agree"),
+        )
+        .where(F.col("n_agree") >= _PROBE_MIN_AGREE)
+        .orderBy("batch_id", "corpus_id")
+    )

@@ -437,3 +437,89 @@ def embedding_mean_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("pooled"),
     )
+
+
+@register(
+    "ann_int8_codes_exact_topk",
+    "Engine-exact int8 quantization twin (VERDICT r04 item 8: integer "
+    "codes are engine-exact): symmetric absmax scalar quantization "
+    "restated in pure SQL-expressible arithmetic — scale = corpus max "
+    "|x| (exact double selection), code_i = sign(x) * "
+    "min(floor(|x|/scale*127 + 0.5), 127) (floor on bit-identical "
+    "IEEE doubles, so both engines emit the same int8 code arrays) — "
+    "then top-10 by INTEGER dot product against the quantized query "
+    "vector. Pins both the quantization kernel and integer ADC "
+    "scoring that operators/quantize.py's numpy fast path implements "
+    "(that one stays rows-only: np.rint rounds half-to-even). 100 TB: "
+    "one scan for the scale agg (broadcast back), one joinless scoring "
+    "scan into a per-partition top-k merge — same shape as the "
+    "brute-force baseline with a 4x smaller payload.",
+    oracle=f"""
+      WITH s AS (
+        SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE))))
+               AS s
+        FROM embeddings
+      ),
+      codes AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                 CASE WHEN x::DOUBLE >= 0
+                      THEN least(floor(x::DOUBLE / s.s * 127.0 + 0.5),
+                                 127)::BIGINT
+                      ELSE -least(floor(-(x::DOUBLE) / s.s * 127.0 + 0.5),
+                                  127)::BIGINT
+                 END) AS code
+        FROM embeddings, s
+      ),
+      q AS (SELECT code AS qc FROM codes WHERE vec_id = {QUERY_VEC_ID})
+      SELECT c.vec_id,
+             list_sum(list_transform(range(1, len(c.code) + 1),
+                                     i -> c.code[i] * q.qc[i]))::BIGINT
+               AS dot,
+             array_to_string(c.code, ',') AS code_str
+      FROM codes c, q
+      WHERE c.vec_id <> {QUERY_VEC_ID}
+      ORDER BY dot DESC, vec_id
+      LIMIT 10
+    """,
+)
+def ann_int8_codes_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _th(spark, sf_dir, "embeddings")
+    absmax = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, x),
+    )
+    scale = e.agg(F.max(absmax).alias("s"))
+
+    def _one(x):
+        xd = x.cast("double")
+        cap = F.lit(127).cast("bigint")
+        pos = F.least(F.floor(xd / F.col("s") * 127.0 + 0.5), cap)
+        neg = -F.least(F.floor(-xd / F.col("s") * 127.0 + 0.5), cap)
+        return F.when(xd >= 0, pos).otherwise(neg)
+
+    codes = e.crossJoin(F.broadcast(scale)).select(
+        "vec_id", F.transform("embedding", _one).alias("code")
+    )
+    q = codes.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("code").alias("qc")
+    )
+    dot = F.aggregate(
+        F.zip_with("code", "qc", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return (
+        codes.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            dot.alias("dot"),
+            F.array_join(
+                F.transform("code", lambda c: c.cast("string")), ","
+            ).alias("code_str"),
+        )
+        .orderBy(F.desc("dot"), "vec_id")
+        .limit(10)
+    )
