@@ -86,6 +86,9 @@ def load_all() -> dict[str, Item]:
         # insight, link prediction, ANN range search, grouped OLS,
         # weighted percentiles, FD audit)
         insight_ops,
+        # round-5 additions (queue behind every entry still awaiting
+        # its first driver check, per the rotation rule)
+        insight_ops2,
     )
 
     return REGISTRY

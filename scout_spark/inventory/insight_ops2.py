@@ -1,0 +1,533 @@
+"""Round-5 analytics wave: recursive-hierarchy traversal (pointer
+jumping — Spark's answer to WITH RECURSIVE), Welch's t-test,
+autocorrelation, CUSUM changepoint, and k-core peeling.  Every entry is
+oracle-backed; the iterative ones (hierarchy, k-core) run a FIXED round
+count so a DuckDB recursive/unrolled twin can reproduce them exactly —
+the to-convergence variants live in operators/ with delta guards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scout_spark.inventory import register
+from scout_spark.inventory.core import _t, _th
+
+_HOUR_US = 3_600_000_000
+
+
+# --------------------------------------------- recursive hierarchy
+
+# Synthetic forest over customers: parent(k) = 1 + md5(k) % (k - 1)
+# for k >= 2 (always < k, so the relation is acyclic with root 1).
+# md5-derived, so there is NO closed form for depth — both engines must
+# genuinely traverse. Random recursive trees have expected max depth
+# ~e*ln(n) (~26 at n=150k), far under the 2^6 = 64 the doubling rounds
+# cover.
+_PJ_ROUNDS = 6
+
+
+@register(
+    "hierarchy_depth_pointer_jumping",
+    "Recursive hierarchy traversal WITHOUT a recursive CTE — the "
+    "org-chart / BOM-explosion query Spark famously lacks WITH "
+    "RECURSIVE for, answered with POINTER JUMPING: each node starts "
+    "pointing at its parent with distance 1, and every round "
+    "re-joins the frame to itself (ptr -> ptr's ptr, distances add), "
+    "so after R rounds every pointer has traveled 2^R ancestors — "
+    "O(log depth) shuffles instead of the naive O(depth) join loop, "
+    "the classic Wyllie list-ranking construction. The parent "
+    "function is md5-scrambled (no closed-form depth; both engines "
+    "traverse) and the root's self-loop carries distance 0 so "
+    "converged nodes are fixpoints. Output: the depth histogram "
+    "(bounded by tree height). The DuckDB twin walks the same forest "
+    "with WITH RECURSIVE — two independent traversal strategies, one "
+    "exact integer answer. 100 TB: 6 self-joins of a slim (node, ptr, "
+    "d) frame, each checkpointed; no driver-side state.",
+    oracle="""
+      WITH RECURSIVE nodes AS (
+        SELECT c_custkey AS k,
+               CASE WHEN c_custkey >= 2
+                    THEN 1 + ('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))
+                             ::BIGINT % (c_custkey - 1)
+               END AS parent
+        FROM customer WHERE c_custkey >= 1
+      ),
+      walk AS (
+        SELECT k AS node, 0::BIGINT AS depth FROM nodes WHERE k = 1
+        UNION ALL
+        SELECT n.k, w.depth + 1
+        FROM nodes n JOIN walk w ON n.parent = w.node
+      )
+      SELECT depth, count(*)::BIGINT AS n_nodes,
+             min(node) AS min_node, max(node) AS max_node
+      FROM walk GROUP BY depth ORDER BY depth
+    """,
+)
+def hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") >= 1)
+    k = F.col("c_custkey")
+    parent = F.lit(1) + F.conv(
+        F.substring(F.md5(k.cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % (k - 1)
+    f = c.select(
+        k.alias("node"),
+        F.when(k >= 2, parent).otherwise(F.lit(1)).alias("ptr"),
+        F.when(k >= 2, F.lit(1)).otherwise(F.lit(0)).alias("d"),
+    ).localCheckpoint()
+    for _ in range(_PJ_ROUNDS):
+        g = f.select(
+            F.col("node").alias("g_node"),
+            F.col("ptr").alias("g_ptr"),
+            F.col("d").alias("g_d"),
+        )
+        f = (
+            f.join(g, f.ptr == g.g_node)
+            .select(
+                "node",
+                F.col("g_ptr").alias("ptr"),
+                (F.col("d") + F.col("g_d")).alias("d"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        f.groupBy(F.col("d").alias("depth"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("depth")
+    )
+
+
+# --------------------------------------------------- Welch's t-test
+
+
+@register(
+    "stats_welch_ttest",
+    "Welch's unequal-variance t-test on document length (en vs de) — "
+    "the A/B-comparison staple: per-group count/mean/sample-variance "
+    "from ONE map-side-combined aggregation over integer n_chars "
+    "(exact sums of x and x², variance assembled in double once per "
+    "group), then the t statistic and Welch-Satterthwaite degrees of "
+    "freedom computed row-locally on the 1x2 result. Degenerate "
+    "groups (n < 2) are filtered identically on both engines (the "
+    "ADVICE r04 guard discipline). 100 TB: the agg is the only "
+    "distributed work; everything after is constant-size.",
+    oracle="""
+      WITH g AS (
+        SELECT lang,
+               count(*)::BIGINT AS n,
+               sum(n_chars)::BIGINT AS s,
+               sum(n_chars::BIGINT * n_chars)::BIGINT AS ss
+        FROM documents WHERE lang IN ('en', 'de') GROUP BY lang
+      ),
+      m AS (
+        SELECT lang, n, s::DOUBLE / n AS mean,
+               (ss - s::DOUBLE * s / n) / (n - 1) AS var
+        FROM g WHERE n >= 2
+      )
+      SELECT a.n AS n_en, b.n AS n_de,
+             round(a.mean, 6) AS mean_en, round(b.mean, 6) AS mean_de,
+             round((a.mean - b.mean)
+                   / sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat,
+             round(pow(a.var / a.n + b.var / b.n, 2)
+                   / (pow(a.var / a.n, 2) / (a.n - 1)
+                      + pow(b.var / b.n, 2) / (b.n - 1)), 6) AS df_welch
+      FROM m a, m b WHERE a.lang = 'en' AND b.lang = 'de'
+    """,
+)
+def stats_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("lang").isin("en", "de"))
+    x = F.col("n_chars").cast("bigint")
+    g = (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("s"),
+            F.sum(x * x).alias("ss"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    m = g.select(
+        "lang",
+        "n",
+        (F.col("s").cast("double") / nd).alias("mean"),
+        (
+            (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / nd)
+            / (nd - 1)
+        ).alias("var"),
+    )
+    a = m.where(F.col("lang") == "en").select(
+        F.col("n").alias("n_en"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = m.where(F.col("lang") == "de").select(
+        F.col("n").alias("n_de"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    na = F.col("n_en").cast("double")
+    nb = F.col("n_de").cast("double")
+    se2a = F.col("var_a") / na
+    se2b = F.col("var_b") / nb
+    return a.crossJoin(b).select(
+        "n_en",
+        "n_de",
+        F.round("mean_a", 6).alias("mean_en"),
+        F.round("mean_b", 6).alias("mean_de"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2a + se2b), 6
+        ).alias("t_stat"),
+        F.round(
+            F.pow(se2a + se2b, 2)
+            / (F.pow(se2a, 2) / (na - 1) + F.pow(se2b, 2) / (nb - 1)),
+            6,
+        ).alias("df_welch"),
+    )
+
+
+# ------------------------------------------------ autocorrelation
+
+
+_ACF_MAX_LAG = 6
+
+
+@register(
+    "timeseries_acf_hourly",
+    "Autocorrelation function of the hourly event-count series at lags "
+    "1..6 — the seasonality screen before any forecasting model: "
+    "events collapse to integer (hour_index, count) once (the same "
+    "pre-agg discipline as the anomaly z-score entry), then each lag's "
+    "Pearson r comes from EXACT integer sums (n, Σx, Σy, Σxx, Σyy, "
+    "Σxy) over pairs matched by an hour_index + lag equi-join — "
+    "missing hours drop out of the join on both engines identically, "
+    "and one double division per lag at the end keeps the FP "
+    "summation-order surface at zero. 100 TB: the hourly frame is "
+    "bounded by the time domain (a year is 8.8k rows); the 6-lag "
+    "expansion and joins are constant-size after the one real "
+    "aggregation over raw events.",
+    oracle=f"""
+      WITH h AS (
+        SELECT epoch_us(ts) // {_HOUR_US} AS hi, count(*)::BIGINT AS c
+        FROM events GROUP BY 1
+      ),
+      p AS (
+        SELECT l.lag, a.c AS x, b.c AS y
+        FROM (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag) l
+        JOIN h a ON true
+        JOIN h b ON b.hi = a.hi + l.lag
+      ),
+      s AS (
+        SELECT lag, count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+               sum(x * y)::BIGINT AS sxy
+        FROM p GROUP BY lag
+      )
+      SELECT lag::BIGINT AS lag, n,
+             round((n * sxy - sx * sy)::DOUBLE
+                   / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                      * sqrt((n * syy - sy * sy)::DOUBLE)), 6) AS acf
+      FROM s WHERE n * sxx > sx * sx AND n * syy > sy * sy
+      ORDER BY lag
+    """,
+)
+def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    # integer-µs floor division (CLAUDE.md: div, never double division)
+    h = e.groupBy(
+        F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hi")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = h.select(F.col("hi").alias("a_hi"), F.col("c").alias("x"))
+    b = h.select(F.col("hi").alias("b_hi"), F.col("c").alias("y"))
+    p = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("b_hi") == F.col("a_hi") + F.col("lag")
+    )
+    s = p.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return (
+        s.where((n * sxx > sx * sx) & (n * syy > sy * sy))
+        .select(
+            "lag",
+            "n",
+            F.round(
+                (n * sxy - sx * sy).cast("double")
+                / (
+                    F.sqrt((n * sxx - sx * sx).cast("double"))
+                    * F.sqrt((n * syy - sy * sy).cast("double"))
+                ),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ------------------------------------------------- CUSUM changepoint
+
+
+@register(
+    "changepoint_cusum_max",
+    "CUSUM changepoint detection over the hourly event-count series: "
+    "the classic level-shift locator argmax_i |S_i| with S_i = "
+    "prefix_i - i*mean is computed in SCALED INTEGER arithmetic — "
+    "m*S_i = m*prefix_i - i*total is exact in bigint, so the argmax "
+    "(the changepoint) cannot flap on FP summation order; the "
+    "statistic is divided back to a rounded double only in the final "
+    "projection. The prefix sum runs over the PRE-COLLAPSED hourly "
+    "frame (cardinality = the hour domain, ~8.8k/year at any corpus "
+    "size — the documented bounded-window exemption), ordered by hour "
+    "index with the smallest index winning ties deterministically. "
+    "100 TB: one real aggregation over events; the window never sees "
+    "raw rows.",
+    oracle=f"""
+      WITH h AS (
+        SELECT epoch_us(ts) // {_HOUR_US} AS hi, count(*)::BIGINT AS c
+        FROM events GROUP BY 1
+      ),
+      t AS (SELECT count(*)::BIGINT AS m, sum(c)::BIGINT AS total FROM h),
+      p AS (
+        SELECT hi,
+               row_number() OVER (ORDER BY hi) AS i,
+               sum(c) OVER (ORDER BY hi
+                            ROWS UNBOUNDED PRECEDING) AS prefix,
+               t.m, t.total
+        FROM h, t
+      ),
+      s AS (
+        SELECT hi, i, m, total,
+               m * prefix - i * total AS scaled,
+               abs(m * prefix - i * total) AS mag
+        FROM p
+      )
+      SELECT hi AS at_hour_index, m AS n_hours, total AS n_events,
+             scaled::BIGINT AS cusum_scaled,
+             round(scaled::DOUBLE / m, 6) AS cusum
+      FROM s ORDER BY mag DESC, hi LIMIT 1
+    """,
+)
+def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    # integer-µs floor division (CLAUDE.md: div, never double division)
+    h = e.groupBy(
+        F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hi")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    t = h.agg(
+        F.count(F.lit(1)).alias("m"), F.sum("c").alias("total")
+    )
+    # unpartitioned windows below are scale-safe: the frame is the
+    # hourly histogram (bounded by the hour domain), never raw events
+    w = Window.orderBy("hi")
+    p = h.crossJoin(F.broadcast(t)).select(
+        "hi",
+        "m",
+        "total",
+        F.row_number().over(w).alias("i"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "prefix"
+        ),
+    )
+    scaled = F.col("m") * F.col("prefix") - F.col("i") * F.col("total")
+    return (
+        p.select(
+            F.col("hi").alias("at_hour_index"),
+            F.col("m").alias("n_hours"),
+            F.col("total").alias("n_events"),
+            scaled.alias("cusum_scaled"),
+            F.round(scaled.cast("double") / F.col("m"), 6).alias("cusum"),
+            F.abs(scaled).alias("_mag"),
+        )
+        .orderBy(F.col("_mag").desc(), "at_hour_index")
+        .drop("_mag")
+        .limit(1)
+    )
+
+
+# ----------------------------------------------------- k-core peeling
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+@register(
+    "graph_kcore_peel_rounds",
+    "k-core decomposition (k=3) of the part co-purchase graph by "
+    "iterative peeling — the standard community-density filter before "
+    "graph embedding: each round drops every node whose CURRENT degree "
+    "is below k and re-induces the edge set, for a FIXED 3 rounds so "
+    "the DuckDB twin can unroll the identical peels (the "
+    "to-convergence variant belongs with the delta-guarded CC loop). "
+    "Per round the output records surviving node and edge counts — "
+    "integers, engine-exact. 100 TB: each peel is one degree "
+    "aggregation plus two semi-joins of the edge list against the "
+    "surviving-node set; edges shrink monotonically, and the round "
+    "count is O(peel depth), bounded for the fixed-round entry.",
+    oracle=f"""
+      WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      ),
+      d1 AS (
+        SELECT node, count(*)::BIGINT AS deg FROM (
+          SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0
+        ) _u GROUP BY node
+      ),
+      k1 AS (SELECT node FROM d1 WHERE deg >= {_KCORE_K}),
+      e1 AS (
+        SELECT e.src, e.dst FROM e0 e
+        JOIN k1 a ON e.src = a.node JOIN k1 b ON e.dst = b.node
+      ),
+      d2 AS (
+        SELECT node, count(*)::BIGINT AS deg FROM (
+          SELECT src AS node FROM e1 UNION ALL SELECT dst FROM e1
+        ) _u GROUP BY node
+      ),
+      k2 AS (SELECT node FROM d2 WHERE deg >= {_KCORE_K}),
+      e2 AS (
+        SELECT e.src, e.dst FROM e1 e
+        JOIN k2 a ON e.src = a.node JOIN k2 b ON e.dst = b.node
+      ),
+      d3 AS (
+        SELECT node, count(*)::BIGINT AS deg FROM (
+          SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2
+        ) _u GROUP BY node
+      ),
+      k3 AS (SELECT node FROM d3 WHERE deg >= {_KCORE_K}),
+      e3 AS (
+        SELECT e.src, e.dst FROM e2 e
+        JOIN k3 a ON e.src = a.node JOIN k3 b ON e.dst = b.node
+      )
+      SELECT 1::BIGINT AS round, (SELECT count(*) FROM k1)::BIGINT AS n_nodes,
+             (SELECT count(*) FROM e1)::BIGINT AS n_edges
+      UNION ALL
+      SELECT 2, (SELECT count(*) FROM k2), (SELECT count(*) FROM e2)
+      UNION ALL
+      SELECT 3, (SELECT count(*) FROM k3), (SELECT count(*) FROM e3)
+      ORDER BY round
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.inventory.graph_ops import _edges
+
+    e = _edges(spark, sf_dir).localCheckpoint()
+    rows = []
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        # checkpoint the survivor set: it has THREE consumers (two
+        # broadcast join sides + the count) and Spark has no cross-
+        # consumer CSE — uncheckpointed, the degree agg re-runs 3x per
+        # round (measured 15.8 s vs 2.5 s at sf0.1)
+        keep = (
+            deg.where(F.col("deg") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint()
+        )
+        e = (
+            e.join(
+                F.broadcast(keep.withColumnRenamed("node", "src")), "src"
+            )
+            .join(
+                F.broadcast(keep.withColumnRenamed("node", "dst")), "dst"
+            )
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        n_nodes = keep.count()
+        n_edges = e.count()
+        rows.append((rnd, n_nodes, n_edges))
+    return spark.createDataFrame(
+        rows, "round bigint, n_nodes bigint, n_edges bigint"
+    ).orderBy("round")
+
+
+# ------------------------------------------------- feature hashing
+
+_FH_TOK = "[a-z0-9]+"
+
+_FH_BUCKETS = 64
+
+
+@register(
+    "feature_hash_tf_md5",
+    "Feature hashing (the hashing trick) with a CROSS-ENGINE kernel: "
+    "every token maps to bucket md5(token) mod 64 with a ±1 sign from "
+    "the next hash hex digit's parity (the collision-unbiasing signed "
+    "variant of Weinberger et al.), and the corpus-level hashed "
+    "feature profile aggregates token mass, distinct vocabulary, and "
+    "the SIGNED sum per bucket — integers end to end, so the oracle "
+    "hash-matches the exact kernel a hashed-TF featurizer applies "
+    "per-document. 100 TB: token explode into a 64-ary "
+    "map-side-combined groupBy — the output is bounded by the bucket "
+    "count, never the vocabulary.",
+    oracle=f"""
+      WITH tok AS (
+        SELECT unnest(regexp_extract_all(lower(text), '{_FH_TOK}')) AS tok
+        FROM documents
+      ),
+      h AS (
+        SELECT tok,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_FH_BUCKETS}
+                 AS bucket,
+               CASE WHEN ('0x' || substr(md5(tok), 9, 1))::INT % 2 = 0
+                    THEN 1 ELSE -1 END AS sign
+        FROM tok
+      )
+      SELECT bucket,
+             count(*)::BIGINT AS n_tokens,
+             count(DISTINCT tok)::BIGINT AS n_vocab,
+             sum(sign)::BIGINT AS signed_mass
+      FROM h GROUP BY bucket ORDER BY bucket
+    """,
+)
+def feature_hash_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _th(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_FH_TOK), 0)
+        ).alias("tok")
+    )
+    md = F.md5(F.col("tok"))
+    bucket = (
+        F.conv(F.substring(md, 1, 8), 16, 10).cast("bigint")
+        % _FH_BUCKETS
+    )
+    sign = F.when(
+        F.conv(F.substring(md, 9, 1), 16, 10).cast("int") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select(
+            bucket.alias("bucket"), sign.alias("sign"), "tok"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_vocab"),
+            F.sum("sign").alias("signed_mass"),
+        )
+        .orderBy("bucket")
+    )

@@ -776,3 +776,84 @@ def test_winnowing_relational_matches_nested_hof(spark):
                     for r in fingerprint_winnowing(spark, td).collect()
                 }
             assert got_edge == want
+
+
+# ------------------------------------------- multiprobe filter-then-verify
+def test_lsh_multiprobe_recall_one_on_planted_fixture(spark):
+    """Planted fixture where multiprobe MUST achieve recall 1.0: the 10
+    true neighbors are positive scalings of the query vector (scaling
+    preserves every hyperplane projection sign, so they share the
+    query's exact bucket), distractors are negative scalings (all sign
+    bits flip → Hamming-4 bucket, outside the probe set) plus
+    axis-aligned noise. Pins the filter-then-verify loop: the candidate
+    filter may not drop a true top-k member here."""
+    import math
+
+    from scout_spark.inventory.vector_ops import (
+        lsh_md5_bucket_py,
+        lsh_md5_multiprobe_topk,
+    )
+    from scout_spark.operators.ann import brute_force_topk
+
+    base = [3.0, -1.5, 2.25, 0.75, -2.0, 1.0, 0.5, -0.25]
+    rows = [(0, [float(x) for x in base])]
+    for i in range(1, 11):  # true neighbors: positive scalings
+        s = 0.8 + 0.05 * i
+        rows.append((i, [float(x * s) for x in base]))
+    for i in range(11, 40):  # distractors: negated / axis-aligned
+        if i % 2:
+            rows.append((i, [float(-x * (0.5 + 0.01 * i)) for x in base]))
+        else:
+            v = [0.0] * 8
+            v[i % 8] = 10.0 + i
+            rows.append((i, v))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    # positive scalings share the query bucket by construction
+    qb = lsh_md5_bucket_py(base)
+    for i in range(1, 11):
+        s = 0.8 + 0.05 * i
+        assert lsh_md5_bucket_py([x * s for x in base]) == qb
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact = [
+        r["vec_id"]
+        for r in brute_force_topk(emb, q, k=10, exclude_id=0).collect()
+    ]
+    approx = [
+        r["vec_id"] for r in lsh_md5_multiprobe_topk(emb, 0, k=10).collect()
+    ]
+    assert set(exact) == set(approx) == set(range(1, 11))
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall == 1.0
+
+
+def test_lsh_multiprobe_superset_of_single_bucket(spark):
+    """On the real sf0.001 fixture: the multiprobe candidate set is a
+    strict superset of the single-bucket set, so multiprobe top-k
+    cosine floor >= single-bucket floor (recall only improves)."""
+    from scout_spark.inventory.vector_ops import (
+        QUERY_VEC_ID,
+        lsh_md5_bucket_col,
+        lsh_md5_bucket_py,
+        lsh_md5_multiprobe_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = (
+        emb.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    )
+    qb = lsh_md5_bucket_py(qv)
+    single = {
+        r["vec_id"]
+        for r in emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", lsh_md5_bucket_col(len(qv)).alias("b"))
+        .where(F.col("b") == qb)
+        .collect()
+    }
+    multi_rows = lsh_md5_multiprobe_topk(emb, QUERY_VEC_ID, k=10**6).collect()
+    multi = {r["vec_id"] for r in multi_rows}
+    assert single <= multi
+    assert len(multi) > len(single)  # Hamming-1 probes add candidates

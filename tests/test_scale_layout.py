@@ -468,11 +468,12 @@ def test_pmi_marginals_ride_cached_tokens(spark):
     plan = _plan(text_cooccurrence_pmi(spark, "/root/testdata/sf0.01"))
     tree = plan.split("\n\n")[0]
     # both marginal lookups must read the cache; the only
-    # execution-time parquet scan is the pair stream (any further
-    # "Scan parquet" lines sit inside InMemoryRelation display
-    # subtrees, whose rendering varies with cache materialization
-    # state — so the tight assertion is on the cache reads)
-    assert tree.count("InMemoryTableScan") == 2, tree
+    # execution-time parquet scan is the pair stream. An exact node
+    # count is NOT stable: once the InMemoryRelation materializes, the
+    # formatted display repeats the cached build plan (including its
+    # own InMemoryTableScan lines) under every reader — so assert the
+    # two execution-time cache reads exist, not a display total.
+    assert tree.count("InMemoryTableScan") >= 2, tree
     # scan-count heuristics are hopeless here: each InMemoryRelation
     # display prints its build plan (and, once materialized under AQE,
     # BOTH the initial and final plans), multiplying "Scan parquet"
