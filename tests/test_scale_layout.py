@@ -521,3 +521,90 @@ def test_pmi_totals_are_scalar_aggs_not_windows(spark):
         .toString()
     )
     assert "windowspecdefinition" not in plan, plan[:4000]
+
+
+# ---------------------------------------------------- round-5 wave plans
+
+
+def test_multiprobe_ann_is_joinless_single_scan(spark):
+    """ann_lsh_multiprobe_verified resolves the query bucket driver-side
+    and probes with a 5-literal isin — execution must be ONE joinless
+    scan into TakeOrderedAndProject: no Exchange, no Join of any kind."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["ann_lsh_multiprobe_verified"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_retention_bitmap_single_fact_shuffle(spark):
+    """retention_bitmap_daily: raw events reduce through exactly one
+    hash exchange (the per-user bit_or); the day spine and the day0
+    scalar attach by broadcast."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["retention_bitmap_daily"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan, plan
+    # user_id agg + final day_k agg = two hash exchanges max; the fact
+    # stream itself is shuffled once (on user_id)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_market_basket_marginals_broadcast(spark):
+    """market_basket_association_rules: per-item order counts must be
+    broadcast onto the candidate-pair frame (dimension-sized marginals,
+    never a fact-fact shuffle join)."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["market_basket_association_rules"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hierarchy_pointer_jumping_matches_naive_recursion(spark):
+    """Ground truth for the pointer-jumping entry: recompute every
+    node's depth with driver-side naive parent-chasing on the same
+    md5 forest and compare the full histogram."""
+    import hashlib
+    from collections import Counter
+
+    from scout_spark.inventory import load_all
+
+    keys = [
+        r["c_custkey"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/customer.parquet"
+        ).collect()
+        if r["c_custkey"] >= 1
+    ]
+
+    def parent(k: int) -> int:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        return 1 + h % (k - 1)
+
+    depth = {1: 0}
+
+    def d(k: int) -> int:
+        if k not in depth:
+            depth[k] = d(parent(k)) + 1
+        return depth[k]
+
+    hist = Counter(d(k) for k in keys)
+    got = {
+        r["depth"]: r["n_nodes"]
+        for r in load_all()["hierarchy_depth_pointer_jumping"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == dict(hist)

@@ -601,3 +601,26 @@ def test_decayed_trending_recency_beats_volume(spark):
         ), t_now, 3600.0, prune_below=1e-6,
     )
     assert "stale" not in {r["token"] for r in merged.collect()}
+
+
+def test_activity_bitmask_stream_equals_batch(spark, events_batch, events_path):
+    """Per-user bit-packed activity masks: bit_or state merges across
+    micro-batches, so the drained stream must equal the batch masks
+    bit for bit (the retention_bitmap_daily kernel, streaming-fed)."""
+    from scout_spark.streaming.events import activity_bitmask, read_events_stream, run_to_memory_sink
+
+    day0 = events_batch.select(
+        F.expr("min(unix_micros(ts) div 86400000000)")
+    ).collect()[0][0]
+    stream = read_events_stream(spark, events_path, max_files_per_trigger=1)
+    got = {
+        r["user_id"]: r["mask"]
+        for r in run_to_memory_sink(
+            activity_bitmask(stream, day0), "t_bitmask", output_mode="complete"
+        ).collect()
+    }
+    exp = {
+        r["user_id"]: r["mask"]
+        for r in activity_bitmask(events_batch, day0).collect()
+    }
+    assert got == exp and len(got) > 0
