@@ -756,3 +756,256 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(25)
     )
+
+
+# --------------------------------------------- positional phrase search
+
+
+@register(
+    "text_phrase_search_positional",
+    "Exact phrase search via a POSITIONAL inverted index — the "
+    "search-engine primitive BM25 can't express (bag-of-words loses "
+    "adjacency): the probe phrase is the first 3 tokens of doc 0 "
+    "(derived identically on both engines, so regenerated corpora "
+    "re-derive it), the token stream explodes WITH positions, rows are "
+    "pre-filtered to the 3 phrase terms (a broadcast-able dictionary "
+    "at any corpus size), and occurrences assemble by doc-local "
+    "position adjacency equi-joins (pos, pos+1, pos+2) — counting "
+    "OVERLAPPING matches correctly. The oracle scans each doc's token "
+    "array with a range fold instead of an index — independent "
+    "formulations, same integer counts. 100 TB: the posting stream "
+    "shuffles once on (doc_id) for the adjacency joins and is "
+    "term-filtered BEFORE the shuffle, so volume is the phrase terms' "
+    "posting lists, never the corpus.",
+    oracle="""
+      WITH tk AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+      ),
+      ph AS (
+        SELECT t[1] AS p1, t[2] AS p2, t[3] AS p3 FROM tk
+        WHERE doc_id = 0 AND len(t) >= 3
+      ),
+      hits AS (
+        SELECT tk.doc_id,
+               len(list_filter(range(1, greatest(len(t) - 2, 0) + 1),
+                               i -> t[i] = ph.p1 AND t[i+1] = ph.p2
+                                    AND t[i+2] = ph.p3))::BIGINT AS n_occ
+        FROM tk, ph
+      )
+      SELECT doc_id, n_occ FROM hits WHERE n_occ > 0
+      ORDER BY n_occ DESC, doc_id
+      LIMIT 50
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _th(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+        ).alias("t"),
+    )
+    # the probe phrase resolves driver-side (the ANN build-time
+    # parameter pattern): one pushed-down point lookup, then the term
+    # filter is three string LITERALS evaluated in the same scan
+    phrase = (
+        tk.where((F.col("doc_id") == 0) & (F.size("t") >= 3))
+        .select(F.slice("t", 1, 3).alias("p"))
+        .collect()
+    )
+    if not phrase:
+        return tk.where(F.lit(False)).select(
+            "doc_id", F.lit(0).cast("bigint").alias("n_occ")
+        )
+    p1, p2, p3 = phrase[0][0]
+    # positional postings, term-filtered before any shuffle: only the
+    # 3 phrase terms' posting lists survive the scan. The barrier is
+    # load-bearing — three consumers (t1/t2/t3) and no cross-consumer
+    # CSE means the corpus tokenize+posexplode pipeline would run 3x
+    # without it (measured 2.96 s vs 1.0 s warm at sf0.1)
+    post = (
+        tk.select(
+            "doc_id",
+            F.posexplode("t").alias("pos", "tok"),
+        )
+        .where(F.col("tok").isin(p1, p2, p3))
+        .localCheckpoint()
+    )
+    t1 = post.where(F.col("tok") == p1).select(
+        "doc_id", F.col("pos").alias("i")
+    )
+    t2 = post.where(F.col("tok") == p2).select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("j")
+    )
+    t3 = post.where(F.col("tok") == p3).select(
+        F.col("doc_id").alias("d3"), F.col("pos").alias("k")
+    )
+    return (
+        t1.join(
+            t2,
+            (F.col("doc_id") == F.col("d2"))
+            & (F.col("j") == F.col("i") + 1),
+        )
+        .join(
+            t3,
+            (F.col("doc_id") == F.col("d3"))
+            & (F.col("k") == F.col("i") + 2),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+# ------------------------------------------------ TextRank keywords
+
+_TR_SCALE = 10**15
+_TR_ITERS = 4
+
+
+def _textrank_oracle_sql() -> str:
+    """Unrolled integer PageRank over the word-adjacency graph — the
+    graph_ops.py::_pr_oracle_sql discipline (scaled 1e15 ranks, floor
+    division, fixed iterations) applied to TEXT: nodes are corpus
+    tokens, edges are distinct adjacent-token pairs (the TextRank
+    window-2 co-occurrence graph), canonicalized src < dst by string
+    order (ASCII-only tokens — both engines collate identically)."""
+    steps = []
+    prev = "r0"
+    for k in range(1, _TR_ITERS + 1):
+        steps.append(
+            f"""
+      r{k} AS (
+        SELECT d.node,
+               ((15 * {_TR_SCALE}) // (100 * p.n)
+                + (85 * COALESCE(s.c, 0)) // 100)::BIGINT AS r
+        FROM deg d
+        CROSS JOIN params p
+        LEFT JOIN (
+          SELECT e.dst AS node, sum(pr.r // dg.deg)::BIGINT AS c
+          FROM e
+          JOIN {prev} pr ON pr.node = e.src
+          JOIN deg dg ON dg.node = e.src
+          GROUP BY e.dst
+        ) s ON s.node = d.node
+      )"""
+        )
+        prev = f"r{k}"
+    chain = ",".join(steps)
+    return f"""
+      WITH tk AS (
+        SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+      ),
+      pairs AS (
+        SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                     i -> struct_pack(a := t[i],
+                                                      b := t[i+1]))) AS p
+        FROM tk
+      ),
+      e0 AS (
+        SELECT DISTINCT least(p.a, p.b) AS src, greatest(p.a, p.b) AS dst
+        FROM pairs WHERE p.a <> p.b
+      ),
+      e AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+      ),
+      deg AS (
+        SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY src
+      ),
+      params AS (SELECT count(*)::BIGINT AS n FROM deg),
+      r0 AS (
+        SELECT node, ({_TR_SCALE} // p.n)::BIGINT AS r
+        FROM deg CROSS JOIN params p
+      ),{chain}
+      SELECT node AS word, r AS rank_scaled
+      FROM {prev}
+      ORDER BY r DESC, node
+      LIMIT 15
+    """
+
+
+@register(
+    "text_textrank_keywords",
+    "TextRank keyword extraction (Mihalcea & Tarau '04) with ENGINE-"
+    "EXACT arithmetic — corpus-level composition of two proven "
+    "kernels: the arrays_zip adjacent-pair expansion builds the "
+    "window-2 word co-occurrence graph (distinct undirected edges, "
+    "string-canonicalized), and the scaled-integer fixed-iteration "
+    "PageRank (graph_pagerank_integer_fixedpoint's discipline: 1e15 "
+    "scale, floor division, per-round checkpoint) ranks the "
+    "vocabulary; top-15 words ARE the keywords. The DuckDB twin "
+    "unrolls the identical 4 iterations, so ranks match bit for bit. "
+    "100 TB: the pair stream is one corpus scan; the graph is "
+    "vocabulary-sized (edges bounded by |V|², in practice Zipf-"
+    "sparse), so every iteration shuffles a vocabulary-bounded frame, "
+    "never the corpus.",
+    oracle=_textrank_oracle_sql(),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _th(spark, sf_dir, "documents")
+    tk = d.select(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+        ).alias("t")
+    )
+    pair_expr = (
+        "transform(arrays_zip("
+        "slice(t, 1, greatest(size(t) - 1, 0)), "
+        "slice(t, 2, greatest(size(t) - 1, 0))), "
+        "s -> struct(s['0'] AS a, s['1'] AS b))"
+    )
+    e0 = (
+        tk.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .where(F.col("p.a") != F.col("p.b"))
+        .select(
+            F.least("p.a", "p.b").alias("src"),
+            F.greatest("p.a", "p.b").alias("dst"),
+        )
+        .distinct()
+    )
+    e = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    e = e.repartition("src").localCheckpoint()
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
+    n = deg.count()  # vocabulary size — bounded driver scalar
+    base = (15 * _TR_SCALE) // (100 * n)
+    ed = e.join(F.broadcast(deg), "src").localCheckpoint()
+    nodes = deg.select(F.col("src").alias("node"))
+    r = deg.select(
+        F.col("src").alias("node"),
+        F.lit(_TR_SCALE // n).cast("bigint").alias("r"),
+    )
+    for _ in range(_TR_ITERS):
+        contribs = ed.join(
+            F.broadcast(r.withColumnRenamed("node", "src")), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("r div deg").alias("cc"),
+        )
+        c = contribs.groupBy("node").agg(F.sum("cc").alias("c"))
+        r = (
+            nodes.join(c, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(c, 0L)) div 100")
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        r.orderBy(F.desc("r"), "node")
+        .limit(15)
+        .select(F.col("node").alias("word"), F.col("r").alias("rank_scaled"))
+    )
