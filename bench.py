@@ -108,6 +108,18 @@ HEADLINE = [
     # (iterative: timed end-to-end like connected components)
     "stats_psi_drift",
     "graph_pagerank_integer_fixedpoint",
+    # round-5 session wave: one per new family — pointer-jumping
+    # recursive hierarchy (iterative, e2e like CC), bit-packed
+    # retention masks (single fact shuffle), and positional phrase
+    # search (term-filtered posting lists + adjacency joins).
+    # kcore stays out (its e2e cost is the edge build the triangle
+    # entry already times plus 3 peel rounds of checkpoints); the
+    # Welch/ACF/CUSUM/Theil-Sen stats are bounded-frame shapes PSI
+    # already represents; TextRank is the PageRank kernel the integer
+    # entry already times on a vocabulary-sized graph.
+    "hierarchy_depth_pointer_jumping",
+    "retention_bitmap_daily",
+    "text_phrase_search_positional",
 ]
 
 # Frozen round-2 comparison subset: the headline set as of BENCH_r02
@@ -125,6 +137,8 @@ assert len(CORE32) == 32, len(CORE32)
 E2E_REBUILD = {
     "dedup_groups_connected_components",
     "graph_pagerank_integer_fixedpoint",
+    "hierarchy_depth_pointer_jumping",
+    "text_phrase_search_positional",
 }
 
 
