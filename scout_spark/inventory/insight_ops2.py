@@ -1009,3 +1009,263 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select(F.col("node").alias("word"), F.col("r").alias("rank_scaled"))
     )
+
+
+# ------------------------------------------------- key-skew audit
+
+
+@register(
+    "audit_key_skew_profile",
+    "Join-key skew audit — the pre-flight check a 1000-executor join "
+    "plan needs before choosing salt factors / AQE thresholds: for "
+    "lineitem's three join keys (orderkey, partkey, suppkey) in one "
+    "pass each, the profile reports distinct keys, max/mean per-key "
+    "row counts, the skew factor (max*distinct/total, exact rational "
+    "reported as a rounded double), and the share of rows owned by "
+    "the single heaviest key (deterministic tie-break on key value). "
+    "Two-level aggregation with map-side combine; the per-key frame "
+    "collapses to one row per audited key column. 100 TB: this IS the "
+    "query you run to decide the salting strategy — it must never "
+    "itself be skew-fragile, and two-level agg isn't.",
+    oracle="""
+      WITH p AS (
+        SELECT 'l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', l_partkey FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', l_suppkey FROM lineitem
+      ),
+      c AS (
+        SELECT key_col, k, count(*)::BIGINT AS n
+        FROM p GROUP BY key_col, k
+      ),
+      h AS (
+        SELECT key_col, k AS heaviest_key
+        FROM (SELECT key_col, k,
+                     row_number() OVER (PARTITION BY key_col
+                                        ORDER BY n DESC, k) AS rn
+              FROM c) _r
+        WHERE rn = 1
+      )
+      SELECT c.key_col,
+             count(*)::BIGINT AS n_distinct,
+             sum(n)::BIGINT AS n_rows,
+             max(n)::BIGINT AS max_key_rows,
+             round(max(n) * count(*)::DOUBLE / sum(n), 6) AS skew_factor,
+             round(max(n)::DOUBLE / sum(n), 6) AS top_key_share,
+             min(h.heaviest_key)::BIGINT AS heaviest_key
+      FROM c JOIN h ON h.key_col = c.key_col
+      GROUP BY c.key_col ORDER BY c.key_col
+    """,
+)
+def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = None
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        sel = li.select(
+            F.lit(col).alias("key_col"), F.col(col).alias("k")
+        )
+        p = sel if p is None else p.unionAll(sel)
+    c = p.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.groupBy("key_col")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_key_rows"),
+            F.round(
+                F.max("n")
+                * F.count(F.lit(1)).cast("double")
+                / F.sum("n"),
+                6,
+            ).alias("skew_factor"),
+            F.round(
+                F.max("n").cast("double") / F.sum("n"), 6
+            ).alias("top_key_share"),
+            F.max_by("k", F.struct(F.col("n"), (-F.col("k"))))
+            .cast("bigint")
+            .alias("heaviest_key"),
+        )
+        .orderBy("key_col")
+    )
+
+
+# --------------------------------------------------- Zipf slope
+
+
+@register(
+    "text_zipf_slope",
+    "Zipf's-law fit of the corpus token distribution: rank tokens by "
+    "frequency (deterministic tie-break on token), then OLS slope of "
+    "ln(freq) on ln(rank) over the top 200 — the standard "
+    "natural-language sanity check on a training corpus (synthetic or "
+    "over-deduplicated corpora show distinctive non-Zipf slopes). "
+    "Exact integer (rank, freq) pairs feed double log sums identically "
+    "ordered on both engines? NO — sums of logs ARE order-sensitive, "
+    "so the sufficient statistics aggregate over the rounded 12dp logs "
+    "via a deterministic ordered list fold (the chi-square entry's "
+    "discipline), keeping the FP surface to one canonical order. "
+    "100 TB: vocabulary agg + a 200-row bounded tail.",
+    oracle="""
+      WITH f AS (
+        SELECT tok, count(*)::BIGINT AS freq
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                AS tok FROM documents) _t
+        GROUP BY tok
+      ),
+      r AS (
+        SELECT row_number() OVER (ORDER BY freq DESC, tok) AS rank, freq
+        FROM f
+      ),
+      top AS (SELECT * FROM r WHERE rank <= 200),
+      s AS (
+        SELECT list_aggregate(ls, 'sum') AS sx,
+               list_aggregate(lf, 'sum') AS sy,
+               list_aggregate(list_transform(ls, x -> x * x), 'sum') AS sxx,
+               list_aggregate(list_transform(range(1, len(ls) + 1),
+                                             i -> ls[i] * lf[i]), 'sum')
+                 AS sxy,
+               len(ls)::BIGINT AS n
+        FROM (
+          SELECT list(round(ln(rank), 12) ORDER BY rank) AS ls,
+                 list(round(ln(freq), 12) ORDER BY rank) AS lf
+          FROM top
+        ) _l
+      )
+      SELECT n AS n_ranks,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS zipf_slope
+      FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _th(spark, sf_dir, "documents")
+    f = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # vocabulary-bounded unpartitioned window (same exemption class as
+    # the KS/PSI histograms): |vocab| rows, never the token stream
+    r = f.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "tok"))
+        .alias("rank"),
+        "freq",
+    ).where(F.col("rank") <= 200)
+    lists = r.agg(
+        F.array_sort(
+            F.collect_list(F.struct("rank", "freq"))
+        ).alias("z")
+    )
+    ls = F.transform(
+        "z", lambda s: F.round(F.log(s["rank"].cast("double")), 12)
+    )
+    lf = F.transform(
+        "z", lambda s: F.round(F.log(s["freq"].cast("double")), 12)
+    )
+    def _fold(arr):
+        return F.aggregate(
+            arr, F.lit(0.0), lambda a, x: a + x
+        )
+    prod = F.zip_with(ls, lf, lambda a, b: a * b)
+    sq = F.transform(ls, lambda x: x * x)
+    stats = lists.select(
+        F.size("z").cast("bigint").alias("n"),
+        _fold(ls).alias("sx"),
+        _fold(lf).alias("sy"),
+        _fold(sq).alias("sxx"),
+        _fold(prod).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    return stats.select(
+        F.col("n").alias("n_ranks"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+# ----------------------------------------- embedding drift (centroids)
+
+
+@register(
+    "embedding_drift_centroid_shift",
+    "Embedding distribution drift between two corpus snapshots "
+    "(vec_id parity stands in for before/after): per-label centroids "
+    "from ONE (label, half, dim) integer-count + double-sum "
+    "aggregation over posexploded dims (dims bounded at 64 — the "
+    "explode multiplies rows by a constant), then the L2 centroid "
+    "shift per label with per-dim deltas rounded 9dp before the "
+    "squared sum (one canonical FP order per dim on both engines, "
+    "dim-indexed aggregation is order-free). The monitoring query "
+    "every embedding pipeline runs on re-encode. 100 TB: map-side "
+    "combine on (label, half, dim); output bounded by |labels|.",
+    oracle="""
+      WITH e AS (
+        SELECT label, vec_id % 2 AS half,
+               u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
+        FROM embeddings,
+             unnest(range(1, len(embedding) + 1)) u(i)
+      ),
+      c AS (
+        SELECT label, half, dim,
+               sum(v) / count(*) AS mu
+        FROM e GROUP BY label, half, dim
+      ),
+      d AS (
+        SELECT a.label, a.dim,
+               round(a.mu - b.mu, 9) AS delta
+        FROM c a JOIN c b
+          ON a.label = b.label AND a.dim = b.dim
+         AND a.half = 0 AND b.half = 1
+      )
+      SELECT label,
+             count(*)::BIGINT AS n_dims,
+             round(sqrt(sum(delta * delta)), 6) AS centroid_shift_l2
+      FROM d GROUP BY label ORDER BY label
+    """,
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    c = e.groupBy("label", "half", "dim").agg(
+        (F.sum("v") / F.count(F.lit(1))).alias("mu")
+    )
+    a = c.where(F.col("half") == 0).select(
+        "label", "dim", F.col("mu").alias("mu_a")
+    )
+    b = c.where(F.col("half") == 1).select(
+        F.col("label").alias("lb"),
+        F.col("dim").alias("db"),
+        F.col("mu").alias("mu_b"),
+    )
+    d = a.join(
+        b, (a.label == b.lb) & (a.dim == b.db)
+    ).select(
+        "label", F.round(F.col("mu_a") - F.col("mu_b"), 9).alias("delta")
+    )
+    return (
+        d.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.round(
+                F.sqrt(F.sum(F.col("delta") * F.col("delta"))), 6
+            ).alias("centroid_shift_l2"),
+        )
+        .orderBy("label")
+    )
