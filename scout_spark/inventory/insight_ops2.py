@@ -1135,7 +1135,7 @@ def audit_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n AS n_ranks,
              round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
                AS zipf_slope
-      FROM s
+      FROM s WHERE n >= 2
     """,
 )
 def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1184,7 +1184,9 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fold(prod).alias("sxy"),
     )
     n = F.col("n").cast("double")
-    return stats.select(
+    # degenerate-corpus guard (ADVICE r04 discipline): <2 ranks makes
+    # the denominator 0 — filter identically on both engines
+    return stats.where(F.col("n") >= 2).select(
         F.col("n").alias("n_ranks"),
         F.round(
             (n * F.col("sxy") - F.col("sx") * F.col("sy"))

@@ -8,6 +8,8 @@ Jaccard ground truth instead).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -646,3 +648,153 @@ def lsh_md5_multiprobe_topk(
 def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return lsh_md5_multiprobe_topk(e, QUERY_VEC_ID, k=10)
+
+
+# --------------------------------------- IVF cross-engine integer twin
+
+_IVF_MD5_CELLS = 8
+_IVF_MD5_NPROBE = 2
+
+
+def _ivf_int_vec(vec) -> list[int]:
+    """floor(v*1e6) integerization — identical to both engines' casts
+    (float32 -> float64 -> *1e6 -> floor)."""
+    import math
+
+    return [math.floor(float(v) * 1e6) for v in vec]
+
+
+@register(
+    "ann_ivf_md5_integer_cells",
+    "IVF ANN with a CROSS-ENGINE coarse quantizer — closes the last "
+    "hash-twinnable similarity family (the r04 pattern: md5 + exact "
+    "integers): centroids are the 8 vectors with smallest "
+    "md5(vec_id) (engine-portable pseudo-random sample, the "
+    "ivf_centroids stand-in for k-means), every vector assigns to its "
+    "nearest centroid by EXACT INTEGER squared L2 on floor(v*1e6) "
+    "coordinates (order-free, tie-break on cell id), the query probes "
+    "its 2 nearest cells (resolved driver-side with the identical "
+    "integer kernel), and exact cosine re-ranks the probed cells' "
+    "members. The oracle reproduces centroid choice, assignment, "
+    "probe, and rerank in SQL, so the hash match pins the FULL index "
+    "path — the production variant (operators/ann.py ivf_assign) "
+    "keeps its Arrow numpy matmul and stays rows-only. 100 TB: "
+    "assignment is one scan against 8 broadcast literals (written "
+    "partitioned by cell at index build); queries prune to nprobe "
+    "cells.",
+    oracle=f"""
+      WITH iv AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                              x -> floor(x::DOUBLE * 1e6)::BIGINT) AS q
+        FROM embeddings
+      ),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                 - 1 AS cid,
+               q AS cv
+        FROM iv ORDER BY md5(vec_id::VARCHAR), vec_id
+        LIMIT {_IVF_MD5_CELLS}
+      ),
+      dist AS (
+        SELECT iv.vec_id, c.cid,
+               list_sum(list_transform(range(1, len(q) + 1),
+                        i -> (q[i] - c.cv[i]) * (q[i] - c.cv[i]))) AS d
+        FROM iv, cent c
+      ),
+      assign AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d, cid) AS rn
+          FROM dist) _r
+        WHERE rn = 1
+      ),
+      qprobe AS (
+        SELECT cid FROM dist WHERE vec_id = {QUERY_VEC_ID}
+        ORDER BY d, cid LIMIT {_IVF_MD5_NPROBE}
+      ),
+      qv AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id = {QUERY_VEC_ID}
+      )
+      SELECT e.vec_id, a.cid AS cell,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], qv.qv), 6)
+               AS cos_sim
+      FROM embeddings e
+      JOIN assign a ON a.vec_id = e.vec_id
+      JOIN qprobe p ON a.cid = p.cid
+      CROSS JOIN qv
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY cos_sim DESC, e.vec_id
+      LIMIT 10
+    """,
+)
+def ann_ivf_md5_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    e = _t(spark, sf_dir, "embeddings")
+    crows = (
+        e.select(
+            "vec_id",
+            F.md5(F.col("vec_id").cast("string")).alias("_hk"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .orderBy("_hk", "vec_id")
+        .limit(_IVF_MD5_CELLS)
+        .collect()
+    )
+    if not crows:
+        return e.where(F.lit(False)).select(
+            "vec_id",
+            F.lit(0).alias("cell"),
+            F.lit(0.0).alias("cos_sim"),
+        )
+    cents = [(cid, _ivf_int_vec(r["v"])) for cid, r in enumerate(crows)]
+    qrows = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    if not qrows:
+        return e.where(F.lit(False)).select(
+            "vec_id",
+            F.lit(0).alias("cell"),
+            F.lit(0.0).alias("cos_sim"),
+        )
+    qv = qrows[0][0]
+    qi = _ivf_int_vec(qv)
+    qdists = sorted(
+        (sum((a - b) ** 2 for a, b in zip(qi, cv)), cid)
+        for cid, cv in cents
+    )
+    probe = [cid for _, cid in qdists[:_IVF_MD5_NPROBE]]
+
+    # assignment kernel: Arrow numpy int64 (the interpreted 8-fold HOF
+    # formulation measured 2.08 s vs 0.6 s at sf0.1 — CLAUDE.md rule:
+    # numpy for per-row-heavy kernels). np.floor on float64 == SQL
+    # floor; int64 squared sums are exact (<= 64 * (2e6)^2 ~ 2.6e14);
+    # np.argmin returns the FIRST minimum, i.e. the lowest cid on ties
+    # — the same order the oracle's ORDER BY d, cid picks.
+    cmat = np.array([cv for _, cv in cents], dtype=np.int64)
+
+    @F.pandas_udf("int")
+    def _cell(col: pd.Series) -> pd.Series:
+        m = np.stack(col.values).astype(np.float64)
+        q = np.floor(m * 1e6).astype(np.int64)
+        d = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            _cell(F.col("embedding").cast("array<double>")).alias("cell"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.lit(qv)), 6
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cell").isin(probe))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
