@@ -404,3 +404,76 @@ def ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------- schema-evolution roundtrip
+
+
+def _evo_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet 'generations' of the orders table under one prefix —
+    gen 1 (even orderkeys) lacks o_orderpriority, gen 2 (odd) carries
+    it: the landing-zone reality where producers add columns over time.
+    Same mtime-keyed atomic-publish cache as the CSV fixture."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    try:
+        mtime = int(os.path.getmtime(src))
+    except OSError:
+        mtime = 0
+    key = hashlib.sha1(f"evo|{sf_dir}|{mtime}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"scout_evo_orders_{key}")
+    if os.path.isdir(path):
+        return path
+    o = _t(spark, sf_dir, "orders")
+    tmp = path + f".tmp{os.getpid()}"
+    o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "gen=1"))
+    o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("append").parquet(os.path.join(tmp, "gen=2"))
+    _publish(tmp, path)
+    return path
+
+
+@register(
+    "ingest_schema_evolution_merge",
+    "Schema-evolution source fidelity: the orders table split into two "
+    "parquet generations (the newer one adds o_orderpriority), read "
+    "back through mergeSchema=true with partition discovery — old-"
+    "generation rows surface the added column as NULL, new rows carry "
+    "values. The digest (counts, exact integer cents, priority "
+    "cardinality + null count per generation) is recomputed by the "
+    "oracle from the ORIGINAL table with the same generation rule, so "
+    "a hash match proves the evolved-schema union lost nothing and "
+    "NULL semantics are right. 100 TB: mergeSchema reads footers only; "
+    "the per-file schema union is metadata work, and generation is a "
+    "partition column so readers prune.",
+    oracle="""
+      SELECT o_orderkey % 2 = 1 AS has_priority_gen,
+             count(*)::BIGINT AS n,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents,
+             count(DISTINCT CASE WHEN o_orderkey % 2 = 1
+                                 THEN o_orderpriority END)::BIGINT
+               AS n_priorities,
+             sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_null_priority
+      FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _evo_fixture_dir(spark, sf_dir)
+    df = spark.read.option("mergeSchema", True).parquet(path)
+    return (
+        df.groupBy((F.col("gen") == 2).alias("has_priority_gen"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("total_cents"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count_if(F.col("o_orderpriority").isNull()).alias(
+                "n_null_priority"
+            ),
+        )
+        .orderBy("has_priority_gen")
+    )

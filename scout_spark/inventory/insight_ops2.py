@@ -1271,3 +1271,108 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------- interval union coverage
+
+_SPAN_US = 600_000_000  # each event covers [ts, ts + 10 min)
+
+
+@register(
+    "interval_union_coverage",
+    "Interval-union coverage (the uptime/SLA sweep-line classic, and "
+    "the missing sibling of the interval-overlap JOIN): each event "
+    "opens a 10-minute activity interval; per user, overlapping "
+    "intervals merge into islands (start > running max of prior ends "
+    "opens a new island — lag-free sweep line via an EXCLUSIVE-frame "
+    "running max + conditional cumsum, the sessionize discipline) and "
+    "the report gives island count, total covered microseconds "
+    "(exact integers), and the covered share of the user's active "
+    "span. Two window passes over ONE shuffle on user_id. 100 TB: "
+    "partitioned by the entity key; per-partition sort is the "
+    "algorithm's intrinsic cost, no self-join, no explosion.",
+    oracle=f"""
+      WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s,
+               epoch_us(ts) + {_SPAN_US} AS e,
+               event_id
+        FROM events
+      ),
+      flagged AS (
+        SELECT user_id, s, e, event_id,
+               CASE WHEN s > coalesce(
+                      max(e) OVER (PARTITION BY user_id
+                                   ORDER BY s, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+      ),
+      islands AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (PARTITION BY user_id
+                                     ORDER BY s, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW)::BIGINT
+                 AS island_id
+        FROM flagged
+      ),
+      merged AS (
+        SELECT user_id, island_id,
+               min(s)::BIGINT AS island_s, max(e)::BIGINT AS island_e
+        FROM islands GROUP BY user_id, island_id
+      )
+      SELECT user_id,
+             count(*)::BIGINT AS n_islands,
+             sum(island_e - island_s)::BIGINT AS covered_us,
+             round(sum(island_e - island_s)::DOUBLE
+                   / (max(island_e) - min(island_s)), 6) AS coverage_ratio
+      FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + F.lit(_SPAN_US)).alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prior_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(
+            F.col("s") > F.coalesce(prior_max_e, F.lit(-1)), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_s"), F.max("e").alias("island_e")
+    )
+    span = F.col("island_e") - F.col("island_s")
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(span).alias("covered_us"),
+            F.round(
+                F.sum(span).cast("double")
+                / (F.max("island_e") - F.min("island_s")),
+                6,
+            ).alias("coverage_ratio"),
+        )
+        .orderBy("user_id")
+    )
