@@ -1376,3 +1376,318 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ------------------------------------- row pattern matching (V-shapes)
+
+
+@register(
+    "window_pattern_vshape_runs",
+    "SQL:2016 row pattern matching (MATCH_RECOGNIZE's DOWN+ UP+ "
+    "V-shape, which Spark lacks) COMPILED to runs + windows: per-user "
+    "value sequences get a sign-of-delta direction, monotone runs "
+    "form islands (direction-change flag + cumsum — the sessionize "
+    "discipline), and a V is a strict-down run immediately followed "
+    "by a strict-up run; the report counts Vs per user and the "
+    "deepest trough (run-start value minus run-min, one rounded "
+    "subtraction). Three window passes over ONE shuffle on user_id — "
+    "the standard compilation of variable-length row patterns onto a "
+    "distributed engine, no self-join, no per-row UDF state machine. "
+    "100 TB: everything is keyed by the entity; per-key sort is the "
+    "pattern semantics' intrinsic cost.",
+    oracle="""
+      WITH d AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN value > lag(value) OVER w THEN 1
+                    WHEN value < lag(value) OVER w THEN -1
+                    ELSE 0 END AS dir
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      flagged AS (
+        SELECT user_id, ts, event_id, value, dir,
+               CASE WHEN dir IS DISTINCT FROM lag(dir) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM d WHERE dir IS NOT NULL AND dir <> 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      runs AS (
+        SELECT user_id, ts, event_id, value, dir,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS run_id
+        FROM flagged
+      ),
+      r AS (
+        SELECT user_id, run_id, min(dir) AS dir,
+               arg_min(value, ts) AS v_start,
+               min(value) AS v_min,
+               count(*)::BIGINT AS run_len
+        FROM runs GROUP BY user_id, run_id
+      ),
+      v AS (
+        SELECT a.user_id,
+               round(a.v_start - a.v_min, 2) AS depth
+        FROM r a JOIN r b
+          ON b.user_id = a.user_id AND b.run_id = a.run_id + 1
+        WHERE a.dir = -1 AND b.dir = 1
+      )
+      SELECT user_id, count(*)::BIGINT AS n_vshapes,
+             round(max(depth), 2) AS max_depth
+      FROM v GROUP BY user_id ORDER BY user_id
+    """,
+)
+def window_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagv = F.lag("value").over(w)
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("value") > lagv, 1)
+        .when(F.col("value") < lagv, -1)
+        .otherwise(F.when(lagv.isNull(), F.lit(None)).otherwise(0))
+        .alias("dir"),
+    ).where(F.col("dir").isNotNull() & (F.col("dir") != 0))
+    flagged = d.withColumn(
+        "chg",
+        F.when(
+            ~F.col("dir").eqNullSafe(F.lag("dir").over(w)), 1
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    r = runs.groupBy("user_id", "run_id").agg(
+        F.min("dir").alias("dir"),
+        F.min_by("value", "ts").alias("v_start"),
+        F.min("value").alias("v_min"),
+        F.count(F.lit(1)).alias("run_len"),
+    )
+    a = r.where(F.col("dir") == -1).select(
+        "user_id",
+        F.col("run_id").alias("rid"),
+        F.round(F.col("v_start") - F.col("v_min"), 2).alias("depth"),
+    )
+    b = r.where(F.col("dir") == 1).select(
+        F.col("user_id").alias("ub"), F.col("run_id").alias("rid_b")
+    )
+    v = a.join(
+        b,
+        (F.col("user_id") == F.col("ub"))
+        & (F.col("rid_b") == F.col("rid") + 1),
+    )
+    return (
+        v.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vshapes"),
+            F.round(F.max("depth"), 2).alias("max_depth"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ------------------------------------------------ BFS frontier levels
+
+_BFS_LEVELS = 4
+
+
+def _bfs_oracle_sql() -> str:
+    """Unrolled BFS as chained CTEs over the word-adjacency graph: the
+    hub is the highest-degree word (tie: lexicographically first);
+    frontier k+1 = neighbors of frontier k minus everything visited.
+    Cycles make the recursive-CTE-with-min formulation inexpressible,
+    but FIXED levels unroll (the integer-PageRank discipline applied
+    to traversal)."""
+    ctes = []
+    visited = "f0"
+    for k in range(1, _BFS_LEVELS + 1):
+        prev = f"f{k-1}"
+        ctes.append(
+            f"""
+      f{k} AS (
+        SELECT DISTINCT e.dst AS node
+        FROM e JOIN {prev} p ON e.src = p.node
+        WHERE e.dst NOT IN (SELECT node FROM {visited})
+      ),
+      v{k} AS (SELECT node FROM {visited} UNION SELECT node FROM f{k})"""
+        )
+        visited = f"v{k}"
+    chain = ",".join(ctes)
+    levels = "\n      UNION ALL\n".join(
+        f"      SELECT {k}::BIGINT AS level, count(*)::BIGINT AS n_nodes,"
+        f" min(node) AS first_node FROM f{k}"
+        for k in range(_BFS_LEVELS + 1)
+    )
+    return f"""
+      WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      ),
+      e AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst, src FROM e0
+      ),
+      deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+      hub AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+      f0 AS (SELECT node FROM hub),{chain}
+      SELECT * FROM (
+{levels}
+      ) _l WHERE n_nodes > 0 ORDER BY level
+    """
+
+
+@register(
+    "graph_bfs_levels_from_hub",
+    "Distributed BFS — frontier expansion with a visited-set "
+    "anti-join, the canonical iterative-traversal shape Pregel/"
+    "GraphX popularized: from the highest-degree part of the "
+    "co-purchase graph, each of 4 fixed rounds joins the frontier to "
+    "the edge list and anti-joins the visited set (both "
+    "localCheckpointed: each has two consumers per round). Cycles "
+    "make recursive-CTE-with-min inexpressible, but fixed levels "
+    "unroll into the DuckDB twin — the integer-PageRank oracle "
+    "discipline applied to traversal. Output: nodes reached per "
+    "level with a deterministic witness. 100 TB: per round one "
+    "frontier-edge join keyed on the node id + one anti-join; "
+    "frontier and visited frames are node-bounded, never edge-"
+    "bounded.",
+    oracle=_bfs_oracle_sql(),
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.inventory.graph_ops import _edges
+
+    e0 = _edges(spark, sf_dir)
+    e = (
+        e0.union(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("src")
+        .localCheckpoint()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    hub = (
+        deg.orderBy(F.col("d").desc(), "src")
+        .limit(1)
+        .select(F.col("src").alias("node"))
+    )
+    frontier = hub.localCheckpoint()
+    visited = frontier
+    rows = [(0, frontier.count(), frontier.collect()[0]["node"])]
+    for lvl in range(1, _BFS_LEVELS + 1):
+        nxt = (
+            e.join(
+                F.broadcast(
+                    frontier.withColumnRenamed("node", "src")
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        stats = nxt.agg(
+            F.count(F.lit(1)).alias("n"), F.min("node").alias("w")
+        ).collect()[0]
+        if stats["n"] > 0:
+            rows.append((lvl, stats["n"], stats["w"]))
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return spark.createDataFrame(
+        rows, "level bigint, n_nodes bigint, first_node bigint"
+    ).orderBy("level")
+
+
+# ------------------------------------------- funnel time-to-convert
+
+
+@register(
+    "funnel_time_to_convert",
+    "Funnel latency distribution — the metric behind 'median time "
+    "from first view to purchase': per user, the first 'view' "
+    "timestamp (a conditional min carried by a user-partitioned "
+    "window) anchors the funnel, the first subsequent 'purchase' "
+    "closes it, and the corpus-level digest reports funnel entry/"
+    "conversion counts, the conversion rate, and median / p90 "
+    "conversion delay in seconds (integer-microsecond delays; one "
+    "percentile interpolation over the per-user delay multiset). ONE "
+    "shuffle on user_id does everything before the constant-size "
+    "digest. 100 TB: per-entity windows + a bounded final agg — the "
+    "delay frame is one row per converted user.",
+    oracle="""
+      WITH fv AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                 AS first_view
+        FROM events GROUP BY user_id
+      ),
+      conv AS (
+        SELECT e.user_id,
+               min(epoch_us(e.ts)) - fv.first_view AS delay_us
+        FROM events e JOIN fv ON fv.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND fv.first_view IS NOT NULL
+          AND epoch_us(e.ts) >= fv.first_view
+        GROUP BY e.user_id, fv.first_view
+      )
+      SELECT (SELECT count(*) FROM fv WHERE first_view IS NOT NULL)
+               ::BIGINT AS n_entered,
+             count(*)::BIGINT AS n_converted,
+             round(count(*)::DOUBLE
+                   / (SELECT count(*) FROM fv
+                      WHERE first_view IS NOT NULL), 6) AS conversion_rate,
+             round(median(delay_us) / 1e6, 3) AS median_delay_sec,
+             round(quantile_cont(delay_us, 0.9) / 1e6, 3) AS p90_delay_sec
+      FROM conv
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id")
+    first_view = F.min(
+        F.when(F.col("event_type") == "view", us)
+    ).over(w)
+    rows = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        first_view.alias("first_view"),
+    )
+    conv = (
+        rows.where(
+            (F.col("event_type") == "purchase")
+            & F.col("first_view").isNotNull()
+            & (F.col("us") >= F.col("first_view"))
+        )
+        .groupBy("user_id", "first_view")
+        .agg((F.min("us") - F.col("first_view")).alias("delay_us"))
+    )
+    entered = (
+        rows.where(F.col("first_view").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # `entered` is a bounded driver scalar (one count over the same
+    # shuffled frame); inlining it keeps the digest a single row
+    return conv.agg(
+        F.lit(entered).cast("bigint").alias("n_entered"),
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.lit(entered), 6
+        ).alias("conversion_rate"),
+        F.round(F.expr("percentile(delay_us, 0.5)") / 1e6, 3).alias(
+            "median_delay_sec"
+        ),
+        F.round(F.expr("percentile(delay_us, 0.9)") / 1e6, 3).alias(
+            "p90_delay_sec"
+        ),
+    )
