@@ -1,0 +1,145 @@
+"""Shuffle-VOLUME proofs: plan-shape tests (test_scale_layout) show
+WHERE exchanges sit; these execute the query and read the Exchange
+nodes' SQLMetrics to assert how much data actually MOVED — the
+difference between "the plan looks right" and "the shuffle is provably
+bounded by the entity domain, not the fact volume". At 100 TB these
+invariants are the whole ballgame: a map-side-combined aggregation that
+silently regressed to shuffling raw rows would still pass a plan-shape
+test and still return correct results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def shuffle_profile(df) -> list[tuple[int, int]]:
+    """Execute ``df`` and return (records, bytes) for every shuffle
+    Exchange in its executed plan (AQE query stages unwrapped)."""
+    df.collect()
+    qe = df._jdf.queryExecution()
+
+    def kids(node):
+        out = []
+        it = node.children().iterator()
+        while it.hasNext():
+            out.append(it.next())
+        return out
+
+    acc: list[tuple[int, int]] = []
+
+    def walk(node):
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+            return
+        if name == "Exchange":
+            mets = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                mets[kv._1()] = kv._2().value()
+            acc.append(
+                (
+                    int(mets.get("shuffleRecordsWritten", 0)),
+                    int(mets.get("shuffleBytesWritten", 0)),
+                )
+            )
+        if "QueryStage" in name:
+            try:
+                walk(node.plan())
+            except Exception:
+                pass
+        for c in kids(node):
+            walk(c)
+
+    walk(qe.executedPlan())
+    return acc
+
+
+def _records(df) -> int:
+    return sum(r for r, _ in shuffle_profile(df))
+
+
+def test_retention_bitmap_shuffles_users_not_events(spark):
+    """retention_bitmap_daily claims 'raw events reduce to |users|
+    bigints in one combine-heavy agg'. Prove it: 10,000 input events,
+    150 users — every shuffle together must move a few hundred
+    records (per-user masks + the 64-row day spine + the day0
+    scalar), nowhere near the event count."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["retention_bitmap_daily"].spark(spark, SF)
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    moved = _records(df)
+    assert n_events >= 10_000
+    assert moved < n_events / 10, (moved, n_events)
+
+
+def test_feature_hash_shuffles_bucket_partials_not_tokens(spark):
+    """feature_hash_tf_md5's groupBy(bucket) must combine map-side:
+    the agg shuffles carry (buckets x partitions) partials plus the
+    distinct-count expansion's (bucket, tok) partials — bounded by
+    the VOCABULARY, never the ~27k-token stream. The only other
+    exchange is the _th widening barrier, which moves one row per
+    DOC (500), so total shuffled records stay an order of magnitude
+    under the token count."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["feature_hash_tf_md5"].spark(spark, SF)
+    n_tokens = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .selectExpr(
+            "sum(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)))"
+        )
+        .collect()[0][0]
+    )
+    moved = _records(df)
+    assert n_tokens > 20_000
+    assert moved < n_tokens / 10, (moved, n_tokens)
+
+
+def test_welch_ttest_shuffles_constant_partials(spark):
+    """stats_welch_ttest is 'one map-side-combined aggregation':
+    the shuffle must carry only per-partition partial rows (a handful
+    per group), not the ~200-doc filtered input."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["stats_welch_ttest"].spark(spark, SF)
+    moved = _records(df)
+    assert moved < 100, moved
+
+
+def test_phrase_search_shuffles_posting_lists_not_corpus(spark):
+    """text_phrase_search_positional term-filters BEFORE any shuffle:
+    only the 3 phrase terms' postings (plus their adjacency-join
+    traffic) may move — a small fraction of the exploded token
+    stream."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["text_phrase_search_positional"].spark(spark, SF)
+    n_tokens = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .selectExpr(
+            "sum(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)))"
+        )
+        .collect()[0][0]
+    )
+    moved = _records(df)
+    assert moved < n_tokens / 4, (moved, n_tokens)
+
+
+def test_exact_dedup_shuffle_bounded_by_fingerprints(spark):
+    """dedup_exact_fingerprint groups md5 fingerprints with map-side
+    combine; the shuffle moves at most one partial row per distinct
+    fingerprint per upstream partition — with 500 docs, far under
+    10x the doc count and, more importantly, measurable and pinned
+    here against silent regression to raw-row shuffles."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["dedup_exact_fingerprint"].spark(spark, SF)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    moved = _records(df)
+    assert moved <= 10 * n_docs, (moved, n_docs)
