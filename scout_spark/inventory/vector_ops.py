@@ -798,3 +798,121 @@ def ann_ivf_md5_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "kmeans_lloyd_round_integer_stats",
+    "One Lloyd iteration of k-means with ENGINE-EXACT sufficient "
+    "statistics — the cross-engine twin of the kmeans operator's "
+    "update step (operators/kmeans.py stays rows-only: its float "
+    "centroid means are summation-order-sensitive): starting from the "
+    "8 md5-ordered seed centroids (the IVF twin's coarse sample), "
+    "every vector assigns by exact int64 squared L2 on floor(v*1e6) "
+    "coordinates, and the UPDATE is reported as integer sufficient "
+    "stats — member count, the sum of every integer coordinate, and "
+    "a dim-weighted checksum — i.e. the numerators of the new "
+    "centroids, exact before the one division a float centroid would "
+    "need. Pins init + assignment + update aggregation bit-for-bit. "
+    "100 TB: one scan against 8 broadcast literals into a "
+    "map-side-combined groupBy — the canonical distributed-Lloyd "
+    "round with the driver holding only k x dim scalars.",
+    oracle=f"""
+      WITH iv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> floor(x::DOUBLE * 1e6)::BIGINT) AS q
+        FROM embeddings
+      ),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                 - 1 AS cid,
+               q AS cv
+        FROM iv ORDER BY md5(vec_id::VARCHAR), vec_id
+        LIMIT {_IVF_MD5_CELLS}
+      ),
+      dist AS (
+        SELECT iv.vec_id, iv.q, c.cid,
+               list_sum(list_transform(range(1, len(q) + 1),
+                        i -> (q[i] - c.cv[i]) * (q[i] - c.cv[i]))) AS d
+        FROM iv, cent c
+      ),
+      assign AS (
+        SELECT vec_id, q, cid FROM (
+          SELECT vec_id, q, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d, cid) AS rn
+          FROM dist) _r
+        WHERE rn = 1
+      )
+      SELECT cid AS cluster,
+             count(*)::BIGINT AS n_members,
+             sum(list_sum(q))::BIGINT AS coord_mass,
+             sum(list_sum(list_transform(range(1, len(q) + 1),
+                                         i -> i * q[i])))::BIGINT
+               AS dim_weighted_checksum
+      FROM assign GROUP BY cid ORDER BY cid
+    """,
+)
+def kmeans_lloyd_round_integer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    crows = (
+        e.select(
+            "vec_id",
+            F.md5(F.col("vec_id").cast("string")).alias("_hk"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .orderBy("_hk", "vec_id")
+        .limit(_IVF_MD5_CELLS)
+        .collect()
+    )
+    if not crows:
+        return e.where(F.lit(False)).select(
+            F.lit(0).alias("cluster"),
+            F.lit(0).cast("bigint").alias("n_members"),
+            F.lit(0).cast("bigint").alias("coord_mass"),
+            F.lit(0).cast("bigint").alias("dim_weighted_checksum"),
+        )
+    cents = [(cid, _ivf_int_vec(r["v"])) for cid, r in enumerate(crows)]
+    cmat = np.array([cv for _, cv in cents], dtype=np.int64)
+
+    @F.pandas_udf("int")
+    def _cell(col: pd.Series) -> pd.Series:
+        m = np.stack(col.values).astype(np.float64)
+        q = np.floor(m * 1e6).astype(np.int64)
+        d = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1e6).cast("long"),
+    )
+    coord_mass = F.aggregate(
+        F.col("_q"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    # single-parameter HOF lambda rule (CLAUDE.md): the dim index comes
+    # from zip_with against a literal 1..d ramp, not a 2-arg transform
+    ramp = F.array(
+        *[F.lit(i + 1).cast("long") for i in range(len(cents[0][1]))]
+    )
+    weighted = F.aggregate(
+        F.zip_with(F.col("_q"), ramp, lambda x, i: x * i),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        e.select(
+            _cell(F.col("embedding").cast("array<double>")).alias(
+                "cluster"
+            ),
+            q.alias("_q"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(coord_mass).alias("coord_mass"),
+            F.sum(weighted).alias("dim_weighted_checksum"),
+        )
+        .orderBy("cluster")
+    )

@@ -248,3 +248,29 @@ def activity_bitmask(
         .groupBy("user_id")
         .agg(F.expr("bit_or(shiftleft(1L, off))").alias("mask"))
     )
+
+
+def first_touch_conversion(events: DataFrame) -> DataFrame:
+    """Streaming twin of inventory item funnel_time_to_convert's
+    per-user anchor state: first 'view' and first subsequent
+    'purchase' timestamps per user. Both are conditional MINs —
+    decomposable, mergeable state (a micro-batch's partial min ORs
+    into the store), so the drained stream equals the batch frame
+    exactly (tests/test_streaming.py). The delay is derived, not
+    stored: min-over-purchases-after-the-view is NOT itself a plain
+    min under out-of-order arrival, so the stream keeps the two
+    anchor mins (each unconditionally mergeable) and closes the
+    funnel at read time — the standard trick for making funnel state
+    commutative. State: two bigints per user."""
+    us = F.unix_micros(F.col("ts"))
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", us)
+            ).alias("first_view_us"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", us)
+            ).alias("first_purchase_us"),
+        )
+    )

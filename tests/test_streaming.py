@@ -624,3 +624,31 @@ def test_activity_bitmask_stream_equals_batch(spark, events_batch, events_path):
         for r in activity_bitmask(events_batch, day0).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_first_touch_conversion_stream_equals_batch(
+    spark, events_batch, events_path
+):
+    """Funnel anchor state (first view / first purchase per user) is
+    two decomposable mins — the drained stream must equal the batch
+    aggregation exactly, including users with NULL anchors."""
+    from scout_spark.streaming.events import (
+        first_touch_conversion,
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    stream = read_events_stream(spark, events_path, max_files_per_trigger=1)
+    got = {
+        r["user_id"]: (r["first_view_us"], r["first_purchase_us"])
+        for r in run_to_memory_sink(
+            first_touch_conversion(stream),
+            "t_first_touch",
+            output_mode="complete",
+        ).collect()
+    }
+    exp = {
+        r["user_id"]: (r["first_view_us"], r["first_purchase_us"])
+        for r in first_touch_conversion(events_batch).collect()
+    }
+    assert got == exp and len(got) > 0
