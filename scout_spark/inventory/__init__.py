@@ -89,6 +89,7 @@ def load_all() -> dict[str, Item]:
         # round-5 additions (queue behind every entry still awaiting
         # its first driver check, per the rotation rule)
         insight_ops2,
+        insight_ops3,
     )
 
     return REGISTRY

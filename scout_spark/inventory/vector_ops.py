@@ -916,3 +916,132 @@ def kmeans_lloyd_round_integer(
         )
         .orderBy("cluster")
     )
+
+
+# ------------------------------ PQ ADC cross-engine integer twin
+
+_PQ_M = 4  # subspaces (64-dim embeddings -> 16 dims each)
+_PQ_K = 8  # codebook entries per subspace
+
+
+@register(
+    "ann_pq_md5_integer_codes",
+    "Product quantization with a CROSS-ENGINE codebook — closes the "
+    "last rows-only similarity family that resisted twinning "
+    "(operators/pq.py's float ADC hits np.rint half-to-even vs SQL "
+    "round; this twin removes rounding entirely): the codebook per "
+    "subspace is the 8 md5-ordered sample vectors SLICED to that "
+    "subspace, every vector encodes as 4 codes by EXACT int64 "
+    "squared L2 on floor(v*1e6) coordinates (argmin's first-minimum "
+    "== the oracle's ORDER BY d, cid tie-break), the query's "
+    "asymmetric-distance table (4x8 integers) resolves driver-side, "
+    "and the top-10 rank by ADC distance is a joinless scan over the "
+    "packed codes. The oracle reproduces codebook, encoding, and ADC "
+    "lookup in SQL, so the hash match pins the FULL index path — "
+    "operators/pq.py keeps the float production variant with its "
+    "recall pytest. 100 TB: codes are 4 bytes/vector (16x compression "
+    "at 64-dim float32); encoding is one scan against 8 broadcast "
+    "literals; queries never touch raw vectors.",
+    oracle=f"""
+      WITH iv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> floor(x::DOUBLE * 1e6)::BIGINT) AS q
+        FROM embeddings
+      ),
+      cent AS (
+        SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                 - 1 AS cid,
+               q AS cv
+        FROM iv ORDER BY md5(vec_id::VARCHAR), vec_id
+        LIMIT {_PQ_K}
+      ),
+      subs AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+      dist AS (
+        SELECT iv.vec_id, s.m, c.cid,
+               list_sum(list_transform(range(1, 1 + len(iv.q) // {_PQ_M}),
+                 i -> (iv.q[s.m * (len(iv.q) // {_PQ_M}) + i]
+                       - c.cv[s.m * (len(iv.q) // {_PQ_M}) + i])
+                    * (iv.q[s.m * (len(iv.q) // {_PQ_M}) + i]
+                       - c.cv[s.m * (len(iv.q) // {_PQ_M}) + i]))) AS d
+        FROM iv, cent c, subs s
+      ),
+      codes AS (
+        SELECT vec_id, m, cid FROM (
+          SELECT vec_id, m, cid,
+                 row_number() OVER (PARTITION BY vec_id, m
+                                    ORDER BY d, cid) AS rn
+          FROM dist) _r
+        WHERE rn = 1
+      ),
+      qd AS (SELECT m, cid, d FROM dist WHERE vec_id = {QUERY_VEC_ID})
+      SELECT c.vec_id,
+             sum(c.cid * CASE c.m WHEN 0 THEN 1 WHEN 1 THEN 8
+                                  WHEN 2 THEN 64 ELSE 512 END)::BIGINT
+               AS pq_code,
+             sum(q.d)::BIGINT AS adc_dist
+      FROM codes c JOIN qd q ON c.m = q.m AND c.cid = q.cid
+      WHERE c.vec_id <> {QUERY_VEC_ID}
+      GROUP BY c.vec_id
+      ORDER BY adc_dist, c.vec_id
+      LIMIT 10
+    """,
+)
+def ann_pq_md5_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    crows = (
+        e.select(
+            "vec_id",
+            F.md5(F.col("vec_id").cast("string")).alias("_hk"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .orderBy("_hk", "vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    qrows = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    if not crows or not qrows:
+        return e.where(F.lit(False)).select(
+            "vec_id",
+            F.lit(0).cast("long").alias("pq_code"),
+            F.lit(0).cast("long").alias("adc_dist"),
+        )
+    cint = np.array([_ivf_int_vec(r["v"]) for r in crows], dtype=np.int64)
+    qi = np.array(_ivf_int_vec(qrows[0][0]), dtype=np.int64)
+    dim = cint.shape[1]
+    ds = dim // _PQ_M
+    csub = cint.reshape(_PQ_K, _PQ_M, ds)  # (K, M, ds)
+    qsub = qi.reshape(_PQ_M, ds)
+    # the 4x8 asymmetric-distance table, exact int64, driver-resolved
+    qd = ((qsub[:, None, :] - csub.transpose(1, 0, 2)) ** 2).sum(axis=2)
+    pows = 8 ** np.arange(_PQ_M, dtype=np.int64)
+
+    @F.pandas_udf("struct<pq_code: bigint, adc_dist: bigint>")
+    def _enc(col: pd.Series) -> pd.DataFrame:
+        m = np.stack(col.values).astype(np.float64)
+        q = np.floor(m * 1e6).astype(np.int64).reshape(len(m), _PQ_M, ds)
+        # (n, M, K) subspace distances; argmin's first-min == lowest cid
+        d = ((q[:, :, None, :] - csub.transpose(1, 0, 2)[None, :, :, :]) ** 2).sum(
+            axis=3
+        )
+        codes = np.argmin(d, axis=2)  # (n, M)
+        adc = np.take_along_axis(
+            np.broadcast_to(qd, (len(m), _PQ_M, _PQ_K)), codes[:, :, None], 2
+        )[:, :, 0].sum(axis=1)
+        packed = (codes * pows[None, :]).sum(axis=1)
+        return pd.DataFrame({"pq_code": packed, "adc_dist": adc})
+
+    return (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            _enc(F.col("embedding").cast("array<double>")).alias("s"),
+        )
+        .select("vec_id", F.col("s.pq_code").alias("pq_code"), F.col("s.adc_dist").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
