@@ -120,6 +120,21 @@ HEADLINE = [
     "hierarchy_depth_pointer_jumping",
     "retention_bitmap_daily",
     "text_phrase_search_positional",
+    # round-5 late waves: one per new family — Poisson-bootstrap
+    # resampling (explode x B + map-side combine, the fact-expansion
+    # shape), grid-blocked spatial radius join (cell-key co-location),
+    # Kaplan-Meier survival (multi-scan event pipeline + bounded
+    # duration windows), and reciprocal-rank fusion (TakeOrdered
+    # candidate lists + outer-join merge). Bloom stays out (its build
+    # resolves the bitmask driver-side — it would time two scheduler
+    # round-trips, not the probe); alloc/gaps/geohash/TWAP/seasonal/
+    # logodds/golden/qnorm are bounded agg/window/scan shapes existing
+    # entries already represent; LPA's e2e cost is the edge build the
+    # triangle entry times plus two vote rounds.
+    "stats_poisson_bootstrap_ci",
+    "spatial_radius_pairs_grid",
+    "survival_kaplan_meier",
+    "rerank_rrf_fusion",
 ]
 
 # Frozen round-2 comparison subset: the headline set as of BENCH_r02

@@ -90,6 +90,7 @@ def load_all() -> dict[str, Item]:
         # its first driver check, per the rotation rule)
         insight_ops2,
         insight_ops3,
+        insight_ops4,
     )
 
     return REGISTRY
