@@ -91,6 +91,7 @@ def load_all() -> dict[str, Item]:
         insight_ops2,
         insight_ops3,
         insight_ops4,
+        insight_ops5,
     )
 
     return REGISTRY

@@ -274,3 +274,35 @@ def first_touch_conversion(events: DataFrame) -> DataFrame:
             ).alias("first_purchase_us"),
         )
     )
+
+
+def golden_event_record(events: DataFrame) -> DataFrame:
+    """Streaming twin of inventory item er_golden_record's RECORD-LEVEL
+    survivorship: per user, the winning event by (integer cents,
+    event_id) carried as a single max-of-struct state.  Max over a
+    struct compares lexicographically and is decomposable/mergeable
+    exactly like max over a scalar — each micro-batch's partial winner
+    merges into the store — so the drained stream equals the batch
+    merge bit for bit (tests/test_streaming.py) and the tie-break
+    lives inside the comparator, not in arrival order.  State: one
+    small struct per user, bounded by |users|."""
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.round(F.col("value") * 100)
+                    .cast("long")
+                    .alias("cents"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("event_type").alias("event_type"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "user_id",
+            F.col("best.cents").alias("cents"),
+            F.col("best.event_id").alias("event_id"),
+            F.col("best.event_type").alias("event_type"),
+        )
+    )

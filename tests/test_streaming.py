@@ -652,3 +652,28 @@ def test_first_touch_conversion_stream_equals_batch(
         for r in first_touch_conversion(events_batch).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_golden_record_stream_equals_batch(spark, events_batch, events_path):
+    """Record-level survivorship state (er_golden_record's kernel) is a
+    single max-of-struct — lexicographic struct max is mergeable like
+    any scalar max, so the drained stream must pick the identical
+    winning event per user, tie-breaks included."""
+    from scout_spark.streaming.events import (
+        golden_event_record,
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    stream = read_events_stream(spark, events_path, max_files_per_trigger=1)
+    got = {
+        r["user_id"]: (r["cents"], r["event_id"], r["event_type"])
+        for r in run_to_memory_sink(
+            golden_event_record(stream), "t_golden", output_mode="complete"
+        ).collect()
+    }
+    exp = {
+        r["user_id"]: (r["cents"], r["event_id"], r["event_type"])
+        for r in golden_event_record(events_batch).collect()
+    }
+    assert got == exp and len(got) > 0
