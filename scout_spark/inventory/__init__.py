@@ -92,6 +92,7 @@ def load_all() -> dict[str, Item]:
         insight_ops3,
         insight_ops4,
         insight_ops5,
+        insight_ops6,
     )
 
     return REGISTRY
