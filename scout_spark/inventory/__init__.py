@@ -93,6 +93,7 @@ def load_all() -> dict[str, Item]:
         insight_ops4,
         insight_ops5,
         insight_ops6,
+        insight_ops7,
     )
 
     return REGISTRY

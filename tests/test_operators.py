@@ -857,3 +857,46 @@ def test_lsh_multiprobe_superset_of_single_bucket(spark):
     multi = {r["vec_id"] for r in multi_rows}
     assert single <= multi
     assert len(multi) > len(single)  # Hamming-1 probes add candidates
+
+
+class TestCompressionRatio:
+    """Ground truth for the rows-only quality_compression_ratio entry."""
+
+    def test_ordering_repetition_prose_noise(self):
+        import random
+
+        from scout_spark.operators.compressq import compression_ratio
+
+        rep = "spam ham " * 500
+        prose = (
+            "The quick brown fox jumps over the lazy dog near the river "
+            "bank while merchants argue about the price of parquet files "
+            "and the weather refuses to cooperate with anyone at all. "
+        ) * 20
+        rng = random.Random(42)
+        noise = "".join(chr(rng.randint(0x21, 0x7E)) for _ in range(4000))
+        r_rep = compression_ratio(rep)
+        r_prose = compression_ratio(prose)
+        r_noise = compression_ratio(noise)
+        assert r_rep < r_prose < r_noise
+        assert r_rep < 0.05 and r_noise > 0.7
+
+    def test_edge_cases(self):
+        from scout_spark.operators.compressq import compression_ratio
+
+        assert compression_ratio("") == 1.0
+        assert compression_ratio(None) == 1.0
+        assert 0.0 < compression_ratio("a") <= 10.0
+
+    def test_entry_runs_and_flags(self, spark):
+        from scout_spark.inventory import load_all
+
+        df = load_all()["quality_compression_ratio"].spark(
+            spark, "/root/testdata/sf0.001"
+        )
+        rows = df.collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert 0.0 < r["avg_ratio"] < 1.5
+            assert r["min_ratio"] <= r["avg_ratio"] <= r["max_ratio"]
+            assert 0 <= r["n_flagged"] <= r["n_docs"]
