@@ -94,6 +94,7 @@ def load_all() -> dict[str, Item]:
         insight_ops5,
         insight_ops6,
         insight_ops7,
+        insight_ops8,
     )
 
     return REGISTRY

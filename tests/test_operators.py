@@ -900,3 +900,61 @@ class TestCompressionRatio:
             assert 0.0 < r["avg_ratio"] < 1.5
             assert r["min_ratio"] <= r["avg_ratio"] <= r["max_ratio"]
             assert 0 <= r["n_flagged"] <= r["n_docs"]
+
+
+class TestTrigramSearch:
+    """Losslessness of the trigram filter-then-verify search."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "abc bcd here"),      # all trigrams of 'abcd', no phrase
+                (2, "xx abcd yy"),        # true match
+                (3, "nothing relevant"),
+                (4, "abcd"),              # exact-length match
+                (5, "ab"),                # shorter than a trigram
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_candidates_superset_verified_exact(self, spark):
+        from scout_spark.operators.trigram import (
+            trigram_candidates,
+            trigram_search,
+        )
+
+        d = self._docs(spark)
+        cand = {r["doc_id"] for r in trigram_candidates(d, "text", "abcd").collect()}
+        hits = {r["doc_id"] for r in trigram_search(d, "text", "abcd").collect()}
+        truth = {
+            r["doc_id"]
+            for r in d.where(d.text.contains("abcd")).collect()
+        }
+        assert hits == truth == {2, 4}
+        assert truth <= cand
+        assert 1 in cand  # the false positive the verify pass prunes
+
+    def test_matches_plain_scan_on_corpus(self, spark):
+        from scout_spark.inventory import load_all
+        from scout_spark.inventory.core import _t
+
+        got = {
+            r["doc_id"]
+            for r in load_all()["search_trigram_index_like"]
+            .spark(spark, "/root/testdata/sf0.001")
+            .collect()
+        }
+        want = {
+            r["doc_id"]
+            for r in _t(spark, "/root/testdata/sf0.001", "documents")
+            .where(F.col("text").contains("big query"))
+            .collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_short_pattern(self, spark):
+        from scout_spark.operators.trigram import trigram_search
+
+        d = self._docs(spark)
+        hits = {r["doc_id"] for r in trigram_search(d, "text", "ab").collect()}
+        assert hits == {1, 2, 4, 5}
