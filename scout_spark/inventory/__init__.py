@@ -95,6 +95,7 @@ def load_all() -> dict[str, Item]:
         insight_ops6,
         insight_ops7,
         insight_ops8,
+        insight_ops9,
     )
 
     return REGISTRY

@@ -958,3 +958,51 @@ class TestTrigramSearch:
         d = self._docs(spark)
         hits = {r["doc_id"] for r in trigram_search(d, "text", "ab").collect()}
         assert hits == {1, 2, 4, 5}
+
+
+class TestRendezvous:
+    """HRW minimal-disruption property: removing one shard remaps
+    ONLY that shard's keys; all other assignments are untouched."""
+
+    def test_minimal_disruption(self, spark):
+        from scout_spark.operators.rendezvous import hrw_shard
+
+        shards = [f"shard-{i}" for i in range(8)]
+        keys = spark.range(0, 500).select(
+            F.col("id").cast("string").alias("k")
+        )
+        full = {
+            r["k"]: r["s"]
+            for r in keys.select(
+                "k", hrw_shard(F.col("k"), shards).alias("s")
+            ).collect()
+        }
+        removed = "shard-3"
+        rest = [s for s in shards if s != removed]
+        reduced = {
+            r["k"]: r["s"]
+            for r in keys.select(
+                "k", hrw_shard(F.col("k"), rest).alias("s")
+            ).collect()
+        }
+        moved = {k for k in full if full[k] != reduced[k]}
+        owners_of_removed = {k for k in full if full[k] == removed}
+        assert moved == owners_of_removed  # nothing else remapped
+        assert 0 < len(moved) < len(full)  # and the shard owned keys
+
+    def test_reasonable_balance(self, spark):
+        from scout_spark.operators.rendezvous import hrw_shard
+
+        shards = [f"shard-{i}" for i in range(8)]
+        keys = spark.range(0, 4000).select(
+            F.col("id").cast("string").alias("k")
+        )
+        counts = (
+            keys.select(hrw_shard(F.col("k"), shards).alias("s"))
+            .groupBy("s")
+            .count()
+            .collect()
+        )
+        ns = [r["count"] for r in counts]
+        assert len(ns) == 8
+        assert max(ns) < 2 * min(ns)  # md5 weights spread evenly
