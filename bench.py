@@ -135,6 +135,19 @@ HEADLINE = [
     "spatial_radius_pairs_grid",
     "survival_kaplan_meier",
     "rerank_rrf_fusion",
+    # round-5 final waves: one per new family — the sweep-line peak
+    # concurrency (global endpoint running sum over the session-
+    # collapsed stream; persists spans+swept for their overlapping
+    # consumers) and sketch-based join-size estimation (_th widen +
+    # 4x md5 cell explode reduced map-side to d*w sketch cells).
+    # Trigram search/HRW/kappa/Simpson/JSD/MI/distinct-n/lateness/
+    # rolling-corr/nested-percentiles/assortativity are scan+bounded-
+    # agg or histogram-window shapes existing entries already
+    # represent; ANN recall-eval is two TakeOrdered scans the ANN
+    # entries already time; compression-ratio is an Arrow-UDF kernel
+    # the fuzzy flagship already represents.
+    "interval_peak_concurrency",
+    "estimate_selfjoin_cardinality_cms",
 ]
 
 # Frozen round-2 comparison subset: the headline set as of BENCH_r02

@@ -143,3 +143,102 @@ def test_exact_dedup_shuffle_bounded_by_fingerprints(spark):
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     moved = _records(df)
     assert moved <= 10 * n_docs, (moved, n_docs)
+
+
+def test_trigram_search_shuffles_matches_not_corpus(spark):
+    """search_trigram_index_like claims the trigram conjunction prunes
+    scan-side: the only exchange (the result sort) may move the
+    matching docs, never the 500-doc corpus."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["search_trigram_index_like"].spark(spark, SF)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    moved = _records(df)
+    assert n_docs >= 500
+    assert moved < n_docs / 3, (moved, n_docs)
+
+
+def test_cms_estimate_shuffles_sketch_cells_not_explode(spark):
+    """estimate_selfjoin_cardinality_cms explodes 4 cells per lineitem
+    row but the groupBy(d, bucket) must combine map-side: the _th
+    widen barrier moves each input row once (a no-op at real scale —
+    the gate is partition count), and on top of that the shuffles may
+    carry only sketch-cell partials (<= d*w per partition) plus the
+    exact twin's per-key partials — nowhere near the 4x exploded
+    cell stream a combine regression would ship."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["estimate_selfjoin_cardinality_cms"].spark(spark, SF)
+    n_rows = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    moved = _records(df)
+    assert n_rows > 50_000
+    # widen (1x rows) + bounded partials << the 4x cell stream
+    assert moved < 2 * n_rows, (moved, n_rows)
+
+
+def test_bh_fdr_shuffles_nation_partials(spark):
+    """stats_bh_fdr_discoveries reduces customers to one 2x2 table per
+    nation map-side; every shuffle together moves nation-sized
+    partials, never customer rows."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["stats_bh_fdr_discoveries"].spark(spark, SF)
+    moved = _records(df)
+    assert moved < 500, moved
+
+
+def test_simpson_audit_shuffles_strata_partials(spark):
+    """stats_simpsons_paradox_audit: per-stratum conditional counts
+    combine map-side; shuffles are |strata|-scale."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["stats_simpsons_paradox_audit"].spark(spark, SF)
+    moved = _records(df)
+    assert moved < 500, moved
+
+
+def test_mutual_information_shuffles_bounded_cells(spark):
+    """stats_mutual_information collapses 10k events to <=|types|*24
+    contingency cells in one combine-heavy agg; everything downstream
+    is arithmetic on that bounded frame."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["stats_mutual_information"].spark(spark, SF)
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    moved = _records(df)
+    assert n_events >= 10_000
+    assert moved < n_events / 10, (moved, n_events)
+
+
+def test_jsd_shuffles_histogram_bins(spark):
+    """stats_jensen_shannon_divergence moves length-histogram bin
+    partials, never documents."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["stats_jensen_shannon_divergence"].spark(spark, SF)
+    moved = _records(df)
+    assert moved < 500, moved
+
+
+def test_hrw_sharding_shuffles_shard_partials(spark):
+    """shard_rendezvous_hashing's argmax is row-local (greatest over
+    structs, no explode); the only shuffle is |shards| partial counts
+    per map task."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["shard_rendezvous_hashing"].spark(spark, SF)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    moved = _records(df)
+    assert moved < n_docs / 3, (moved, n_docs)
+
+
+def test_watermark_lateness_shuffles_once_plus_histogram(spark):
+    """events_watermark_lateness_profile: one inherent per-user window
+    shuffle of the events plus histogram-bin partials — never a second
+    full pass or a raw-event global sort."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["events_watermark_lateness_profile"].spark(spark, SF)
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    moved = _records(df)
+    assert moved < 2 * n_events, (moved, n_events)
