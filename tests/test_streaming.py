@@ -677,3 +677,48 @@ def test_golden_record_stream_equals_batch(spark, events_batch, events_path):
         for r in golden_event_record(events_batch).collect()
     }
     assert got == exp and len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def documents_path(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("docs_stream"))
+    from scout_spark.sources import load_table
+
+    load_table(spark, SF_DIR, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def test_drift_histogram_stream_equals_batch(spark, documents_path):
+    """Corpus-drift histogram counts are decomposable sums (mergeable
+    state): the drained stream must equal the batch histogram exactly,
+    and the JSD finishing step over it must match the batch-fed value
+    — the streaming arm of stats_jensen_shannon_divergence."""
+    from scout_spark.streaming.drift import (
+        jsd_from_histogram,
+        length_drift_histogram,
+        read_documents_stream,
+    )
+    from scout_spark.streaming.events import run_to_memory_sink
+
+    batch = spark.read.parquet(documents_path)
+    stream = read_documents_stream(
+        spark, documents_path, max_files_per_trigger=1
+    )
+    got_hist = run_to_memory_sink(
+        length_drift_histogram(stream), "t_drift", output_mode="complete"
+    ).cache()
+    got = {
+        r["bin"]: (r["c1"], r["c2"]) for r in got_hist.collect()
+    }
+    exp = {
+        r["bin"]: (r["c1"], r["c2"])
+        for r in length_drift_histogram(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    jsd_stream = jsd_from_histogram(got_hist).collect()[0]["jsd_nats"]
+    jsd_batch = jsd_from_histogram(
+        length_drift_histogram(batch)
+    ).collect()[0]["jsd_nats"]
+    assert jsd_stream == jsd_batch
