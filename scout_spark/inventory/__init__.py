@@ -96,6 +96,7 @@ def load_all() -> dict[str, Item]:
         insight_ops7,
         insight_ops8,
         insight_ops9,
+        insight_ops10,
     )
 
     return REGISTRY
