@@ -97,6 +97,7 @@ def load_all() -> dict[str, Item]:
         insight_ops8,
         insight_ops9,
         insight_ops10,
+        insight_ops11,
     )
 
     return REGISTRY
