@@ -98,6 +98,7 @@ def load_all() -> dict[str, Item]:
         insight_ops9,
         insight_ops10,
         insight_ops11,
+        insight_ops12,
     )
 
     return REGISTRY

@@ -242,3 +242,32 @@ def test_watermark_lateness_shuffles_once_plus_histogram(spark):
     n_events = spark.read.parquet(f"{SF}/events.parquet").count()
     moved = _records(df)
     assert moved < 2 * n_events, (moved, n_events)
+
+
+def test_bloom_filter_prunes_probe_before_shuffle(spark):
+    """join_bloom_runtime_filter's whole point: the hinted merge join
+    would shuffle all 60k lineitems (plus the members) without the
+    bloom; with it, the shuffled volume is matching rows + a tiny
+    false-positive tail + the bit table + members. Assert the total
+    stays far under one full pass of the fact table."""
+    from pyspark.sql import functions as F
+
+    from scout_spark.inventory import load_all
+
+    df = load_all()["join_bloom_runtime_filter"].spark(spark, SF)
+    n_rows = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    n_match = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{SF}/orders.parquet").where(
+                "o_totalprice > 480000"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    moved = _records(df)
+    assert n_rows > 50_000
+    # matches (shuffled on both join sides) + bits + members + slack
+    assert moved < 4 * n_match + 70_000, (moved, n_match, n_rows)
+    assert moved < n_rows / 2, (moved, n_rows)
