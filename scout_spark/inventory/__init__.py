@@ -99,6 +99,7 @@ def load_all() -> dict[str, Item]:
         insight_ops10,
         insight_ops11,
         insight_ops12,
+        insight_ops13,
     )
 
     return REGISTRY
