@@ -100,6 +100,7 @@ def load_all() -> dict[str, Item]:
         insight_ops11,
         insight_ops12,
         insight_ops13,
+        insight_ops14,
     )
 
     return REGISTRY

@@ -404,3 +404,48 @@ def test_ivf_pq_missing_query_returns_empty(spark):
     )
     topk, diag = ivf_pq_topk(df, 999, m=1, k_codes=4)
     assert topk.count() == 0 and diag["n_candidates"] == 0
+
+
+def test_boruvka_mst_matches_kruskal(spark):
+    """Borůvka forest == driver-side Kruskal (union-find) on the same
+    weighted graph, including the deterministic (w, src, dst) tie
+    order on equal weights."""
+    import random
+
+    from scout_spark.operators.mst import boruvka_mst
+
+    rng = random.Random(7)
+    n = 60
+    edges = set()
+    # random connected-ish graph with duplicate weights on purpose
+    for i in range(1, n):
+        edges.add((rng.randrange(0, i), i))
+    for _ in range(120):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    rows = [(a, b, rng.randrange(1, 8)) for a, b in sorted(edges)]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+
+    got = {
+        (r["src"], r["dst"], r["w"]) for r in boruvka_mst(df).collect()
+    }
+
+    # Kruskal with the same (w, src, dst) total order
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for w, a, b in sorted((w, a, b) for a, b, w in rows):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            want.add((a, b, w))
+    assert got == want
+    assert len(got) == n - 1  # connected by construction
+    assert sum(w for _, _, w in got) == sum(w for _, _, w in want)
