@@ -101,6 +101,7 @@ def load_all() -> dict[str, Item]:
         insight_ops12,
         insight_ops13,
         insight_ops14,
+        insight_ops15,
     )
 
     return REGISTRY
