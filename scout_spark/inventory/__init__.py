@@ -102,6 +102,7 @@ def load_all() -> dict[str, Item]:
         insight_ops13,
         insight_ops14,
         insight_ops15,
+        insight_ops16,
     )
 
     return REGISTRY
