@@ -203,3 +203,83 @@ def agg_topk_plus_other_rollup(
         )
         .orderBy("nationkey", "rank")
     )
+
+
+# ------------------------------------------- audio energy profile
+
+_AE_WIN = 256
+
+
+@register(
+    "multimodal_audio_energy_windows",
+    "Audio feature extraction surfaced to the driver — per-window "
+    "signal energy over 8-bit PCM (the VAD/silence-trim primitive), "
+    "computed in a numpy-vectorized Arrow mapInPandas kernel on the "
+    "REAL payload bytes, and — uniquely in the multimodal family — "
+    "ORACLE-BACKED: every intermediate is dyadic-exact ((b-128)^2 "
+    "sums are integers < 2^53, window means divide by the power-of-"
+    f"two {_AE_WIN}, and partial sums of those means stay exact "
+    "multiples of 1/256 far below 2^53), so numpy's pairwise "
+    "summation and DuckDB's sequential sum agree BIT-FOR-BIT and "
+    "the SQL twin recomputes the kernel from ord() code points. "
+    "Docs shorter than one window are excluded identically. "
+    "100 TB: Arrow batches in, one map-side-combinable per-source "
+    "rollup out.",
+    oracle=f"""
+      WITH b AS (
+        SELECT source, doc_id, text,
+               (length(text) // {_AE_WIN})::INT AS n
+        FROM documents WHERE length(text) >= {_AE_WIN}
+      ),
+      w AS (
+        SELECT source, doc_id, n, unnest(range(0, n)) AS wi, text
+        FROM b
+      ),
+      e AS (
+        SELECT source, doc_id, n,
+               list_sum(list_transform(range(1, {_AE_WIN} + 1),
+                 i -> (ascii(substr(text, (wi * {_AE_WIN})::INT + i, 1))
+                       - 128.0) ^ 2)) / {_AE_WIN} AS energy
+        FROM w
+      ),
+      per AS (
+        SELECT source, doc_id, max(n) AS n_windows,
+               sum(energy) / max(n) AS mean_energy,
+               max(energy) AS peak_energy
+        FROM e GROUP BY source, doc_id
+      )
+      SELECT source, count(*)::BIGINT AS n_media,
+             sum(n_windows)::BIGINT AS total_windows,
+             round(avg(mean_energy), 6) AS avg_mean_energy,
+             round(max(peak_energy), 6) AS max_peak_energy
+      FROM per GROUP BY source
+      ORDER BY source
+    """,
+)
+def multimodal_audio_energy_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from scout_spark.inventory.core import _th
+    from scout_spark.operators.multimodal import audio_energy, pack_blobs
+
+    d = _th(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"), "source"
+    )
+    blobs = pack_blobs(
+        d, "doc_id", "payload", kind="audio", source_col="source"
+    )
+    feats = audio_energy(blobs, window_bytes=_AE_WIN).where(
+        F.col("n_windows") > 0
+    )
+    src = d.select(F.col("doc_id").alias("media_id"), "source")
+    return (
+        feats.join(src, "media_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.sum("n_windows").cast("long").alias("total_windows"),
+            F.round(F.avg("mean_energy"), 6).alias("avg_mean_energy"),
+            F.round(F.max("peak_energy"), 6).alias("max_peak_energy"),
+        )
+        .orderBy("source")
+    )

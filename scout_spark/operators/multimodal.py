@@ -199,3 +199,55 @@ def sample_frames(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return blobs.mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "media_id long, n_windows int, mean_energy double, peak_energy double,"
+    " peak_window int"
+)
+
+
+def audio_energy(
+    blobs: DataFrame, window_bytes: int = 256
+) -> DataFrame:
+    """Audio feature extraction: treat the payload as 8-bit unsigned
+    PCM and compute per-window signal energy (mean of (s-128)^2), the
+    RMS-style feature every VAD/silence-trim pipeline starts from.
+    Unlike the image/video kernels this needs NO fake decode — the
+    arithmetic runs on the real bytes, vectorized in numpy over Arrow
+    batches (the per-row-heavy-kernel pattern: batch columnar
+    transfer, no per-row Python). Production swaps the byte
+    interpretation for a real codec (soundfile/ffmpeg) behind the
+    same mapInPandas signature."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nw, me, pe, pw = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(payload or b"", dtype=np.uint8)
+                n = len(buf) // window_bytes
+                ids.append(mid)
+                if n == 0:
+                    nw.append(0)
+                    me.append(0.0)
+                    pe.append(0.0)
+                    pw.append(-1)
+                    continue
+                x = buf[: n * window_bytes].astype(np.float64) - 128.0
+                en = (x * x).reshape(n, window_bytes).mean(axis=1)
+                nw.append(n)
+                me.append(float(en.mean()))
+                pe.append(float(en.max()))
+                pw.append(int(en.argmax()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_windows": nw,
+                    "mean_energy": me,
+                    "peak_energy": pe,
+                    "peak_window": pw,
+                }
+            )
+
+    return blobs.mapInPandas(batches, AUDIO_SCHEMA)

@@ -140,3 +140,32 @@ def test_resize_media_end_to_end(spark):
     assert {r["media_id"]: bytes(r["payload"]) for r in out} == {
         r["media_id"]: bytes(r["payload"]) for r in out2
     }
+
+
+def test_audio_energy_known_signal(spark):
+    """Energy of a constant signal is 0 at offset 128 and exact for a
+    known square wave; window count floors."""
+    from scout_spark.operators.multimodal import audio_energy
+
+    silence = bytes([128] * 512)           # two windows of zero energy
+    square = bytes([128 + 50, 128 - 50] * 256)  # amplitude 50 -> 2500
+    short = bytes([200] * 100)             # < one window
+    df = spark.createDataFrame(
+        [(1, "audio", silence, None), (2, "audio", square, None),
+         (3, "audio", short, None)],
+        "media_id long, kind string, payload binary,"
+        " meta struct<source:string, declared_frames:int>",
+    )
+    rows = {r["media_id"]: r for r in audio_energy(df).collect()}
+    assert rows[1]["n_windows"] == 2 and rows[1]["mean_energy"] == 0.0
+    assert rows[2]["n_windows"] == 2 and rows[2]["mean_energy"] == 2500.0
+    assert rows[2]["peak_energy"] == 2500.0
+    assert rows[3]["n_windows"] == 0 and rows[3]["peak_window"] == -1
+
+
+def test_audio_energy_deterministic_on_corpus(spark, blobs):
+    from scout_spark.operators.multimodal import audio_energy
+
+    a = {r["media_id"]: r["mean_energy"] for r in audio_energy(blobs).collect()}
+    b = {r["media_id"]: r["mean_energy"] for r in audio_energy(blobs).collect()}
+    assert a == b and len(a) == 50
