@@ -103,6 +103,7 @@ def load_all() -> dict[str, Item]:
         insight_ops14,
         insight_ops15,
         insight_ops16,
+        insight_ops17,
     )
 
     return REGISTRY
