@@ -72,11 +72,14 @@ _BF_MAXPARTS = 40  # skew cap: hub parts contribute quadratic pair streams
     "documented skew-cap contract — hub wedges are quadratic, and "
     "every production butterfly counter caps or samples them; the "
     "cap parameter is part of the metric's definition here, not a "
-    "silent truncation). Spark expands pairs from grouped order "
-    "lists (the _edges HOF pattern — no self-join); the oracle "
-    "recounts with a quadratic self-join — independent formulations. "
-    "100 TB: wedge stream bounded by sum of capped-degree^2; the "
-    "per-pair count agg combines map-side.",
+    "silent truncation). Spark generates wedges with a capped "
+    "EQUI-JOIN on the part key (whole-stage codegen end to end) — "
+    "the grouped-list HOF expansion that wins for basket-sized "
+    "(<8-item) lists measured 1.8x SLOWER here (7.0 vs 3.9 s at "
+    "sf0.1): interpreted per-pair struct lambdas lose to the codegen "
+    "join once lists reach ~30 elements. 100 TB: wedge stream "
+    "bounded by sum of capped-degree^2; the per-pair count agg "
+    "combines map-side.",
     oracle=f"""
       WITH inc AS (
         SELECT DISTINCT l_partkey AS p, l_orderkey AS o FROM lineitem
@@ -100,25 +103,30 @@ def graph_butterfly_count_bipartite(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # inc feeds the degree filter AND the wedge join (overlapping
+    # consumers), but persisting it measured SLOWER (7.7 vs 6.2 s at
+    # sf0.1): the InMemoryTableScan breaks codegen fusion into the
+    # wedge join, costing more than the repeated 600k-row distinct —
+    # the k-consumers rule loses to codegen here
     inc = li.select(
         F.col("l_partkey").alias("p"), F.col("l_orderkey").alias("o")
     ).distinct()
-    kept = (
+    small = (
         inc.groupBy("p")
-        .agg(F.array_sort(F.collect_set("o")).alias("os"))
-        .where(F.size("os") <= _BF_MAXPARTS)
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") <= _BF_MAXPARTS)
+        .select("p")
     )
-    # pair expansion from grouped lists (graph_ops._edges pattern):
-    # per-part wedge stream, no index self-join; flatten is a single-
-    # reference HOF over basket-bounded arrays
-    pairs_expr = (
-        "flatten(transform(os, (x, i) ->"
-        " transform(slice(os, i + 2, size(os) - i - 1),"
-        " y -> struct(x as o1, y as o2))))"
-    )
+    kept = inc.join(small, "p")
+    a, b = kept.alias("a"), kept.alias("b")
+    # capped wedge equi-join, codegen end to end (see docstring for
+    # the measured HOF-expansion comparison)
     pairs = (
-        kept.select(F.explode(F.expr(pairs_expr)).alias("pr"))
-        .groupBy("pr.o1", "pr.o2")
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.o") < F.col("b.o")),
+        )
+        .groupBy(F.col("a.o").alias("o1"), F.col("b.o").alias("o2"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return pairs.agg(
