@@ -608,3 +608,40 @@ def test_hierarchy_pointer_jumping_matches_naive_recursion(spark):
         .collect()
     }
     assert got == dict(hist)
+
+
+def test_bloom_join_prunes_mapside_then_merges(spark):
+    """join_bloom_runtime_filter's plan contract: the k=3 bit-table
+    probes are BroadcastHashJoins (map-side pruning), and the big-big
+    join that follows is the hinted SortMergeJoin — pruning must sit
+    BEFORE the only sort-merge exchange pair."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["join_bloom_runtime_filter"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_topk_plus_other_single_window_exchange(spark):
+    """agg_topk_plus_other_rollup claims both branches read ONE window
+    pass: the rank window and the OTHER re-agg must not introduce a
+    second scan of orders (the persisted ranked frame is the fork
+    point), and the rank filter must push as WindowGroupLimit on the
+    top branch."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["agg_topk_plus_other_rollup"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    import re
+
+    plan = _plan(df)
+    # both branches read the shared cached ranked frame...
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # ...and there is exactly ONE physical Window node in the numbered
+    # node list (the formatted plan re-prints cached lineage under
+    # each InMemoryTableScan, so count real nodes, not mentions)
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1, plan
