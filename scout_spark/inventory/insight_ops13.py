@@ -239,17 +239,46 @@ def eval_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("c"),
         F.sum("y").cast("long").alias("pos"),
     )
-    # cumulative window over the SCORE HISTOGRAM (bounded distinct
-    # 6dp values), never a per-row global rank
-    wcum = Window.orderBy("score").rowsBetween(
+    # distributed prefix sum over the score histogram: 6dp-rounded
+    # scores can approach |docs| distinct values, so a single global
+    # cum window would funnel the corpus through one partition (the
+    # PMI/ntile class the r04 verdict flagged). Instead: 1000 fixed
+    # score buckets -> per-bucket cum windows (parallel) + bucket
+    # offsets from a <=1000-row window (bounded) broadcast back.
+    hb = hist.withColumn(
+        "b", F.least(F.floor(F.col("score") * 1000), F.lit(999)).cast("long")
+    )
+    w_in = Window.partitionBy("b").orderBy("score").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    ranked = hist.select(
-        "score",
-        "c",
-        "pos",
-        (F.sum("c").over(wcum) - F.col("c")).alias("below"),
-    ).persist()  # feeds the AUC sums AND the threshold points
+    woff = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        hb.groupBy("b")
+        .agg(F.sum("c").alias("bc"))
+        .select(
+            "b",
+            F.coalesce(F.sum("bc").over(woff), F.lit(0)).alias("off"),
+        )
+    )
+    ranked = (
+        hb.select(
+            "score",
+            "b",
+            "c",
+            "pos",
+            (F.sum("c").over(w_in) - F.col("c")).alias("below_in"),
+        )
+        .join(F.broadcast(offsets), "b")
+        .select(
+            "score",
+            "c",
+            "pos",
+            (F.col("off") + F.col("below_in")).alias("below"),
+        )
+        .persist()  # feeds the AUC sums AND the threshold points
+    )
     sums = ranked.agg(
         F.sum(
             F.col("pos")

@@ -247,16 +247,34 @@ def interval_peak_concurrency(
             "sid",
         )
     )
-    swept = endpoints.select(
-        "t",
-        F.sum("delta")
-        .over(
-            Window.orderBy(
-                "t", F.col("delta").desc(), "user_id", "sid"
-            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # distributed sweep: the endpoint stream is 2x|sessions| (grows
+    # with data), so the running sum is computed as a BUCKETED prefix
+    # sum — per-day windows in parallel + day offsets from a
+    # span-bounded (|days|-row) window broadcast back — never one
+    # global partition (the audit_sequence_gaps recipe, implemented
+    # rather than just cited)
+    day_us = 86_400_000_000
+    eb = endpoints.withColumn("bkt", F.expr(f"t div {day_us}"))
+    w_in = Window.partitionBy("bkt").orderBy(
+        "t", F.col("delta").desc(), "user_id", "sid"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    woff = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        eb.groupBy("bkt")
+        .agg(F.sum("delta").alias("bd"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bd").over(woff), F.lit(0)).alias("off"),
         )
-        .alias("run"),
-    ).persist()
+    )
+    swept = (
+        eb.select("bkt", "t", F.sum("delta").over(w_in).alias("run_in"))
+        .join(F.broadcast(offsets), "bkt")
+        .select("t", (F.col("off") + F.col("run_in")).alias("run"))
+        .persist()
+    )
     n_sessions = spans.agg(F.count(F.lit(1)).alias("n_sessions"))
     peak = swept.agg(F.max("run").alias("p"))
     peak_at = (
@@ -402,31 +420,31 @@ def stats_nested_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p95_s")
     )
-    level2 = per_user.select(
-        "p95_s",
-        F.row_number()
-        .over(Window.orderBy("p95_s", "user_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("nu"),
+    # level 2 as a HISTOGRAM of integer seconds: |users| grows with
+    # data, so ranking users through one global window would be the
+    # PMI/ntile single-partition class — but the p95 VALUES are
+    # span-bounded integer seconds, so collapse to a (p95_s, count)
+    # histogram and pick the rank-k value by cumulative count (the
+    # lateness-profile discipline); identical discrete order statistic
+    l2h = per_user.groupBy("p95_s").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("p95_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    return level2.agg(
+    wall2 = Window.partitionBy()
+    cum = l2h.select(
+        "p95_s",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall2).alias("nu"),
+    )
+    rank = lambda p: F.greatest(  # noqa: E731
+        F.lit(1), F.expr(f"(nu * {p} + 99) div 100")
+    )
+    return cum.agg(
         F.max("nu").cast("long").alias("n_users"),
-        F.max(
-            F.when(
-                F.col("rn")
-                <= F.greatest(F.lit(1), F.expr("(nu * 50 + 99) div 100")),
-                F.col("p95_s"),
-            )
-        )
+        F.min(F.when(F.col("cum") >= rank(50), F.col("p95_s")))
         .cast("long")
         .alias("median_user_p95_s"),
-        F.max(
-            F.when(
-                F.col("rn")
-                <= F.greatest(F.lit(1), F.expr("(nu * 90 + 99) div 100")),
-                F.col("p95_s"),
-            )
-        )
+        F.min(F.when(F.col("cum") >= rank(90), F.col("p95_s")))
         .cast("long")
         .alias("p90_user_p95_s"),
         F.max("p95_s").cast("long").alias("max_user_p95_s"),

@@ -645,3 +645,51 @@ def test_topk_plus_other_single_window_exchange(spark):
     # node list (the formatted plan re-prints cached lineage under
     # each InMemoryTableScan, so count real nodes, not mentions)
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1, plan
+
+
+def test_roc_auc_prefix_sum_is_bucket_partitioned(spark):
+    """eval_roc_auc_exact's cumulative count must partition by the
+    score bucket; the only unpartitioned window allowed is the
+    <=1000-row bucket-offset frame (grep: it sums 'bc', never 'c')."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["eval_roc_auc_exact"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    wins = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert wins, plan[:2000]
+    # per-score cum windows carry the bucket key in their spec
+    unpart = [
+        ln
+        for ln in wins
+        if "b#" not in ln.split("windowspecdefinition", 1)[1][:80]
+    ]
+    # the only windows without the bucket key are the bounded offset
+    # frame (sums bc) — never the per-score c/pos stream
+    assert all("bc#" in ln for ln in unpart), "\n".join(unpart)
+
+
+def test_peak_concurrency_sweep_is_day_partitioned(spark):
+    """interval_peak_concurrency's endpoint running sum must partition
+    by the day bucket; only the |days|-row offset window may be
+    unpartitioned."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["interval_peak_concurrency"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    wins = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert wins, plan[:2000]
+    unpart = [
+        ln
+        for ln in wins
+        if "bkt#" not in ln.split("windowspecdefinition", 1)[1][:80]
+        and "user_id#" not in ln.split("windowspecdefinition", 1)[1][:80]
+    ]
+    assert all("bd#" in ln for ln in unpart), "\n".join(unpart)
