@@ -859,12 +859,16 @@ def quantile_normalize_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(ws) - 1).alias("r"),
         F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ns"),
     )
-    glob = d.select(
-        F.col("n_chars").alias("gv"),
-        (F.row_number().over(Window.orderBy("n_chars", "doc_id")) - 1).alias(
-            "gr"
-        ),
-    )
+    # exact distributed global rank (operators/rank.py): |docs| grows
+    # with data — the former unpartitioned row_number was the
+    # single-partition funnel class
+    from scout_spark.operators.rank import global_row_number
+
+    glob = global_row_number(
+        d.select(F.col("n_chars").alias("gv"), "doc_id"),
+        ["gv", "doc_id"],
+        out="gr1",
+    ).select("gv", (F.col("gr1") - 1).alias("gr"))
     tot = d.agg(F.count(F.lit(1)).alias("n"))
     mapped = ranked.crossJoin(F.broadcast(tot)).selectExpr(
         "source",

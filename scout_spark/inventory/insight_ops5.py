@@ -427,15 +427,20 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
-    scored = per_user.select(
-        "user_id",
-        "cents",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("rec_us").desc(), "user_id"))
-        .alias("r_score"),
-        F.ntile(5).over(Window.orderBy("freq", "user_id")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy("cents", "user_id")).alias("m_score"),
-    )
+    # exact distributed ntiles (operators/rank.py): |users| grows with
+    # data, so three unpartitioned ntile windows would be the
+    # decile-mix single-partition class the r04 verdict flagged; each
+    # axis gets the range-shuffle + per-partition rank + broadcast-
+    # offset formulation with IDENTICAL bucket assignment
+    from scout_spark.operators.rank import global_ntile
+
+    scored = per_user
+    for cols, out in [
+        ([F.col("rec_us").desc(), "user_id"], "r_score"),
+        (["freq", "user_id"], "f_score"),
+        (["cents", "user_id"], "m_score"),
+    ]:
+        scored = global_ntile(scored, cols, 5, out=out)
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(

@@ -375,17 +375,22 @@ def agg_pareto_8020_contribution(
             "cents"
         )
     )
-    wo = Window.orderBy(F.col("cents").desc(), "o_custkey")
-    wall = Window.partitionBy()
-    ranked = rev.select(
-        "cents",
-        F.row_number().over(wo).alias("rn"),
-        F.sum("cents")
-        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum"),
-        F.sum("cents").over(wall).alias("total"),
-        F.count(F.lit(1)).over(wall).alias("n"),
+    # exact distributed rank + prefix sum (operators/rank.py):
+    # |customers| grows with data — the former unpartitioned
+    # rank/cumsum/total windows were the single-partition class;
+    # totals become a scalar agg crossJoin-broadcast (the PMI fix)
+    from scout_spark.operators.rank import global_prefix_sum
+
+    totals = rev.agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n")
     )
+    ranked = global_prefix_sum(
+        rev,
+        [F.col("cents").desc(), "o_custkey"],
+        "cents",
+        rn_out="rn",
+        cum_out="cum",
+    ).crossJoin(F.broadcast(totals))
     k80 = F.min(
         F.when(F.col("cum") * 5 >= F.col("total") * 4, F.col("rn"))
     )

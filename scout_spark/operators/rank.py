@@ -107,3 +107,48 @@ def global_ntile(
         )
     )
     return r.withColumn(out, tile.cast("int")).drop("_grn", _TOT)
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    rn_out: str = "rn",
+    cum_out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number`` AND running ``sum(value_col)`` by
+    ``order_cols``, fully parallel — the distributed prefix-sum
+    companion to :func:`global_row_number` (one range shuffle serves
+    both: the offset frame carries per-partition counts and value
+    sums together)."""
+    spark = df.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy(_PID).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(value_col).alias("_v")
+    )
+    # P rows only (partition count, never data size)
+    wprev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        _PID,
+        F.coalesce(F.sum("_n").over(wprev), F.lit(0)).alias(_OFF),
+        F.coalesce(F.sum("_v").over(wprev), F.lit(0)).alias("__rank_voff"),
+    )
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    return (
+        ranged.join(F.broadcast(offs), _PID)
+        .withColumn(rn_out, F.row_number().over(w) + F.col(_OFF))
+        .withColumn(
+            cum_out,
+            F.sum(value_col).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            + F.col("__rank_voff"),
+        )
+        .drop(_PID, _OFF, "__rank_voff")
+    )

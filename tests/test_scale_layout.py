@@ -693,3 +693,25 @@ def test_peak_concurrency_sweep_is_day_partitioned(spark):
         and "user_id#" not in ln.split("windowspecdefinition", 1)[1][:80]
     ]
     assert all("bd#" in ln for ln in unpart), "\n".join(unpart)
+
+
+def test_rfm_ntiles_partition_on_rank_pid(spark):
+    """events_rfm_segmentation formerly ran three unpartitioned
+    ntile(5) windows over every user; the global_ntile rewrite must
+    keep every row-level row_number window partitioned on the
+    range-shuffle partition id."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["events_rfm_segmentation"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    row_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "row_number" in ln
+    ]
+    assert row_windows, plan[:3000]
+    assert all("__rank_pid#" in ln for ln in row_windows), "\n".join(
+        row_windows
+    )
