@@ -104,6 +104,7 @@ def load_all() -> dict[str, Item]:
         insight_ops15,
         insight_ops16,
         insight_ops17,
+        insight_ops18,
     )
 
     return REGISTRY
