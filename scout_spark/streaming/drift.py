@@ -86,3 +86,53 @@ def jsd_from_histogram(h: DataFrame) -> DataFrame:
         "n_bins",
         F.round(F.col("s1") / 2 + F.col("s2") / 2, 6).alias("jsd_nats"),
     )
+
+
+CMS_D = 4
+CMS_W = 512
+
+
+def token_cms_cells(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the count-min sketch build inside inventory
+    item sketch_cms_md5_frequencies (analytics_ops.py): per-(depth,
+    bucket) md5 cell counts over the token stream. Cell counts are
+    decomposable sums — MERGEABLE streaming state, the property that
+    makes CMS (and every linear sketch) a streaming structure at all:
+    each micro-batch's partial cells add into the store, so the
+    drained stream equals the batch sketch cell-for-cell and every
+    point estimate derived from it is identical
+    (tests/test_streaming.py). State is <= d*w rows at ANY volume."""
+    tok = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok")
+    )
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(F.lit(f"{d}:"), F.col("tok"))
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % CMS_W
+                        ).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.bucket")
+    return cells.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

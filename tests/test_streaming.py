@@ -722,3 +722,31 @@ def test_drift_histogram_stream_equals_batch(spark, documents_path):
         length_drift_histogram(batch)
     ).collect()[0]["jsd_nats"]
     assert jsd_stream == jsd_batch
+
+
+def test_cms_sketch_stream_equals_batch(spark, documents_path):
+    """Count-min sketch cells are decomposable sums (LINEAR sketch
+    state): the drained stream's (d, bucket) -> count table must equal
+    the batch build cell-for-cell — hence every CMS point estimate is
+    split-invariant."""
+    from scout_spark.streaming.drift import (
+        read_documents_stream,
+        token_cms_cells,
+    )
+    from scout_spark.streaming.events import run_to_memory_sink
+
+    batch = spark.read.parquet(documents_path)
+    stream = read_documents_stream(
+        spark, documents_path, max_files_per_trigger=1
+    )
+    got = {
+        (r["d"], r["bucket"]): r["n"]
+        for r in run_to_memory_sink(
+            token_cms_cells(stream), "t_cms", output_mode="complete"
+        ).collect()
+    }
+    exp = {
+        (r["d"], r["bucket"]): r["n"]
+        for r in token_cms_cells(batch).collect()
+    }
+    assert got == exp and len(got) > 100
