@@ -105,6 +105,7 @@ def load_all() -> dict[str, Item]:
         insight_ops16,
         insight_ops17,
         insight_ops18,
+        insight_ops19,
     )
 
     return REGISTRY
