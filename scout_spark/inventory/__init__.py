@@ -106,6 +106,7 @@ def load_all() -> dict[str, Item]:
         insight_ops17,
         insight_ops18,
         insight_ops19,
+        insight_ops20,
     )
 
     return REGISTRY
