@@ -107,6 +107,7 @@ def load_all() -> dict[str, Item]:
         insight_ops18,
         insight_ops19,
         insight_ops20,
+        insight_ops21,
     )
 
     return REGISTRY
