@@ -108,6 +108,7 @@ def load_all() -> dict[str, Item]:
         insight_ops19,
         insight_ops20,
         insight_ops21,
+        insight_ops22,
     )
 
     return REGISTRY
