@@ -109,6 +109,7 @@ def load_all() -> dict[str, Item]:
         insight_ops20,
         insight_ops21,
         insight_ops22,
+        insight_ops23,
     )
 
     return REGISTRY
