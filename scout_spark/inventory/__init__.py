@@ -110,6 +110,7 @@ def load_all() -> dict[str, Item]:
         insight_ops21,
         insight_ops22,
         insight_ops23,
+        insight_ops24,
     )
 
     return REGISTRY
