@@ -37,21 +37,60 @@ _EDGES_SQL = """
 """
 
 
+# Session-keyed shared graph frames (VERDICT r05 #2-4): a dozen graph
+# entries (triangles, PageRank, SSSP, HITS, MST, LPA, assortativity,
+# k-core, butterflies, link prediction) each re-paid the 2-shuffle edge
+# build (groupBy orderkey + pair-HOF explode + DISTINCT) per query.
+# Exactly the quality_ops.doc_tokens pattern: one persisted frame per
+# (applicationId, sf_dir, lineitem mtime); stale entries unpersisted on
+# miss. The degree frame (|V| = |parts| rows, dimension-bounded at any
+# sf but GROWING with scale) is cached alongside — consumers join it
+# WITHOUT a broadcast hint so AQE picks broadcast at bench scale and
+# flips to a shuffle join when |V| outgrows the driver.
+_EDGE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+_DEG_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
+
+def _graph_cache_key(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, float]:
+    import os
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = 0.0
+    return (spark.sparkContext.applicationId, sf_dir, mtime)
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct co-purchase edges (src < dst): group each order's parts
-    into one sorted array (single shuffle on orderkey), expand the
-    within-order pairs with a SQL-lambda HOF, then DISTINCT the pair
-    stream.  3× faster than the equivalent self-join + distinct
-    (measured 1.0 s vs 3.0 s at sf0.1): one shuffle of 600k slim rows
-    replaces two join-side shuffles, and the interpreted HOF runs over
-    basket-sized arrays (~4-7 items), so its per-element cost is
-    bounded by the basket, never the corpus.  The oracle keeps the
-    naive self-join formulation — independently derived."""
+    """Distinct co-purchase edges (src < dst), PERSISTED per session:
+    group each order's parts into one sorted array (single shuffle on
+    orderkey), expand the within-order pairs with a SQL-lambda HOF,
+    then DISTINCT the pair stream.  3× faster than the equivalent
+    self-join + distinct (measured 1.0 s vs 3.0 s at sf0.1): one
+    shuffle of 600k slim rows replaces two join-side shuffles, and the
+    interpreted HOF runs over basket-sized arrays (~4-7 items), so its
+    per-element cost is bounded by the basket, never the corpus.  The
+    oracle keeps the naive self-join formulation — independently
+    derived."""
+    key = _graph_cache_key(spark, sf_dir)
+    hit = _EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for cache in (_EDGE_CACHE, _DEG_CACHE):
+        for stale in cache.values():
+            try:
+                stale.unpersist()
+            except Exception:
+                pass  # session already stopped — blocks died with it
+        cache.clear()
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     sets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
-    return (
+    e = (
         sets.select(
             F.explode(
                 F.expr(
@@ -63,7 +102,38 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.src", "p.dst")
         .distinct()
+        .persist()
     )
+    _EDGE_CACHE[key] = e
+    return e
+
+
+def _sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both-directions view of the persisted edge frame — a narrow
+    union of two projections over the cache, no extra shuffle or
+    materialization of its own."""
+    e = _edges(spark, sf_dir)
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted per-node degree frame (v, d) of the co-purchase graph.
+    |V| = |parts|: small enough to cache at any sf, but it GROWS with
+    scale — consumers must NOT broadcast-hint it (AQE decides)."""
+    key = _graph_cache_key(spark, sf_dir)
+    hit = _DEG_CACHE.get(key)
+    if hit is not None:
+        return hit
+    deg = (
+        _sym_edges(spark, sf_dir)
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    _DEG_CACHE[key] = deg
+    return deg
 
 
 @register(

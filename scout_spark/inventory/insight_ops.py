@@ -884,9 +884,9 @@ _RADIUS_MIN_COS = 0.25
     "Range similarity search — ALL vectors within a cosine radius of "
     "the query (threshold 0.25), the dual of top-k ANN: dedup sweeps "
     "and policy filters want 'everything closer than r', not a fixed "
-    "k. Same 1-job shape as ann_cosine_topk_bruteforce (query vector "
-    "resolved at plan build, joinless scan, JVM-side zip_with dot "
-    "product); the threshold test runs on the UNROUNDED similarity on "
+    "k. The query vector rides a broadcast 1-row crossJoin (lazy "
+    "cursor — no build-time driver job), JVM-side zip_with dot "
+    "product; the threshold test runs on the UNROUNDED similarity on "
     "both engines, so the predicate is the identical double comparison. "
     "100 TB: embarrassingly parallel scan with predicate selectivity "
     "doing the work of top-k's heap — pair with the IVF partition-"
@@ -908,19 +908,19 @@ def ann_range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scout_spark.functions.vectors import cosine_similarity
 
     e = _t(spark, sf_dir, "embeddings")
-    qrows = (
+    # lazy cursor resolution (ADVICE r04 d): the query vector rides a
+    # broadcast 1-row crossJoin instead of a build-time collect(), so
+    # queries() construction launches zero Spark jobs; a missing query
+    # id yields an empty broadcast side and 0 rows — identical to the
+    # oracle's empty-subquery semantics
+    q = (
         e.where(F.col("vec_id") == _RADIUS_QUERY_ID)
-        .select(F.col("embedding").cast("array<double>"))
-        .collect()
+        .select(F.col("embedding").cast("array<double>").alias("__qv"))
     )
-    if not qrows:
-        return e.where(F.lit(False)).select(
-            "vec_id", "label", F.lit(0.0).alias("cos_sim")
-        )
-    qv = qrows[0][0]
-    cos = cosine_similarity(F.col("embedding"), F.lit(qv))
+    cos = cosine_similarity(F.col("embedding"), F.col("__qv"))
     return (
         e.where(F.col("vec_id") != _RADIUS_QUERY_ID)
+        .crossJoin(F.broadcast(q))
         .where(cos >= _RADIUS_MIN_COS)
         .select("vec_id", "label", F.round(cos, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -1319,27 +1319,48 @@ def profile_numeric_correlations(
 )
 def page_keyset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    top40 = (
-        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-        .select("o_totalprice", "o_orderkey")
-        .limit(40)
-        .collect()
-    )
     out_cols = (
         "o_orderkey",
         "o_custkey",
         F.round("o_totalprice", 2).alias("o_totalprice"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
     )
-    if len(top40) < 40:
-        return o.where(F.lit(False)).select(*out_cols)
-    bp, bk = top40[-1]["o_totalprice"], top40[-1]["o_orderkey"]
+    # lazy cursor resolution (ADVICE r04 d): the page-2 boundary is a
+    # broadcast 1-row frame from the same TakeOrderedAndProject the
+    # driver-side collect() used, so queries() construction launches
+    # zero Spark jobs. The keyset order is (price DESC, key ASC); the
+    # 40th row is therefore min by (price, -key), and a short page
+    # (cnt<40) kills the predicate exactly like the oracle's nb.cnt=40
+    # guard.
+    bd = (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_totalprice", "o_orderkey")
+        .limit(40)
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(
+                F.struct(
+                    F.col("o_totalprice").alias("bp"),
+                    (-F.col("o_orderkey")).alias("nbk"),
+                )
+            ).alias("__b"),
+        )
+        .select(
+            "__cnt",
+            F.col("__b.bp").alias("__bp"),
+            (-F.col("__b.nbk")).alias("__bk"),
+        )
+    )
     return (
-        o.where(
-            (F.col("o_totalprice") < F.lit(bp))
-            | (
-                (F.col("o_totalprice") == F.lit(bp))
-                & (F.col("o_orderkey") > F.lit(bk))
+        o.crossJoin(F.broadcast(bd))
+        .where(
+            (F.col("__cnt") == 40)
+            & (
+                (F.col("o_totalprice") < F.col("__bp"))
+                | (
+                    (F.col("o_totalprice") == F.col("__bp"))
+                    & (F.col("o_orderkey") > F.col("__bk"))
+                )
             )
         )
         .select(*out_cols)

@@ -426,22 +426,21 @@ def _sssp_oracle_sql() -> str:
 def graph_sssp_bellman_integer(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from scout_spark.inventory.graph_ops import _edges
+    from scout_spark.inventory.graph_ops import _degrees, _sym_edges
 
-    e0 = _edges(spark, sf_dir)
+    # VERDICT r05 #4: the symmetrized edge frame and the degree agg
+    # come from the session-cached shared graph frames; the weight
+    # 1+(src+dst)%5 is symmetric in (src, dst), so applying it to the
+    # shared both-directions view is identical to weighting each
+    # canonical edge then flipping. The localCheckpoint stays: the
+    # frame feeds every relaxation round (lazy-loop replay rule).
     w = (F.lit(1) + (F.col("src") + F.col("dst")) % 5).alias("w")
-    e = (
-        e0.select("src", "dst", w)
-        .unionByName(
-            e0.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), w
-            )
-        )
-        .localCheckpoint()  # edge frame feeds every relaxation round
-    )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    e = _sym_edges(spark, sf_dir).select("src", "dst", w).localCheckpoint()
+    deg = _degrees(spark, sf_dir)
     hub = (
-        deg.orderBy(F.col("d").desc(), "src").limit(1).collect()[0]["src"]
+        deg.orderBy(F.col("d").desc(), F.col("v"))
+        .limit(1)
+        .collect()[0]["v"]
     )
     dist = spark.createDataFrame(
         [(int(hub), 0)], "node long, dist long"

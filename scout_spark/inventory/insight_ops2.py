@@ -1151,14 +1151,18 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    # vocabulary-bounded unpartitioned window (same exemption class as
-    # the KS/PSI histograms): |vocab| rows, never the token stream
-    r = f.select(
+    # ADVICE r05: vocabulary grows with corpus size (unlike the
+    # fixed-domain KS/PSI histograms), so take the top 200 with a
+    # TakeOrderedAndProject limit FIRST (parallel partial top-k), then
+    # rank the <=200-row frame — the unpartitioned window now touches a
+    # LIMIT-bounded frame only
+    top = f.orderBy(F.col("freq").desc(), "tok").limit(200)
+    r = top.select(
         F.row_number()
         .over(Window.orderBy(F.col("freq").desc(), "tok"))
         .alias("rank"),
         "freq",
-    ).where(F.col("rank") <= 200)
+    )
     lists = r.agg(
         F.array_sort(
             F.collect_list(F.struct("rank", "freq"))

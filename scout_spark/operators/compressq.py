@@ -22,9 +22,10 @@ _LEVEL = 6
 def compression_ratio(text: str) -> float:
     """compressed/raw length ratio for one string (level-6 deflate).
 
-    Empty/None text maps to 1.0 (nothing to compress, nothing saved).
+    Empty/None/non-string (a NaN null representation from pandas)
+    maps to 1.0 (nothing to compress, nothing saved).
     """
-    if not text:
+    if not isinstance(text, str) or not text:
         return 1.0
     raw = text.encode("utf-8", "replace")
     return len(zlib.compress(raw, _LEVEL)) / len(raw)

@@ -17,9 +17,20 @@ stage parallel:
 The ranged frame is persisted: the offset job and the main job must see
 the same range boundaries (RangePartitioner samples at materialization),
 and persistence also avoids recomputing the upstream pipeline twice.
+
+Persisted-frame lifecycle (ADVICE r05): the consuming action happens
+after these helpers return, so they cannot unpersist eagerly — instead
+a bounded FIFO tracks every persisted ranged frame and evicts (lazily
+unpersists) the oldest beyond ``_MAX_CACHED``. In the driver's
+sequential entry-per-entry execution, frames older than the last few
+calls belong to already-consumed queries, so eviction never invalidates
+a frame still awaiting its action; cache footprint is bounded instead
+of growing one frame per rank-toolkit call for the session's lifetime.
 """
 
 from __future__ import annotations
+
+from collections import deque
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -28,6 +39,23 @@ from pyspark.sql.window import Window
 _PID = "__rank_pid"
 _OFF = "__rank_off"
 _TOT = "__rank_total"
+
+# FIFO of persisted ranged frames; oldest beyond the cap are lazily
+# unpersisted (see module docstring for why eager unpersist is unsafe)
+_MAX_CACHED = 8
+_PERSISTED: deque[DataFrame] = deque()
+
+
+def _persist_bounded(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > _MAX_CACHED:
+        old = _PERSISTED.popleft()
+        try:
+            old.unpersist(blocking=False)
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return df
 
 
 def global_row_number(
@@ -46,10 +74,9 @@ def global_row_number(
     """
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = (
+    ranged = _persist_bounded(
         df.repartitionByRange(parts, *order_cols)
         .withColumn(_PID, F.spark_partition_id())
-        .persist()
     )
     counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("_n"))
     # P rows only: the unpartitioned cumulative window is bounded by the
@@ -124,10 +151,9 @@ def global_prefix_sum(
     sums together)."""
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = (
+    ranged = _persist_bounded(
         df.repartitionByRange(parts, *order_cols)
         .withColumn(_PID, F.spark_partition_id())
-        .persist()
     )
     counts = ranged.groupBy(_PID).agg(
         F.count(F.lit(1)).alias("_n"), F.sum(value_col).alias("_v")

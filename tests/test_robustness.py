@@ -4,6 +4,8 @@ produces."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -220,3 +222,35 @@ def test_driver_entry_is_stable_across_invocations(spark):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb and len(ra) >= 0
+
+
+def test_publish_two_writer_race(tmp_path):
+    """ADVICE r04: two sessions building the same fixture key race on
+    os.replace; the loser must swallow ENOTEMPTY, discard its tmp dir,
+    and leave the winner's publication intact."""
+    from scout_spark.inventory.ingest_ops import _publish
+
+    path = str(tmp_path / "fixture")
+    tmp_a = str(tmp_path / "fixture.tmp111")
+    tmp_b = str(tmp_path / "fixture.tmp222")
+    for t, payload in ((tmp_a, "winner"), (tmp_b, "loser")):
+        os.makedirs(t)
+        with open(os.path.join(t, "part-0.csv"), "w") as f:
+            f.write(payload)
+    _publish(tmp_a, path)  # winner publishes first
+    _publish(tmp_b, path)  # loser must not raise, must clean its tmp
+    assert os.path.isdir(path)
+    assert not os.path.exists(tmp_b)
+    with open(os.path.join(path, "part-0.csv")) as f:
+        assert f.read() == "winner"
+
+
+def test_compression_ratio_nan_input():
+    """ADVICE r05: a float-NaN null representation must not raise in
+    the Arrow batch path."""
+    import math
+
+    from scout_spark.operators.compressq import compression_ratio
+
+    assert compression_ratio(float("nan")) == 1.0
+    assert compression_ratio(None) == 1.0
