@@ -111,6 +111,9 @@ def load_all() -> dict[str, Item]:
         insight_ops22,
         insight_ops23,
         insight_ops24,
+        # round-6 additions (oracle twins for rows-only families; the
+        # registration-order queue keeps them behind the r05 backlog)
+        r6_twins,
     )
 
     return REGISTRY

@@ -58,4 +58,13 @@ def tune_for_engine(spark: SparkSession) -> SparkSession:
     timestamps as UTC epoch).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # AQE skips runtime re-optimization (notably SMJ→broadcast
+    # conversion) for any plan that reads a cached relation unless this
+    # is on; with the session-cached shared frames (doc_tokens, graph
+    # _edges/_degrees) that cost 4× on triangle counting — measured
+    # 21.4 s cached-without vs 4.4 s cached-with vs 5.2 s uncached at
+    # sf0.1. Runtime-mutable, public conf (SPARK-35332 family).
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     return spark
