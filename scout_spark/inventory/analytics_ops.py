@@ -326,6 +326,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = cnt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
+        # df is VOCABULARY-sized (grows ~Heaps' law with the corpus);
+        # the hint holds while the distinct-token frame fits the
+        # driver/executor broadcast budget. Past that, drop the hint —
+        # cnt is already token-keyed, so AQE falls back to a shuffle
+        # join on `tok` with no extra exchange on the cnt side.
         cnt.join(F.broadcast(df), "tok")
         .crossJoin(F.broadcast(n))
         .select(

@@ -335,6 +335,13 @@ def graph_pagerank_integer_fixedpoint(
     )
     n = deg.count()  # bounded driver scalar (node count), as in pagerank()
     base = (15 * _PR_SCALE) // (100 * n)
+    # deg and the per-round rank state r are |V|-sized (here |parts|,
+    # which grows with SF): the broadcast hints hold while |V| fits
+    # the broadcast budget; past that drop them — ed is checkpointed
+    # partitioned by src, so the relaxation becomes a shuffle-hash
+    # join (operators/graph.py::pagerank has the explicit small/big
+    # switch via broadcast_ranks_below; this fixed-point twin keeps
+    # the small path because its |V| is the part catalog).
     ed = e.join(F.broadcast(deg), "src").localCheckpoint()
     nodes = deg.select(F.col("src").alias("node"))
     r = deg.select(

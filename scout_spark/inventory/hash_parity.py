@@ -434,6 +434,9 @@ def dedup_minhash_md5_incremental_probe(
     cband = _bands(csig)
     bband = _bands(bsig)
     cand = (
+        # bband is BATCH-sized (the incoming increment, bounded by the
+        # probe design — corpus side stays un-broadcast), so the hint
+        # holds at any corpus scale.
         cband.join(F.broadcast(bband), ["band", "bucket"])
         .select(
             bband["id"].alias("batch_id"), cband["id"].alias("corpus_id")

@@ -115,6 +115,10 @@ def graph_hits_integer_authorities(
         )
 
     a = None
+    # h / a are node-score frames (|orders| / |parts|-sized, grow with
+    # SF): the hints hold while a side fits the broadcast budget; past
+    # that drop them — inc is the persisted incidence frame and each
+    # round becomes a shuffle-hash join keyed on o / p.
     for _ in range(_HITS_ITERS):
         ar = (
             inc.join(F.broadcast(h), "o")

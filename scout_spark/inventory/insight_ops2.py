@@ -446,6 +446,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node")
             .localCheckpoint()
         )
+        # keep is |surviving nodes|-sized — shrinks every round but
+        # starts at |V|; the hints hold while it fits the broadcast
+        # budget, past that drop them and the semi-filter becomes a
+        # shuffle join on the already-src-partitioned edge frame.
         e = (
             e.join(
                 F.broadcast(keep.withColumnRenamed("node", "src")), "src"
@@ -979,6 +983,11 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = deg.count()  # vocabulary size — bounded driver scalar
     base = (15 * _TR_SCALE) // (100 * n)
+    # deg / per-round r are |vocab-of-window-cooccurring-tokens|-sized;
+    # broadcast holds while that fits the budget (TextRank practice
+    # caps candidate tokens first). Past it, drop the hints — ed is
+    # checkpointed src-partitioned, so rounds flip to shuffle-hash
+    # joins (same switch as operators/graph.py::pagerank).
     ed = e.join(F.broadcast(deg), "src").localCheckpoint()
     nodes = deg.select(F.col("src").alias("node"))
     r = deg.select(
@@ -1585,6 +1594,11 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = frontier
     rows = [(0, frontier.count(), frontier.collect()[0]["node"])]
     for lvl in range(1, _BFS_LEVELS + 1):
+        # frontier is |current BFS level|-sized — can approach |V| on
+        # small-diameter graphs; the hint holds while it fits the
+        # broadcast budget, past that drop it and the expansion flips
+        # to a shuffle join on the src-keyed edges (SSSP-site rule,
+        # insight_ops10).
         nxt = (
             e.join(
                 F.broadcast(

@@ -195,6 +195,10 @@ def graph_modularity_lpa_partition(
     )
     pa = pick.select(F.col("node").alias("src"), F.col("lbl").alias("la"))
     pb = pick.select(F.col("node").alias("dst"), F.col("lbl").alias("lb"))
+    # pick is the |V|-sized label assignment (|parts| here, grows with
+    # SF): hints hold while it fits the broadcast budget; past that
+    # drop them — the label attach flips to shuffle joins on the
+    # node-keyed edge frame.
     intra = (
         e0.join(F.broadcast(pa), "src")
         .join(F.broadcast(pb), "dst")

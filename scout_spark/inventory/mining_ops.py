@@ -195,6 +195,7 @@ def quality_perplexity_decile_mix(
     tok = doc_tokens(spark, sf_dir).select("doc_id", "lang", "tok")
     model = unigram_model(tok)
     scored = (
+        # vocab-sized broadcast: flip condition documented on unigram_model
         tok.join(F.broadcast(model), ["lang", "tok"])
         .groupBy("doc_id")
         .agg(

@@ -76,6 +76,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("sh").alias("total"), F.explode("sh").alias("g")
     )
     return (
+        # ev = distinct shingles of the EVAL set — eval-set-sized by
+        # decontamination design (benchmarks are tiny vs the corpus),
+        # so the broadcast is the 100 TB plan; only if the eval corpus
+        # itself outgrew the budget would this flip to a shuffle join.
         cs.join(F.broadcast(ev), "g")
         .groupBy("doc_id")
         .agg(

@@ -600,7 +600,15 @@ def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def unigram_model(tok: DataFrame) -> DataFrame:
     """Per-lang unigram counts + totals — the model frame shared by the
-    perplexity and perplexity-decile entries."""
+    perplexity and perplexity-decile entries.
+
+    Scale note for consumers that `F.broadcast` this frame: it is
+    VOCABULARY-sized (Heaps' law — sublinear in corpus bytes but
+    unbounded), so the hint holds only while the distinct (lang, tok)
+    frame fits the broadcast budget; real LM stages also cap the vocab
+    (top-k by count) before scoring. Past either bound, drop the hint:
+    the token stream is already (lang, tok)-keyed and AQE falls back
+    to a shuffle join with no extra exchange on the token side."""
     counts = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
     return counts.withColumn(
         "total", F.sum("c").over(Window.partitionBy("lang"))
@@ -616,7 +624,9 @@ def unigram_model(tok: DataFrame) -> DataFrame:
     "map-side combine); pass 2 scores every doc by mean negative "
     "log-probability and perplexity via a join of doc tokens against "
     "the model. The model table is vocabulary-sized — broadcast onto "
-    "the token stream at 100 TB, never a fact-fact shuffle.",
+    "the token stream while it fits the broadcast budget (real LM "
+    "stages cap the vocab); past that the hint drops and the join "
+    "shuffles on (lang, tok) — never a fact-fact shuffle.",
     oracle=f"""
       WITH tok AS (
         SELECT doc_id, lang,
@@ -641,6 +651,7 @@ def unigram_model(tok: DataFrame) -> DataFrame:
 def quality_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = doc_tokens(spark, sf_dir)
     model = unigram_model(tok)
+    # vocab-sized broadcast: flip condition documented on unigram_model
     scored = tok.join(F.broadcast(model), ["lang", "tok"]).select(
         "doc_id",
         "lang",

@@ -59,7 +59,10 @@ def boruvka_mst(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
             )
         else:
             # comp_map holds only non-identity mappings (bounded by
-            # merged nodes, broadcast): relabel is two map-side LEFT
+            # merged nodes — up to |V|-1 as rounds contract, so the
+            # broadcast hint holds while that fits the budget; past it
+            # drop the hints and relabel via shuffle joins on the
+            # node-keyed edges): relabel is two map-side LEFT
             # joins; unmapped nodes are their own component. Edges
             # that went intra-component are dropped and the PRUNED
             # frame replaces e — on dense graphs round 1 merges most
