@@ -120,17 +120,26 @@ def _bpe_twin_oracle(n_rounds: int = _BPE_TWIN_ROUNDS) -> str:
     "never equal l). The rows-only bpe_train_merges entry keeps the "
     "12-merge production path; this twin pins the kernel cross-engine. "
     "100 TB: only the word count touches the corpus (one shuffle, "
-    "map-side combine); every round runs over the vocabulary-bounded "
-    "distinct-word table with a 1-row driver argmax.",
+    "map-side combine, read from the shared persisted token frame); "
+    "the merge rounds run driver-side while the vocab fits "
+    "driver_vocab_cap (bounded driver contraction) and as distributed "
+    "pair-explode rounds with a 1-row argmax above it — both paths "
+    "pinned equal in tests/test_bpe.py.",
     oracle=_bpe_twin_oracle(),
 )
 def bpe_train_merges_unrolled(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from scout_spark.inventory.retrieval import _shared_word_freqs
     from scout_spark.operators.bpe import bpe_train
 
     d = _th(spark, sf_dir, "documents")
-    merges = bpe_train(d, "text", n_merges=_BPE_TWIN_ROUNDS)
+    merges = bpe_train(
+        d,
+        "text",
+        n_merges=_BPE_TWIN_ROUNDS,
+        word_freqs=_shared_word_freqs(spark, sf_dir),
+    )
     return spark.createDataFrame(
         [(r, l, rt, f) for (r, l, rt, f) in merges],
         schema="rank int, lhs string, rhs string, pair_freq long",
@@ -234,20 +243,22 @@ def _sd_oracle() -> str:
     "pair generation ONLY (blocked quadratic), an all-integer squared "
     "cosine threshold (t=2/5: 25·dot² >= 4·|a|²·|b|² with dot>0), "
     "transitive closure to a min-id keeper per duplicate ball "
-    "(operators/dedup.py connected_components vs the oracle's "
-    "recursive min-label CTE — independent formulations), per-cluster "
-    "keep/drop report. The float k-means production path stays in "
+    "(per-cluster numpy int64 matmul + union-find inside ONE "
+    "applyInPandas pass vs the oracle's recursive min-label CTE — "
+    "independent formulations; dup edges never span clusters, so "
+    "global closure == per-cluster closure), per-cluster keep/drop "
+    "report. The float k-means production path stays in "
     "semdedup_embedding_prune (rows-only); this twin pins the blocking "
     "+ closure + keeper semantics cross-engine. 100 TB: centroid table "
-    "is k rows (broadcast is dimension-bounded), pair join is an "
-    "equi-join bucket per cluster, closure is O(diameter) rounds.",
+    "is k rows (broadcast is dimension-bounded); the cluster is "
+    "SemDeDup's unit of work by construction (k grows with the corpus, "
+    "cluster size stays Arrow-batch-bounded), so the quadratic scan + "
+    "closure run vectorized inside each cluster with one shuffle.",
     oracle=_sd_oracle(),
 )
 def semdedup_md5_integer_twin(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from scout_spark.operators.dedup import connected_components
-
     e = _t(spark, sf_dir, "embeddings")
     qv = F.transform(
         "embedding",
@@ -298,46 +309,63 @@ def semdedup_md5_integer_twin(
             F.min(F.struct("dist2", "cid")).alias("_m"),
         )
         .select("vec_id", "qv", "n2", F.col("_m.cid").alias("cluster"))
-        .localCheckpoint()  # feeds pair join (both sides) + final agg
     )
-    a = assigned.select(
-        F.col("vec_id").alias("ia"),
-        F.col("qv").alias("qa"),
-        F.col("n2").alias("na"),
-        F.col("cluster").alias("ca"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("ib"),
-        F.col("qv").alias("qb"),
-        F.col("n2").alias("nb"),
-        F.col("cluster").alias("cb"),
-    )
-    dot_ab = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ia") < F.col("ib")))
-        .withColumn("dot", dot_ab)
-        .where(
-            (F.col("dot") > 0)
-            & (
-                F.lit(_SD_DEN * _SD_DEN) * F.col("dot") * F.col("dot")
-                >= F.lit(_SD_NUM * _SD_NUM) * F.col("na") * F.col("nb")
-            )
+
+    def _close(pdf):
+        # one cluster per Arrow batch: quadratic scan as an exact
+        # int64 matmul (bounds proven in the module docstring — no
+        # wraparound), then union-find to the min-id keeper. numpy
+        # int64 == Spark/DuckDB BIGINT arithmetic, bit-for-bit.
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        q = np.asarray(pdf["qv"].to_numpy()[order].tolist(), dtype=np.int64)
+        n2 = pdf["n2"].to_numpy()[order].astype(np.int64)
+        g = q @ q.T
+        iu = np.triu_indices(len(ids), 1)
+        d = g[iu]
+        hit = (d > 0) & (
+            (_SD_DEN * _SD_DEN) * d * d
+            >= (_SD_NUM * _SD_NUM) * n2[iu[0]] * n2[iu[1]]
         )
-        .select(F.col("ia").alias("ea"), F.col("ib").alias("eb"))
-    )
-    comp = connected_components(pairs, "ea", "eb").select(
-        F.col("id").alias("vec_id"), F.col("component").alias("keeper")
+        parent = np.arange(len(ids))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a_i, b_i in zip(iu[0][hit], iu[1][hit]):
+            ra, rb = find(a_i), find(b_i)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(len(ids))])
+        in_edge = np.zeros(len(ids), dtype=bool)
+        in_edge[iu[0][hit]] = True
+        in_edge[iu[1][hit]] = True
+        # ids ascend with index, so the root index is the min vec_id
+        keeper = pd.array(ids[roots], dtype="Int64")
+        keeper[~in_edge] = pd.NA
+        return pd.DataFrame(
+            {
+                "cluster": pdf["cluster"].to_numpy()[order],
+                "vec_id": ids,
+                "keeper": keeper,
+            }
+        )
+
+    comp = assigned.groupBy("cluster").applyInPandas(
+        _close, "cluster int, vec_id bigint, keeper bigint"
     )
     dropped = F.col("keeper").isNotNull() & (
         F.col("keeper") != F.col("vec_id")
     )
     return (
-        assigned.join(comp, "vec_id", "left")
-        .groupBy(F.col("cluster").cast("bigint").alias("cluster"))
+        comp.groupBy(F.col("cluster").cast("bigint").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.coalesce(

@@ -22,6 +22,20 @@ from scout_spark.inventory.text_ops import _tokens_col, _tokens_sql
 _BM25_TERMS = ("spark", "table", "merge", "fast")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
+
+
+def _shared_word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq) off the persisted corpus token frame
+    (quality_ops.doc_tokens cache rule) — same token set as
+    operators/bpe.py::word_frequencies (lowercase [a-z0-9]+), but the
+    corpus-wide tokenize isn't re-paid per BPE entry."""
+    from scout_spark.inventory.quality_ops import doc_tokens
+
+    return (
+        doc_tokens(spark, sf_dir)
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
 _HH_K = 40  # heavy hitter threshold: freq > N/40
 
 
@@ -336,19 +350,24 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bpe_train_merges",
     "Distributed BPE vocabulary training (operators/bpe.py, Sennrich "
-    "2016): one corpus-wide word count, then iterative most-frequent-"
-    "adjacent-pair merges over the distinct-word table (vocabulary-"
-    "bounded, not corpus-bounded). Rows-only: the training loop is "
-    "iterative with a per-round argmax — not SQL-expressible; the merge "
-    "sequence is pinned against a pure-Python reference implementation "
-    "in tests/test_bpe.py.",
+    "2016): one corpus-wide word count (shared persisted token frame), "
+    "then iterative most-frequent-adjacent-pair merges over the "
+    "distinct-word table (vocabulary-bounded, not corpus-bounded): "
+    "driver-side while the vocab fits driver_vocab_cap (bounded driver "
+    "contraction), distributed pair-explode rounds above it. "
+    "Rows-only: the training loop is iterative with a per-round "
+    "argmax — not SQL-expressible; the merge sequence and the two "
+    "paths' equality are pinned against a pure-Python reference in "
+    "tests/test_bpe.py.",
     tags=("rows-only",),
 )
 def bpe_train_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scout_spark.operators.bpe import bpe_train
 
     d = _th(spark, sf_dir, "documents")
-    merges = bpe_train(d, "text", n_merges=12)
+    merges = bpe_train(
+        d, "text", n_merges=12, word_freqs=_shared_word_freqs(spark, sf_dir)
+    )
     return spark.createDataFrame(
         merges, schema="rank int, left string, right string, pair_freq long"
     )
@@ -367,16 +386,12 @@ def bpe_train_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rows-only",),
 )
 def bpe_encode_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scout_spark.operators.bpe import (
-        bpe_encode_udf,
-        bpe_train,
-        word_frequencies,
-    )
+    from scout_spark.operators.bpe import bpe_encode_udf, bpe_train
 
     d = _th(spark, sf_dir, "documents")
-    merges = bpe_train(d, "text", n_merges=12)
+    wf = _shared_word_freqs(spark, sf_dir)
+    merges = bpe_train(d, "text", n_merges=12, word_freqs=wf)
     enc = bpe_encode_udf(merges)
-    wf = word_frequencies(d, "text")
     per_word = wf.select(
         "freq",
         F.length("word").alias("n_chars"),

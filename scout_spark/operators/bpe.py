@@ -83,18 +83,88 @@ def _adjacent_pairs(syms) -> F.Column:
     )
 
 
+def _train_in_driver(
+    word_freq: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Merge loop over an in-memory word-frequency table — identical
+    semantics to the distributed rounds (all-adjacent-pair counts,
+    argmax on (freq DESC, left, right), leftmost non-overlapping
+    apply); equality of the two paths is pinned in tests/test_bpe.py."""
+    syms_of = {w: list(w) for w in word_freq}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in syms_of.items():
+            f = word_freq[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (left, right), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, freq))
+        merged = left + right
+        for w, syms in syms_of.items():
+            res: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms_of[w] = res
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
     n_merges: int = 20,
     checkpoint_every: int = 5,
+    word_freqs: DataFrame | None = None,
+    driver_vocab_cap: int = 200_000,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(rank, left, right,
     pair_freq)] in merge order. Deterministic: pair-frequency ties break
-    on (left, right) lexicographic order."""
-    words = word_frequencies(df, text_col).select(
-        "freq", F.split("word", "").alias("syms")
-    ).localCheckpoint(eager=True)
+    on (left, right) lexicographic order.
+
+    ``word_freqs`` — optional precomputed (word, freq) frame. Callers
+    holding a persisted corpus token frame (quality_ops.doc_tokens)
+    should pass its groupBy so the corpus-wide tokenize isn't re-paid;
+    tokenization must match word_frequencies (lowercase [a-z0-9]+).
+
+    ``driver_vocab_cap`` — the merge loop's whole state is the
+    vocabulary-sized word table; when it fits the driver (cap rows,
+    a few MB — the bounded-driver-contraction pattern shared with
+    Borůvka/k-means seeding), the rounds run in-process instead of
+    paying n_merges Spark job floors. Above the cap the distributed
+    rounds below run; 0 forces them (used by tests to pin path
+    equality)."""
+    wf = word_freqs if word_freqs is not None else word_frequencies(df, text_col)
+    if driver_vocab_cap > 0:
+        head = wf.select("word", "freq").head(driver_vocab_cap + 1)
+        if len(head) <= driver_vocab_cap:
+            return _train_in_driver(
+                {r["word"]: int(r["freq"]) for r in head}, n_merges
+            )
+    words = (
+        wf.select("freq", F.split("word", "").alias("syms"))
+        # the word table is VOCABULARY-sized (sublinear in corpus
+        # bytes); after the corpus-wide count it no longer needs the
+        # scan's partition count — cap the per-round task fan-out at
+        # the session's parallelism so each tiny merge round doesn't
+        # pay shuffle-partitions' worth of empty-task overhead
+        .coalesce(max(df.sparkSession.sparkContext.defaultParallelism // 4, 2))
+        .localCheckpoint(eager=True)
+    )
     # the eager checkpoint runs the corpus-wide word count exactly ONCE;
     # without it every pre-first-checkpoint round re-executes the corpus
     # scan+groupBy from lineage (measured 51s -> 11s for 12 merges over

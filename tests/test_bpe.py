@@ -63,6 +63,19 @@ def test_bpe_train_matches_python_reference(spark):
     assert got == expected
 
 
+def test_bpe_train_distributed_path_matches_driver_path(spark):
+    """driver_vocab_cap=0 forces the distributed rounds; both paths
+    must produce the identical merge sequence (and match the
+    independent reference)."""
+    from scout_spark.operators.bpe import bpe_train
+
+    wf = _word_freqs(spark)
+    expected, _ = _py_bpe_train(wf, 12)
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    got_dist = bpe_train(d, "text", n_merges=12, driver_vocab_cap=0)
+    assert got_dist == expected
+
+
 def test_bpe_encode_consistent_with_training(spark):
     """Encoding the corpus words with the learned merge table must
     reproduce the reference's final symbol sequences for words whose
