@@ -153,6 +153,11 @@ HEADLINE = [
     # cached-plans conf) — assortativity reads all three caches, so a
     # cache regression shows here AND in the triangle/pagerank walls
     "graph_degree_assortativity",
+    # round-6: the two new oracle twins whose kernels were rewritten
+    # this round (per-cluster Arrow closure; vocab-gated driver merge
+    # loop) — regression guards for both rewrites
+    "semdedup_md5_integer_twin",
+    "bpe_train_merges_unrolled",
 ]
 
 # Frozen round-2 comparison subset: the headline set as of BENCH_r02
