@@ -1325,42 +1325,31 @@ def page_keyset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("o_totalprice"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
     )
-    # lazy cursor resolution (ADVICE r04 d): the page-2 boundary is a
-    # broadcast 1-row frame from the same TakeOrderedAndProject the
-    # driver-side collect() used, so queries() construction launches
-    # zero Spark jobs. The keyset order is (price DESC, key ASC); the
-    # 40th row is therefore min by (price, -key), and a short page
-    # (cnt<40) kills the predicate exactly like the oracle's nb.cnt=40
-    # guard.
-    bd = (
+    # cursor resolution is a BOUNDED top-40 point lookup collected at
+    # plan-build time: keyset pagination's defining property is that
+    # the cursor arrives as a LITERAL in the page query — that is what
+    # lets the predicate reach the parquet scan (PushedFilters /
+    # row-group skipping, asserted in tests/test_scale_layout.py).
+    # The r05 lazy-crossJoin variant launched zero build-time jobs but
+    # demoted the predicate to a post-scan BroadcastNestedLoopJoin
+    # filter — the wrong trade at 100 TB, reverted here (the build-time
+    # job is the same driver-side parameter-resolve pattern as the ANN
+    # query vector; bench reports it in build_sec).
+    b = (
         o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .select("o_totalprice", "o_orderkey")
         .limit(40)
-        .agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.min(
-                F.struct(
-                    F.col("o_totalprice").alias("bp"),
-                    (-F.col("o_orderkey")).alias("nbk"),
-                )
-            ).alias("__b"),
-        )
-        .select(
-            "__cnt",
-            F.col("__b.bp").alias("__bp"),
-            (-F.col("__b.nbk")).alias("__bk"),
-        )
+        .collect()
     )
+    if len(b) < 40:  # no 40th row: empty page, like the oracle's guard
+        return o.select(*out_cols).where(F.lit(False))
+    bp, bk = b[-1]["o_totalprice"], b[-1]["o_orderkey"]
     return (
-        o.crossJoin(F.broadcast(bd))
-        .where(
-            (F.col("__cnt") == 40)
-            & (
-                (F.col("o_totalprice") < F.col("__bp"))
-                | (
-                    (F.col("o_totalprice") == F.col("__bp"))
-                    & (F.col("o_orderkey") > F.col("__bk"))
-                )
+        o.where(
+            (F.col("o_totalprice") < F.lit(bp))
+            | (
+                (F.col("o_totalprice") == F.lit(bp))
+                & (F.col("o_orderkey") > F.lit(bk))
             )
         )
         .select(*out_cols)
