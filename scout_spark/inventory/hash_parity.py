@@ -162,42 +162,40 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_idx", "band.bucket")
-    # the hamming verify runs INSIDE the bucket-local pair expansion
-    # (signatures ride the band explode into the bucket lists), so
-    # only true near-dup pairs ever leave the Generate — on this
-    # corpus the 4-bit buckets are dense (the candidate stream is
-    # ~17x the true pair set) and the old shape shuffled every
-    # candidate through dropDuplicates plus two signature joins:
-    # 21 s -> ~2 s at sf0.1. At 100 TB the same fusion holds: dedup
-    # shuffles only verified pairs.
-    buckets = (
-        banded.groupBy("band_idx", "bucket")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("doc_id", "simhash"))
-            ).alias("xs")
-        )
-        .where(F.size("xs") > 1)
+    # the hamming verify is a bucket-local EQUI-JOIN carrying the
+    # signature on both sides, so bit_count runs inside codegen and
+    # only verified pairs reach dropDuplicates. Two earlier shapes
+    # both lost: (r04-) shuffling every candidate through
+    # dropDuplicates + two signature joins (21 s); (r05) grouped-list
+    # HOF pair expansion, which collapses each bucket into ONE
+    # interpreted O(n²) task — fine at the then-measured ~17x
+    # candidate ratio, but the regenerated corpus concentrates
+    # signatures into ~4k-doc buckets (38M candidates at sf0.1) and a
+    # dense bucket becomes a single-task straggler: 17.7 s, vs 4.6 s
+    # for this join (the CLAUDE.md HOF-vs-join crossover at scale;
+    # the residual is the inherent 38M bit_count verifications).
+    # At 100 TB the banding parameters bound bucket density; the join
+    # parallelizes whatever density remains.
+    banded = banded.localCheckpoint()  # two join sides, one signature eval
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sa"),
+        "band_idx",
+        "bucket",
     )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    # filter BEFORE the struct build: bit_count runs on
-                    # every candidate (inherent verify cost) but pair
-                    # structs materialize only for survivors
-                    "flatten(transform(xs, (x, i) -> "
-                    "transform(filter(slice(xs, i + 2, size(xs)), y -> "
-                    f"bit_count(x.simhash ^ y.simhash) <= {_HAMMING_MAX}), "
-                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-                    "bit_count(x.simhash ^ y.simhash) AS hamming))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b", "p.hamming")
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sb"),
+        "band_idx",
+        "bucket",
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        a.join(b, ["band_idx", "bucket"])
+        .where((F.col("doc_a") < F.col("doc_b")) & (ham <= _HAMMING_MAX))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return pairs
 
 
 def _minhash_md5_signature(text: Column) -> Column:

