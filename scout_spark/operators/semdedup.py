@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from scout_spark.functions.vectors import cosine_similarity
+
+from scout_spark.functions.vectors import dot_product, l2_norm
 from scout_spark.operators.dedup import connected_components
 from scout_spark.operators.kmeans import kmeans_assign, kmeans_fit
 
@@ -58,9 +59,18 @@ def semdedup(
     assigned = kmeans_assign(
         embeddings, cents, vec_col=vec_col, id_col=id_col
     ).localCheckpoint()
-    ec = embeddings.select(id_col, vec_col).join(assigned, id_col)
+    # hoist the per-vector norm below the pair join (r6 lesson from
+    # embedding_neardup_pairs): HOF folds run interpreted, so norms
+    # inlined in a per-pair cosine cost 2x|dims| extra interpreted ops
+    # per candidate pair; projected here they run once per vector
+    ec = embeddings.select(
+        id_col, vec_col, l2_norm(vec_col).alias("__n")
+    ).join(assigned, id_col)
     a, b = ec.alias("a"), ec.alias("b")
-    cos = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    cos = F.try_divide(
+        dot_product(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+        F.col("a.__n") * F.col("b.__n"),
+    )
     pairs = (
         a.join(
             b,
