@@ -60,7 +60,20 @@ def _graph_cache_key(
     try:
         mtime = os.path.getmtime(path)
     except OSError:
-        mtime = 0.0
+        # lineitem isn't at the flat layout load_table reads — key on
+        # the newest entry under sf_dir so a regenerated/different
+        # layout still invalidates the cache (ADVICE r06: a silent 0.0
+        # sentinel served stale frames forever). An unreadable sf_dir
+        # raises here rather than caching against a constant key —
+        # load_table would fail on it anyway.
+        entries = os.listdir(sf_dir)  # raises OSError if unreadable
+        if not entries:
+            raise FileNotFoundError(
+                f"graph cache: empty sf_dir {sf_dir!r}"
+            )
+        mtime = max(
+            os.path.getmtime(os.path.join(sf_dir, p)) for p in entries
+        )
     return (spark.sparkContext.applicationId, sf_dir, mtime)
 
 

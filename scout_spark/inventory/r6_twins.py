@@ -324,6 +324,17 @@ def semdedup_md5_integer_twin(
         ids = ids[order]
         q = np.asarray(pdf["qv"].to_numpy()[order].tolist(), dtype=np.int64)
         n2 = pdf["n2"].to_numpy()[order].astype(np.int64)
+        # numpy int64 wraps SILENTLY on overflow (unlike Spark ANSI /
+        # DuckDB BIGINT, which raise) — enforce the docstring's
+        # no-overflow bound here: 25·(dim·B²)² < 2⁶³ needs B ≤ 3079
+        # at dim 64. Regenerated testdata with wider components must
+        # fail loudly, not produce wrong keeper sets.
+        if q.size and int(np.abs(q).max()) > 3079:
+            raise ValueError(
+                "semdedup twin: |q| max "
+                f"{int(np.abs(q).max())} exceeds the int64 "
+                "no-overflow bound 3079 (component |x| > 3.079)"
+            )
         g = q @ q.T
         iu = np.triu_indices(len(ids), 1)
         d = g[iu]

@@ -41,7 +41,14 @@ _OFF = "__rank_off"
 _TOT = "__rank_total"
 
 # FIFO of persisted ranged frames; oldest beyond the cap are lazily
-# unpersisted (see module docstring for why eager unpersist is unsafe)
+# unpersisted (see module docstring for why eager unpersist is unsafe).
+# SAFETY INVARIANT (ADVICE r06): eviction only preserves correctness
+# if no single query builds more than _MAX_CACHED toolkit frames
+# before its consuming action runs — an evicted-then-recomputed ranged
+# frame may sample DIFFERENT range boundaries, silently shifting
+# ranks. tests/test_rank.py::test_rank_toolkit_call_budget
+# statically enforces the budget over every inventory function
+# (current max: 3 — RFM's triple global_ntile).
 _MAX_CACHED = 8
 _PERSISTED: deque[DataFrame] = deque()
 

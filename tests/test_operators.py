@@ -888,6 +888,30 @@ class TestCompressionRatio:
         assert compression_ratio(None) == 1.0
         assert 0.0 < compression_ratio("a") <= 10.0
 
+    def test_nan_and_non_string_inputs(self):
+        # VERDICT r06 item 5: pin the isinstance guard — pandas renders
+        # parquet NULL text as float NaN, which .encode() would explode
+        # on if a refactor dropped the guard
+        import numpy as np
+
+        from scout_spark.operators.compressq import compression_ratio
+
+        assert compression_ratio(float("nan")) == 1.0
+        assert compression_ratio(np.nan) == 1.0
+        assert compression_ratio(3) == 1.0
+        assert compression_ratio(b"bytes") == 1.0
+
+    def test_udf_null_text_rows(self, spark):
+        # end-to-end: the Arrow batch path maps NULL rows to 1.0 too
+        from scout_spark.operators.compressq import compression_ratio_udf
+
+        df = spark.createDataFrame(
+            [("hello world hello world",), (None,), ("",)], ["txt"]
+        ).select(compression_ratio_udf(F.col("txt")).alias("r"))
+        vals = [r["r"] for r in df.collect()]
+        assert vals[1] == 1.0 and vals[2] == 1.0
+        assert 0.0 < vals[0] <= 10.0
+
     def test_entry_runs_and_flags(self, spark):
         from scout_spark.inventory import load_all
 

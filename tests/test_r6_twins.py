@@ -120,3 +120,45 @@ def test_semdedup_twin_single_shuffle_into_closure(spark, sf_dir):
     # a regression
     assert "FlatMapGroupsInPandas" in plan
     assert n_exchange <= 6, plan
+
+
+def test_semdedup_quantized_component_bound(spark):
+    """ADVICE r06: the twin's int64 no-overflow proof needs |q| <= 3079
+    (|x| <= 3.079). Pin the actual testdata range at every sf dir so a
+    regenerated corpus with wider components fails HERE, loudly, not as
+    silent numpy wraparound inside the closure kernel."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import scout_spark.inventory.r6_twins as rt
+
+    for f in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet")):
+        tbl = pq.read_table(f, columns=["embedding"])
+        flat = tbl["embedding"].combine_chunks().flatten().to_numpy()
+        qmax = abs(flat * rt._SD_SCALE).max()
+        assert qmax <= 3079, (
+            f"{f}: quantized component bound {qmax:.0f} > 3079 — "
+            "the semdedup twin's int64 arithmetic would overflow"
+        )
+
+
+def test_semdedup_closure_raises_on_overflow_range(spark):
+    """The _close kernel itself must reject out-of-bound codes (the
+    guard, not just the testdata pin)."""
+    import pytest as _pytest
+
+    import scout_spark.inventory.r6_twins as rt
+
+    # drive the guard through a tiny real frame: quantized codes of
+    # magnitude > 3079 come from embedding components > 3.079
+    df = spark.createDataFrame(
+        [(1, [5.0] * 4), (2, [5.0] * 4)], ["vec_id", "embedding"]
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        bad = rt.semdedup_md5_integer_twin(spark, d)
+        with _pytest.raises(Exception, match="no-overflow bound"):
+            bad.collect()

@@ -105,3 +105,47 @@ def test_ppjoin_integer_ceiling_exact(n, num):
     assert got == math.ceil(Fraction(p, qq) * n)
     # and the snapped rational is the threshold the caller wrote
     assert frac == Fraction(num, q)
+
+
+def test_rank_toolkit_call_budget():
+    """ADVICE r06: _persist_bounded's FIFO eviction is only safe if no
+    single query builds more than _MAX_CACHED ranged frames before its
+    consuming action runs. Statically count toolkit calls per function
+    across the whole inventory package and pin the budget."""
+    import ast
+    import pathlib
+
+    from scout_spark.operators.rank import _MAX_CACHED
+
+    toolkit = {"global_row_number", "global_ntile", "global_prefix_sum"}
+    inv = pathlib.Path("scout_spark/inventory")
+    worst = ("", 0)
+    for path in sorted(inv.glob("*.py")):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if not isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef)
+            ):
+                continue
+            calls = sum(
+                1
+                for c in ast.walk(node)
+                if isinstance(c, ast.Call)
+                and (
+                    (isinstance(c.func, ast.Name) and c.func.id in toolkit)
+                    or (
+                        isinstance(c.func, ast.Attribute)
+                        and c.func.attr in toolkit
+                    )
+                )
+            )
+            if calls > worst[1]:
+                worst = (f"{path.name}:{node.name}", calls)
+    assert worst[1] <= _MAX_CACHED, (
+        f"{worst[0]} makes {worst[1]} rank-toolkit calls; "
+        f"_MAX_CACHED={_MAX_CACHED} frames could evict a live ranged "
+        "frame mid-query — raise _MAX_CACHED or split the query"
+    )
+    # the known worst case today (RFM's triple ntile) — if this grows,
+    # re-derive the headroom consciously rather than silently
+    assert worst[1] <= 4, f"toolkit usage grew: {worst}"
