@@ -158,6 +158,12 @@ HEADLINE = [
     # loop) — regression guards for both rewrites
     "semdedup_md5_integer_twin",
     "bpe_train_merges_unrolled",
+    # round-7: the Borůvka forest twin (6.0 s at sf0.1 = 0.48x its
+    # DuckDB unrolled-CTE oracle) — representative for the iterative
+    # bounded-driver-contraction family's build+argmin wall; the
+    # frame-sample md5 twin (0.84 s) is an Arrow explode kernel the
+    # fuzzy flagship already represents, not separately benched
+    "graph_mst_boruvka_unrolled_twin",
 ]
 
 # Frozen round-2 comparison subset: the headline set as of BENCH_r02
@@ -177,6 +183,7 @@ E2E_REBUILD = {
     "graph_pagerank_integer_fixedpoint",
     "hierarchy_depth_pointer_jumping",
     "text_phrase_search_positional",
+    "graph_mst_boruvka_unrolled_twin",
 }
 
 

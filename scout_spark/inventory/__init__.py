@@ -114,6 +114,9 @@ def load_all() -> dict[str, Item]:
         # round-6 additions (oracle twins for rows-only families; the
         # registration-order queue keeps them behind the r05 backlog)
         r6_twins,
+        # round-7 additions — import LAST so they queue behind the 20
+        # entries still awaiting their first driver check
+        r7_twins,
     )
 
     return REGISTRY

@@ -173,11 +173,22 @@ def resize_stub(blobs: DataFrame, target: tuple[int, int] = (224, 224)) -> DataF
     return resize_media(blobs, target)
 
 
-def sample_frames(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
+def sample_frames(
+    blobs: DataFrame,
+    n_frames: int = 4,
+    checksum_fn: Callable[[bytes, int], str] | None = None,
+) -> DataFrame:
     """Frame sampling for video-kind blobs: emits ``n_frames`` evenly
     spaced frame rows per blob (row-expanding mapInPandas). Frame decode
     is the deterministic fake; the explode shape, schema, and batch
-    iteration are the real plumbing."""
+    iteration are the real plumbing. ``checksum_fn(payload, frame_index)``
+    injects the per-frame digest (production: a real frame decode +
+    content hash); None keeps the sha256 default."""
+    ck = checksum_fn or (
+        lambda payload, fi: hashlib.sha256(
+            payload + fi.to_bytes(4, "big")
+        ).hexdigest()[:16]
+    )
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -191,9 +202,7 @@ def sample_frames(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
                 for fi in range(0, min(declared, n_frames * step), step):
                     ids.append(mid)
                     idxs.append(fi)
-                    sums.append(
-                        hashlib.sha256(payload + fi.to_bytes(4, "big")).hexdigest()[:16]
-                    )
+                    sums.append(ck(payload, fi))
             yield pd.DataFrame(
                 {"media_id": ids, "frame_index": idxs, "frame_checksum": sums}
             )

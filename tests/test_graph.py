@@ -449,3 +449,74 @@ def test_boruvka_mst_matches_kruskal(spark):
     assert got == want
     assert len(got) == n - 1  # connected by construction
     assert sum(w for _, _, w in got) == sum(w for _, _, w in want)
+
+
+def test_mst_twin_oracle_matches_synthetic_kruskal(spark):
+    """The r7 unrolled-CTE MST oracle == driver-side Kruskal on a
+    synthetic graph injected as the lineitem co-purchase relation —
+    independent of the Spark side, this pins the GENERATED SQL's
+    selection/contraction logic itself (2-cycle break, pointer chase,
+    packed argmin), including duplicate weights."""
+    import random
+
+    import duckdb
+
+    from scout_spark.inventory.r7_twins import _mst_twin_oracle
+
+    rng = random.Random(11)
+    n = 80
+    edges = set()
+    for i in range(1, n):
+        edges.add((rng.randrange(0, i), i))
+    for _ in range(200):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    # the oracle derives w = 1 + (src+dst) % 5 itself; feed it a fake
+    # lineitem where each edge is one co-purchased order of two parts
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem (l_orderkey BIGINT, l_partkey BIGINT)")
+    for okey, (a, b) in enumerate(sorted(edges)):
+        con.execute(f"INSERT INTO lineitem VALUES ({okey}, {a}), ({okey}, {b})")
+    got = con.execute(_mst_twin_oracle()).fetchall()
+
+    # Kruskal with the same derived weights and (w, src, dst) order
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    tree = []
+    for w, a, b in sorted((1 + (a + b) % 5, a, b) for a, b in edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            tree.append((w, a, b))
+    want = {}
+    for w, a, b in tree:
+        k = want.setdefault(w, [0, 0, 0, 0])
+        k[0] += 1
+        k[1] += w
+        k[2] += a
+        k[3] += b
+    assert got == [
+        (w, *want[w]) for w in sorted(want)
+    ]
+    assert sum(v[0] for v in want.values()) == n - 1
+
+
+def test_mst_twin_consistent_with_rows_only_entry(spark, sf_dir):
+    """The oracle-backed twin and the rows-only graph_mst_boruvka
+    entry describe the SAME forest: total edges and weight agree."""
+    from scout_spark.inventory import load_all
+
+    reg = load_all()
+    twin = reg["graph_mst_boruvka_unrolled_twin"].spark(
+        spark, sf_dir
+    ).collect()
+    base = reg["graph_mst_boruvka"].spark(spark, sf_dir).collect()[0]
+    assert sum(r["n_edges"] for r in twin) == base["n_tree_edges"]
+    assert sum(r["weight_sum"] for r in twin) == base["total_weight"]

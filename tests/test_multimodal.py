@@ -169,3 +169,67 @@ def test_audio_energy_deterministic_on_corpus(spark, blobs):
     a = {r["media_id"]: r["mean_energy"] for r in audio_energy(blobs).collect()}
     b = {r["media_id"]: r["mean_energy"] for r in audio_energy(blobs).collect()}
     assert a == b and len(a) == 50
+
+
+def test_sample_frames_checksum_injection(spark):
+    """checksum_fn injects the per-frame digest; default stays sha256
+    (the r7 md5 twin depends on the injection, the rows-only entry on
+    the default — both pinned here)."""
+    import hashlib
+
+    from scout_spark.operators.multimodal import pack_blobs, sample_frames
+
+    df = spark.createDataFrame(
+        [(1, b"abc", "s")], "id long, payload binary, src string"
+    )
+    blobs = pack_blobs(df, "id", "payload", kind="video", source_col="src")
+    default = sample_frames(blobs, n_frames=4).collect()
+    assert {r["frame_index"] for r in default} == {0, 2, 4, 6}
+    for r in default:
+        want = hashlib.sha256(
+            b"abc" + r["frame_index"].to_bytes(4, "big")
+        ).hexdigest()[:16]
+        assert r["frame_checksum"] == want
+
+    injected = sample_frames(
+        blobs,
+        n_frames=4,
+        checksum_fn=lambda p, fi: hashlib.md5(
+            p + b"|" + str(fi).encode()
+        ).hexdigest(),
+    ).collect()
+    for r in injected:
+        want = hashlib.md5(
+            b"abc|" + str(r["frame_index"]).encode()
+        ).hexdigest()
+        assert r["frame_checksum"] == want
+
+
+def test_frame_md5_twin_index_sets(spark):
+    """The md5 twin's per-document declared_frames (1 + len % 12) must
+    produce the documented index sets {step*j < min(d, 4*step)} —
+    enumerate all 12 declared values against the kernel."""
+    from scout_spark.operators.multimodal import sample_frames
+
+    rows = [(d, b"x" * 1, "s", d) for d in range(1, 13)]
+    df = spark.createDataFrame(
+        rows, "id long, payload binary, src string, d int"
+    )
+    from pyspark.sql import functions as F
+
+    blobs = df.select(
+        F.col("id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col("payload"),
+        F.struct(
+            F.col("src").alias("source"),
+            F.col("d").alias("declared_frames"),
+        ).alias("meta"),
+    )
+    got = {}
+    for r in sample_frames(blobs, n_frames=4).collect():
+        got.setdefault(r["media_id"], []).append(r["frame_index"])
+    for d in range(1, 13):
+        step = max(d // 4, 1)
+        want = list(range(0, min(d, 4 * step), step))
+        assert sorted(got[d]) == want, (d, got[d], want)
