@@ -164,6 +164,11 @@ HEADLINE = [
     # frame-sample md5 twin (0.84 s) is an Arrow explode kernel the
     # fuzzy flagship already represents, not separately benched
     "graph_mst_boruvka_unrolled_twin",
+    # round-7: WHT perceptual-hash dedup (1.7 s at sf0.1 = 0.38x its
+    # DuckDB oracle) — the numpy-matmul Arrow kernel + band equi-join
+    # composition; LTR rerank (1.24 s) is the BM25 family's
+    # TakeOrdered shape already benched via bm25/rerank entries
+    "dedup_image_phash_wht_pairs",
 ]
 
 # Frozen round-2 comparison subset: the headline set as of BENCH_r02

@@ -35,11 +35,15 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scout_spark.inventory import register
 from scout_spark.inventory.core import _t
+from scout_spark.inventory.retrieval import _BM25_B, _BM25_K1
+from scout_spark.inventory.text_ops import _canon_sql, _tokens_sql
 
 # ------------------------------------------------ Borůvka MST twin
 
@@ -310,4 +314,320 @@ def multimodal_frame_sample_md5_twin(
             F.max("mx").alias("max_checksum"),
         )
         .orderBy("n_frames", "max_frame_index")
+    )
+
+
+# --------------------------------- image perceptual-hash dedup
+
+_PH_BANDS = 4
+_PH_BANDW = 16
+_PH_HAM = 3  # pigeonhole: <= 3 differing bits over 4 bands => a band matches
+
+
+def _phash_oracle() -> str:
+    """63-bit Walsh–Hadamard sign hash + band-blocked Hamming pairs.
+
+    The raster is the deterministic fake image decode recomputed from
+    unicode code points (the audio-energy ord() discipline): pixel
+    p[k] = code point of the character at 1 + k·stride, stride =
+    max(len // 64, 1). The transform is the 8×8 WHT — the integer-
+    exact stand-in for pHash's DCT (same sign-of-low-frequency-
+    coefficient construction; WHT-based perceptual hashes are the
+    standard integer variant) — with sign s_u(i) = (-1)^popcount(u&i).
+    Bit (u·8+v)−1 of the hash is [c_uv > 0], DC (0,0) excluded so the
+    hash fits 63 bits (bit 63 would overflow BIGINT <<).
+    """
+    return f"""
+      WITH d AS (
+        SELECT doc_id, coalesce(text, '') AS t,
+               length(coalesce(text, '')) AS n
+        FROM documents
+      ),
+      px AS (
+        SELECT d.doc_id, g.k AS k,
+          CASE WHEN 1 + (g.k * greatest(d.n // 64, 1)) <= d.n
+               THEN unicode(substr(d.t, 1 + (g.k * greatest(d.n // 64, 1)), 1))
+               ELSE 0 END AS p
+        FROM d CROSS JOIN generate_series(0, 63) g(k)
+      ),
+      sgn AS (
+        SELECT u.u, v.v, g.k,
+               (1 - 2 * (bit_count((u.u & (g.k // 8))::BIGINT) % 2))
+             * (1 - 2 * (bit_count((v.v & (g.k % 8))::BIGINT) % 2)) AS s
+        FROM generate_series(0, 7) u(u),
+             generate_series(0, 7) v(v),
+             generate_series(0, 63) g(k)
+      ),
+      coef AS (
+        SELECT px.doc_id, sgn.u, sgn.v, sum(sgn.s * px.p)::BIGINT AS c
+        FROM px JOIN sgn ON sgn.k = px.k
+        GROUP BY px.doc_id, sgn.u, sgn.v
+      ),
+      h AS (
+        SELECT doc_id,
+               coalesce(sum(
+                 CASE WHEN c > 0 AND u + v > 0
+                      THEN (1::BIGINT << ((u * 8 + v) - 1))
+                      ELSE 0 END), 0)::BIGINT AS ph
+        FROM coef GROUP BY doc_id
+      ),
+      bands AS (
+        SELECT doc_id, ph, g.i AS band,
+               ((ph >> (16 * g.i)) & 65535) AS bv
+        FROM h CROSS JOIN generate_series(0, {_PH_BANDS - 1}) g(i)
+      )
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.ph, b.ph))::BIGINT AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ph, b.ph)) <= {_PH_HAM}
+      ORDER BY doc_a, doc_b
+    """
+
+
+def _phash_udf():
+    """Arrow-batched 63-bit WHT perceptual hash (created lazily — a
+    pandas_udf return type needs an active session to parse; pandas/
+    numpy imported at module level so the type hints resolve under
+    postponed annotations)."""
+    hmat = np.array(
+        [
+            [1 - 2 * (bin(u & i).count("1") % 2) for i in range(8)]
+            for u in range(8)
+        ],
+        dtype=np.int64,
+    )
+    weights = np.zeros(64, dtype=np.int64)
+    weights[1:] = np.int64(1) << np.arange(0, 63, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _ph(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for row, t in enumerate(texts):
+            t = t or ""
+            n = len(t)
+            stride = max(n // 64, 1)
+            px = np.zeros(64, dtype=np.int64)
+            for k in range(64):
+                pos = k * stride  # 0-based == SQL's 1-based 1+k*stride
+                if pos < n:
+                    px[k] = ord(t[pos])
+            c = hmat @ px.reshape(8, 8) @ hmat
+            bits = (c > 0).ravel()
+            bits[0] = False  # DC excluded — 63-bit hash
+            out[row] = int((bits * weights).sum())
+        return pd.Series(out)
+
+    return _ph
+
+
+@register(
+    "dedup_image_phash_wht_pairs",
+    "Image perceptual-hash near-duplicate pairs (VERDICT r06 item 7a): "
+    "a 63-bit Walsh–Hadamard sign hash over the deterministic fake "
+    "8×8 raster (code points sampled at stride len//64 — the "
+    "multimodal fake-decode contract; WHT is the integer-exact "
+    "stand-in for pHash's DCT, same sign-of-coefficient bits, "
+    "ord()-recomputable in SQL like the audio-energy twin), then the "
+    "proven simhash machinery: 4×16-bit band blocking (pigeonhole-"
+    "lossless for hamming <= 3) and a bucket EQUI-JOIN carrying both "
+    "hashes so bit_count verifies inside codegen. The hash kernel is "
+    "an Arrow pandas_udf (numpy 8×8 matmuls per batch — per-row-heavy "
+    "work on the sanctioned slow path; production swaps the fake "
+    "raster for a real image decode behind the same signature). "
+    "100 TB: shuffles only (doc_id, band, bucket, hash); never "
+    "all-pairs; bucket skew bounded by near-identical-raster cluster "
+    "size (measured max bucket 3 at sf0.01).",
+    oracle=_phash_oracle(),
+)
+def dedup_image_phash_wht_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from scout_spark.inventory.core import _th
+
+    d = _th(spark, sf_dir, "documents")
+    ph = _phash_udf()
+    # repartition barrier: without it CollapseProject inlines the
+    # Arrow-UDF hash into each of the 4 band expressions (4x kernel
+    # cost per row — the simhash lesson, CLAUDE.md perf rules)
+    sigs = d.select(
+        "doc_id",
+        ph(F.coalesce(F.col("text"), F.lit(""))).alias("ph"),
+    ).repartition(
+        max(spark.sparkContext.defaultParallelism, 8), "doc_id"
+    )
+    banded = sigs.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("ph"), b * _PH_BANDW)
+                        .bitwiseAND(F.lit((1 << _PH_BANDW) - 1))
+                        .alias("bv"),
+                    )
+                    for b in range(_PH_BANDS)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "ph", "x.band", "x.bv")
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("ph").alias("pa"),
+        "band", "bv",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("ph").alias("pb"),
+        "band", "bv",
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        a.join(b, ["band", "bv"])
+        .where((F.col("doc_a") < F.col("doc_b")) & (ham <= _PH_HAM))
+        .select(
+            "doc_a", "doc_b", ham.cast("long").alias("hamming")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------- feature-based LTR rerank twin
+
+_LTR_TERMS = ("spark", "table", "merge", "fast")
+_LTR_BIGRAMS = ("spark table", "table merge", "merge fast")
+_LTR_ABSENT = 1_000_000_000  # first-match sentinel (candidates match >= 1 term)
+
+
+@register(
+    "rerank_ltr_linear_features",
+    "Feature-based learning-to-rank rerank (VERDICT r06 item 7b — the "
+    "cross-encoder-style second stage): BM25 selects a deterministic "
+    "top-50 candidate set off the SHARED persisted posting frame "
+    "(retrieval.py::_bm25_all_scored — the corpus is tokenized once "
+    "per session, the BM25-family cache rule), then a fixed linear "
+    "model scores five query-document features per candidate: bm25, "
+    "term coverage, query-bigram hits (' spark table ' etc. as "
+    "whole-token substrings of the padded canon text), earliest "
+    "whole-token match position, and document length — the classic "
+    "LTR feature template (production swaps the fixed weights for a "
+    "trained model over the same feature frame). All features are "
+    "integer or 6dp-rounded, the score expression is written in the "
+    "identical order on both engines, and ties order by doc_id. "
+    "100 TB: feature extraction is candidate-bounded (50 rows joined "
+    "back to text), never corpus-bounded — the reference's two-phase "
+    "filter-then-verify shape (repo.py:48-71) applied to LTR.",
+    oracle=f"""
+      WITH dl AS (
+        SELECT doc_id, {_tokens_sql("text")} AS toks,
+               len({_tokens_sql("text")}) AS dl
+        FROM documents
+      ),
+      stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl WHERE dl > 0
+      ),
+      posting AS (
+        SELECT doc_id, dl, tok, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+        WHERE tok IN ('spark', 'table', 'merge', 'fast')
+        GROUP BY doc_id, dl, tok
+      ),
+      dfreq AS (SELECT tok, count(*) AS dfr FROM posting GROUP BY tok),
+      bm25_scored AS (
+        SELECT p.doc_id,
+               round(sum(
+                 ln(1.0 + (s.n_docs - f.dfr + 0.5) / (f.dfr + 0.5))
+                 * p.tf * ({_BM25_K1} + 1.0)
+                 / (p.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * p.dl / s.avgdl))
+               ), 6) AS bm25,
+               count(*)::BIGINT AS n_terms
+        FROM posting p JOIN dfreq f USING (tok) CROSS JOIN stats s
+        GROUP BY p.doc_id
+      ),
+      cand AS (
+        SELECT doc_id, bm25, n_terms FROM bm25_scored
+        ORDER BY bm25 DESC, doc_id LIMIT 50
+      ),
+      feats AS (
+        SELECT c.doc_id, c.bm25, c.n_terms, l.dl::BIGINT AS dl,
+               ' ' || {_canon_sql("d.text")} || ' ' AS pc
+        FROM cand c
+        JOIN documents d USING (doc_id)
+        JOIN dl l USING (doc_id)
+      ),
+      scored AS (
+        SELECT doc_id, bm25, n_terms, dl,
+               ({" + ".join(f"CASE WHEN strpos(pc, ' {b} ') > 0 THEN 1 ELSE 0 END" for b in _LTR_BIGRAMS)})::BIGINT
+                 AS bigram_hits,
+               least({", ".join(f"CASE WHEN strpos(pc, ' {t} ') > 0 THEN strpos(pc, ' {t} ') ELSE {_LTR_ABSENT} END" for t in _LTR_TERMS)})::BIGINT
+                 AS first_pos
+        FROM feats
+      )
+      SELECT doc_id, bm25, n_terms, bigram_hits, first_pos, dl,
+             round(bm25 + 0.5 * n_terms + 0.8 * bigram_hits
+                   - 0.0005 * dl + 2.0 / (1.0 + first_pos), 6)
+               AS ltr_score
+      FROM scored
+      ORDER BY ltr_score DESC, doc_id
+      LIMIT 10
+    """,
+)
+def rerank_ltr_linear_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from scout_spark.functions.normalize import canon_ascii
+    from scout_spark.inventory.retrieval import (
+        _bm25_all_scored,
+        _bm25_per_doc,
+    )
+
+    cand = (
+        _bm25_all_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+    )
+    dl = _bm25_per_doc(spark, sf_dir).select(
+        "doc_id", F.col("dl").cast("long").alias("dl")
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pc = F.concat(F.lit(" "), canon_ascii(F.col("text")), F.lit(" "))
+    feats = (
+        d.join(F.broadcast(cand), "doc_id")
+        .join(F.broadcast(dl.join(F.broadcast(cand.select("doc_id")), "doc_id")), "doc_id")
+        .select("doc_id", "bm25", "n_terms", "dl", pc.alias("pc"))
+    )
+    bigram_hits = None
+    for b in _LTR_BIGRAMS:
+        hit = (F.instr(F.col("pc"), f" {b} ") > 0).cast("long")
+        bigram_hits = hit if bigram_hits is None else bigram_hits + hit
+    first_pos = F.least(
+        *[
+            F.when(
+                F.instr(F.col("pc"), f" {t} ") > 0,
+                F.instr(F.col("pc"), f" {t} "),
+            ).otherwise(F.lit(_LTR_ABSENT))
+            for t in _LTR_TERMS
+        ]
+    ).cast("long")
+    scored = feats.select(
+        "doc_id",
+        "bm25",
+        F.col("n_terms").cast("long").alias("n_terms"),
+        bigram_hits.alias("bigram_hits"),
+        first_pos.alias("first_pos"),
+        "dl",
+    )
+    ltr = F.round(
+        F.col("bm25")
+        + 0.5 * F.col("n_terms")
+        + 0.8 * F.col("bigram_hits")
+        - 0.0005 * F.col("dl")
+        + 2.0 / (1.0 + F.col("first_pos")),
+        6,
+    )
+    return (
+        scored.withColumn("ltr_score", ltr)
+        .orderBy(F.col("ltr_score").desc(), "doc_id")
+        .limit(10)
     )

@@ -1030,3 +1030,84 @@ class TestRendezvous:
         ns = [r["count"] for r in counts]
         assert len(ns) == 8
         assert max(ns) < 2 * min(ns)  # md5 weights spread evenly
+
+
+class TestPhashWHT:
+    def test_kernel_matches_reference(self, spark):
+        """The Arrow WHT hash == an independent per-string reference
+        (explicit double loop over (u,v,i,j)), and exact-duplicate
+        texts collide while different texts (generically) don't."""
+        from scout_spark.inventory.r7_twins import _phash_udf
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog " * 3,
+            "the quick brown fox jumps over the lazy dog " * 3,
+            "a completely different document about spark tables",
+            "",
+            None,
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, t string"
+        )
+        got = {
+            r["id"]: r["h"]
+            for r in df.select(
+                "id", _phash_udf()(F.col("t")).alias("h")
+            ).collect()
+        }
+
+        def ref(t):
+            t = t or ""
+            n = len(t)
+            stride = max(n // 64, 1)
+            px = [
+                ord(t[k * stride]) if k * stride < n else 0
+                for k in range(64)
+            ]
+            h = 0
+            for u in range(8):
+                for v in range(8):
+                    if u == 0 and v == 0:
+                        continue
+                    c = 0
+                    for i in range(8):
+                        for j in range(8):
+                            su = 1 - 2 * (bin(u & i).count("1") % 2)
+                            sv = 1 - 2 * (bin(v & j).count("1") % 2)
+                            c += su * sv * px[i * 8 + j]
+                    if c > 0:
+                        h |= 1 << (u * 8 + v - 1)
+            return h
+
+        for i, t in enumerate(texts):
+            assert got[i] == ref(t), (i, got[i], ref(t))
+        assert got[0] == got[1]          # exact dup -> identical hash
+        assert got[0] != got[2]          # different text -> different
+        assert got[3] == 0 and got[4] == 0  # empty/NULL -> zero raster
+
+    def test_band_blocking_lossless(self, spark, sf_dir):
+        """Pigeonhole check on real data: the banded pair set ==
+        the all-pairs scan at the same hamming threshold."""
+        from scout_spark.inventory import load_all
+        from scout_spark.inventory.r7_twins import _PH_HAM, _phash_udf
+        from scout_spark.sources import load_table
+
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", _phash_udf()(F.col("text")).alias("ph")
+        )
+        rows = d.collect()
+        brute = set()
+        for i, a in enumerate(rows):
+            for b in rows[i + 1 :]:
+                if bin(a["ph"] ^ b["ph"]).count("1") <= _PH_HAM:
+                    brute.add(
+                        (min(a["doc_id"], b["doc_id"]),
+                         max(a["doc_id"], b["doc_id"]))
+                    )
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in load_all()["dedup_image_phash_wht_pairs"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        assert got == brute and len(got) > 0

@@ -750,3 +750,68 @@ def test_cms_sketch_stream_equals_batch(spark, documents_path):
         for r in token_cms_cells(batch).collect()
     }
     assert got == exp and len(got) > 100
+
+
+def test_rolling_hll_stream_equals_batch(spark, events_path):
+    """HLL registers are mergeable, idempotent state (max per
+    bucket): the drained stream's register bank must equal the batch
+    bank cell-for-cell, hence every rolling-window estimate is
+    split-invariant — the streaming arm of
+    sketch_hll_rolling_window_distinct (VERDICT r06 item 7c)."""
+    from scout_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+    from scout_spark.streaming.sketchwin import (
+        hll_day_registers,
+        rolling_hll_estimate,
+    )
+
+    batch = spark.read.parquet(events_path)
+    stream = read_events_stream(
+        spark, events_path, max_files_per_trigger=1
+    )
+    got_regs = run_to_memory_sink(
+        hll_day_registers(stream), "t_hllwin", output_mode="complete"
+    ).cache()
+    got = {(r["day"], r["bucket"]): r["r"] for r in got_regs.collect()}
+    exp = {
+        (r["day"], r["bucket"]): r["r"]
+        for r in hll_day_registers(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+
+    est_stream = {
+        r["day"]: r["hll_estimate"]
+        for r in rolling_hll_estimate(got_regs).collect()
+    }
+    est_batch = {
+        r["day"]: r["hll_estimate"]
+        for r in rolling_hll_estimate(hll_day_registers(batch)).collect()
+    }
+    assert est_stream == est_batch
+
+
+def test_rolling_hll_finisher_matches_inventory_entry(spark):
+    """The streaming finisher reproduces the oracle-backed batch
+    entry's estimates exactly (same registers -> same estimator)."""
+    from scout_spark.inventory import load_all
+    from scout_spark.sources import load_table
+    from scout_spark.streaming.sketchwin import (
+        hll_day_registers,
+        rolling_hll_estimate,
+    )
+
+    sf = SF_DIR
+    ev = load_table(spark, sf, "events")
+    got = {
+        r["day"]: r["hll_estimate"]
+        for r in rolling_hll_estimate(hll_day_registers(ev)).collect()
+    }
+    want = {
+        r["day"]: r["hll_estimate"]
+        for r in load_all()["sketch_hll_rolling_window_distinct"]
+        .spark(spark, sf)
+        .collect()
+    }
+    assert got == want and len(got) > 0
