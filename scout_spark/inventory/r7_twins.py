@@ -631,3 +631,350 @@ def rerank_ltr_linear_features(
         .orderBy(F.col("ltr_score").desc(), "doc_id")
         .limit(10)
     )
+
+
+
+
+# ------------------ between-class scatter power-iteration twin
+
+_PCA_SCALE = 1000  # q = floor(1000·x): exact on IEEE doubles
+_PCA_VSCALE = 4096  # per-round renormalization target for |v|
+_PCA_ROUNDS = 48  # eigengap ~0.80 on this corpus: 0.8^48 ≈ 2e-5
+
+
+def _pca_twin_oracle(rounds: int = _PCA_ROUNDS) -> str:
+    """Unrolled integer power iteration on the between-class (label)
+    scatter of the quantized embeddings.
+
+    The RAW covariance of this corpus is near-isotropic (λ2/λ1 ≈ 0.98
+    at sf0.1 — power iteration cannot separate a top direction there;
+    measured cos 0.01 after 64 rounds), but the label structure gives
+    the between-class scatter a 0.80 eigengap at every sf. Integer
+    form: d_l = n·S_l − n_l·S (= n·n_l·(μ_l − μ), BIGINT-exact), then
+    B[i,j] = Σ_l sgn(d_l[i]d_l[j]) · (|d_l[i]d_l[j]| // (n·n_l)) —
+    per-entry truncation ≤ |labels| absolute, relative ~1e-8. Each
+    round: w = B·v, renormalize with the cross-engine-unambiguous
+    sgn·(|w| // max(max|w| // VSCALE, 1)) (DuckDB ``//`` TRUNCATES
+    while Python ``//`` floors — routing through abs makes them
+    identical). Bounds measured on this corpus: |B| ≤ 8e8, |w| ≤
+    1.5e13 ≪ 2⁶³; the Spark driver loop asserts the bound, DuckDB
+    raises on overflow (loud either way). Direction == numpy's true
+    top eigenvector of the float between-class scatter (cos = 1.0 at
+    sf0.001/0.01/0.1, pinned in tests/test_graph.py).
+    """
+    parts = [
+        f"""
+      WITH flat AS MATERIALIZED (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS dim,
+               floor(unnest(embedding)::DOUBLE * {_PCA_SCALE})::BIGINT AS q
+        FROM embeddings
+      ),
+      nn AS (SELECT count(DISTINCT vec_id) AS n FROM flat),
+      nl AS (
+        SELECT label, count(DISTINCT vec_id) AS c FROM flat
+        GROUP BY label
+      ),
+      sg AS MATERIALIZED (
+        SELECT dim, sum(q)::BIGINT AS s FROM flat GROUP BY dim
+      ),
+      sl AS MATERIALIZED (
+        SELECT label, dim, sum(q)::BIGINT AS s FROM flat
+        GROUP BY label, dim
+      ),
+      dvec AS MATERIALIZED (
+        SELECT sl.label, sl.dim,
+               (nn.n * sl.s - nl.c * sg.s)::BIGINT AS d
+        FROM sl CROSS JOIN nn
+        JOIN nl USING (label)
+        JOIN sg ON sg.dim = sl.dim
+      ),
+      bmat AS MATERIALIZED (
+        SELECT a.dim AS i, b.dim AS j,
+               sum(
+                 (CASE WHEN a.d * b.d < 0 THEN -1 ELSE 1 END)
+                 * (abs(a.d * b.d) // (nn.n * nl.c))
+               )::BIGINT AS s
+        FROM dvec a
+        JOIN dvec b USING (label)
+        JOIN nl USING (label)
+        CROSS JOIN nn
+        GROUP BY a.dim, b.dim
+      ),
+      v0 AS (SELECT dim AS i, 1::BIGINT AS v FROM sg)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+      w{r} AS MATERIALIZED (
+        SELECT m.i, sum(m.s * v.v)::BIGINT AS w
+        FROM bmat m JOIN v{r - 1} v ON v.i = m.j
+        GROUP BY m.i
+      ),
+      d{r} AS (
+        SELECT greatest(max(abs(w)) // {_PCA_VSCALE}, 1) AS d FROM w{r}
+      ),
+      v{r} AS MATERIALIZED (
+        SELECT i,
+               (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+               * (abs(w) // dd.d) AS v
+        FROM w{r} CROSS JOIN d{r} dd
+      )"""
+        )
+    parts.append(
+        f"""
+      SELECT v.i::BIGINT AS dim, v.v::BIGINT AS eigvec_q,
+             m.s::BIGINT AS bscatter_diag
+      FROM v{rounds} v JOIN bmat m ON m.i = v.i AND m.j = v.i
+      ORDER BY dim"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "pca_between_scatter_integer_twin",
+    "Oracle-exact principal-direction twin for the last "
+    "float-iterative rows-only family (embedding_pca_label_scatter "
+    "stays the float production path): top eigendirection of the "
+    "BETWEEN-CLASS label scatter via integer power iteration over "
+    "floor(1000x) codes — the HITS scaled-integer-iteration "
+    "discipline (the raw covariance is near-isotropic on this corpus "
+    "and has no recoverable top direction; the label scatter has a "
+    "0.80 eigengap, see oracle docstring). Spark runs the "
+    "DISTRIBUTED integer moment pass (per-label and global per-dim "
+    "sums — map-side combinable; at 100 TB this is the "
+    "operators/pca.py sufficient-statistics shape) and contracts the "
+    "dimension-bounded 64×64 scatter to the driver for 48 "
+    "deterministic renormalized iterations (Python ints == BIGINT "
+    "under the asserted no-overflow bound; k-means/MMR "
+    "bounded-contraction precedent). Direction == numpy's float "
+    "between-class top eigenvector, cos 1.0 at every sf (pinned in "
+    "tests/test_graph.py).",
+    oracle=_pca_twin_oracle(),
+)
+def pca_between_scatter_integer_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _PCA_SCALE).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("pos", "q"),
+    ).select(
+        "vec_id", "label", (F.col("pos") + 1).alias("dim"), "q"
+    )
+    # ONE distributed moment pass: per-(label, dim) integer sums and
+    # counts — |labels|×64 rows, dimension-bounded contraction. The
+    # global sums, label counts, and n all derive from it exactly
+    # (integer sums are order-independent), saving three extra jobs
+    # that each paid the local job floor (2.2 s -> 1.2 s at sf0.1).
+    sl_rows = (
+        flat.groupBy("label", "dim")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    nl = {r["label"]: r["c"] for r in sl_rows if r["dim"] == 1}
+    n = sum(nl.values())
+    sg: dict[int, int] = {}
+    for r in sl_rows:
+        sg[r["dim"]] = sg.get(r["dim"], 0) + r["s"]
+    dims = sorted(sg)
+    dvec: dict[int, dict[int, int]] = {}
+    for r in sl_rows:
+        dvec.setdefault(r["label"], {})[r["dim"]] = (
+            n * r["s"] - nl[r["label"]] * sg[r["dim"]]
+        )
+    b = {(i, j): 0 for i in dims for j in dims}
+    for lab, d in dvec.items():
+        den = n * nl[lab]
+        for i in dims:
+            di = d[i]
+            for j in dims:
+                p = di * d[j]
+                b[(i, j)] += (-1 if p < 0 else 1) * (abs(p) // den)
+    v = {i: 1 for i in dims}
+    for _ in range(_PCA_ROUNDS):
+        w = {i: sum(b[(i, j)] * v[j] for j in dims) for i in dims}
+        for x in w.values():  # mirror DuckDB's loud overflow, not wrap
+            if abs(x) >= 1 << 63:
+                raise OverflowError(
+                    "pca twin: |w| exceeds BIGINT — rescale "
+                    "_PCA_VSCALE for this corpus size"
+                )
+        m = max(max(abs(x) for x in w.values()) // _PCA_VSCALE, 1)
+        v = {
+            i: (-1 if w[i] < 0 else 1) * (abs(w[i]) // m) for i in dims
+        }
+    rows = [(int(i), int(v[i]), int(b[(i, i)])) for i in dims]
+    return spark.createDataFrame(
+        rows, "dim bigint, eigvec_q bigint, bscatter_diag bigint"
+    ).orderBy("dim")
+
+
+# ---------------------------- MMR greedy unrolled integer twin
+
+_MMR_POOL = 20
+_MMR_PICKS = 5
+# λ = 0.7 scaled by 10: score = 7·rel − 3·max_sim_to_selected
+_MMR_WREL, _MMR_WSIM = 7, 3
+
+
+def _mmr_twin_oracle(picks: int = _MMR_PICKS) -> str:
+    """Unrolled greedy MMR over a deterministic top-{pool} candidate
+    cut: pick r is ONE argmax CTE over the pool minus the selected
+    set, scoring 7·rel − 3·max(dot to selected) in exact BIGINT
+    (floor(1000x) codes; dot ≤ 64·3079² < 2³⁰, ×7 ≪ 2⁶³). Plain WITH
+    (no RECURSIVE), so the sel{r} UNION ALL chains are safe from the
+    recursive-grammar footgun documented at the MST twin."""
+    head = f"""
+      WITH qv AS (
+        SELECT list_transform(embedding,
+                 x -> floor(x::DOUBLE * {_PCA_SCALE})::BIGINT) AS q
+        FROM embeddings WHERE vec_id = 0
+      ),
+      cand AS (
+        SELECT e.vec_id,
+               list_transform(e.embedding,
+                 x -> floor(x::DOUBLE * {_PCA_SCALE})::BIGINT) AS v
+        FROM embeddings e WHERE e.vec_id <> 0
+      ),
+      relv AS MATERIALIZED (
+        SELECT c.vec_id, c.v,
+               list_sum(list_transform(range(1, len(c.v) + 1),
+                        i -> c.v[i] * qv.q[i]))::BIGINT AS rel
+        FROM cand c CROSS JOIN qv
+      ),
+      pool AS MATERIALIZED (
+        SELECT vec_id, v, rel FROM relv
+        ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}
+      ),
+      gram AS MATERIALIZED (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * b.v[i]))::BIGINT AS dot
+        FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+      ),
+      p1 AS (
+        SELECT vec_id, rel, ({_MMR_WREL} * rel)::BIGINT AS score
+        FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+      ),
+      sel1 AS (SELECT vec_id FROM p1)"""
+    parts = [head]
+    for r in range(2, picks + 1):
+        parts.append(
+            f""",
+      p{r} AS (
+        SELECT po.vec_id, po.rel,
+               ({_MMR_WREL} * po.rel
+                - {_MMR_WSIM} * max(g.dot))::BIGINT AS score
+        FROM pool po JOIN gram g ON g.ia = po.vec_id
+        WHERE g.ib IN (SELECT vec_id FROM sel{r - 1})
+          AND po.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+        GROUP BY po.vec_id, po.rel
+        ORDER BY score DESC, po.vec_id LIMIT 1
+      ),
+      sel{r} AS (
+        SELECT vec_id FROM sel{r - 1}
+        UNION ALL
+        SELECT vec_id FROM p{r}
+      )"""
+        )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT {r} AS rank, vec_id, rel AS rel_dot, score AS mmr_score"
+        f" FROM p{r}"
+        for r in range(1, picks + 1)
+    )
+    parts.append(f"\n      {union}\n      ORDER BY rank")
+    return "".join(parts)
+
+
+@register(
+    "mmr_greedy_integer_unrolled_twin",
+    "Oracle-exact MMR twin (Carbonell & Goldstein greedy "
+    "diversification; rerank_mmr_diversified stays the float "
+    "production path): integer relevance = dot of floor(1000x) codes "
+    "against query vec 0, deterministic top-20 candidate cut, then "
+    "the inherently sequential greedy unrolled as 5 argmax CTEs "
+    "(score = 7·rel − 3·max dot to selected, ties on vec_id) — the "
+    "BPE/MST fixed-step-unroll discipline applied to a greedy trace. "
+    "Spark mirrors the same arithmetic: distributed relevance scan + "
+    "TakeOrdered pool cut, then the driver greedy over the BOUNDED "
+    "20-row pool with exact Python ints (the numpy pool pattern of "
+    "operators/mmr.py, integer-exact here). 100 TB: the scan is the "
+    "joinless ann_cosine shape; greedy cost is pool-bounded, never "
+    "corpus-bounded.",
+    oracle=_mmr_twin_oracle(),
+)
+def mmr_greedy_integer_unrolled_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        e.where(F.col("vec_id") == 0)
+        .select(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _PCA_SCALE).cast(
+                    "bigint"
+                ),
+            ).alias("q")
+        )
+        .collect()
+    )
+    schema = (
+        "rank int, vec_id bigint, rel_dot bigint, mmr_score bigint"
+    )
+    if not qrows:
+        return spark.createDataFrame([], schema)
+    qv = [int(x) for x in qrows[0]["q"]]
+    qcol = F.array(*[F.lit(x).cast("bigint") for x in qv])
+    cand = e.where(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _PCA_SCALE).cast(
+                "bigint"
+            ),
+        ).alias("v"),
+    )
+    rel = F.aggregate(
+        F.zip_with("v", qcol, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pool = (
+        cand.withColumn("rel", rel)
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_POOL)
+        .collect()  # bounded pool — driver greedy over 20 rows
+    )
+    vecs = {r["vec_id"]: [int(x) for x in r["v"]] for r in pool}
+    rels = {r["vec_id"]: int(r["rel"]) for r in pool}
+
+    def dot(a: list[int], b: list[int]) -> int:
+        return sum(x * y for x, y in zip(a, b))
+
+    order = sorted(rels, key=lambda i: (-rels[i], i))
+    first = order[0]
+    picks = [(1, first, rels[first], _MMR_WREL * rels[first])]
+    selected = [first]
+    for rank in range(2, _MMR_PICKS + 1):
+        best = None
+        for i in order:
+            if i in selected:
+                continue
+            msim = max(dot(vecs[i], vecs[s]) for s in selected)
+            score = _MMR_WREL * rels[i] - _MMR_WSIM * msim
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, rels[i], score)
+        picks.append((rank, best[1], best[2], best[3]))
+        selected.append(best[1])
+    return spark.createDataFrame(picks, schema).orderBy("rank")

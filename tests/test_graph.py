@@ -520,3 +520,98 @@ def test_mst_twin_consistent_with_rows_only_entry(spark, sf_dir):
     base = reg["graph_mst_boruvka"].spark(spark, sf_dir).collect()[0]
     assert sum(r["n_edges"] for r in twin) == base["n_tree_edges"]
     assert sum(r["weight_sum"] for r in twin) == base["total_weight"]
+
+
+def test_pca_between_scatter_twin_direction_matches_numpy(spark, sf_dir):
+    """The integer between-class-scatter power iteration aligns with
+    numpy's true top eigenvector of the FLOAT between-class scatter
+    on the same quantized data — the twin is a real principal
+    direction, not just a deterministic ritual."""
+    import numpy as np
+
+    from scout_spark.inventory import load_all
+    from scout_spark.inventory.r7_twins import _PCA_SCALE
+
+    got = (
+        load_all()["pca_between_scatter_integer_twin"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    v = np.array(
+        [r["eigvec_q"] for r in sorted(got, key=lambda r: r["dim"])],
+        dtype=float,
+    )
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("embedding", "label")
+        .toPandas()
+    )
+    q = np.floor(np.array(pdf["embedding"].tolist(), dtype=float) * _PCA_SCALE)
+    lab = pdf["label"].to_numpy()
+    mu = q.mean(0)
+    bmat = np.zeros((q.shape[1], q.shape[1]))
+    for lv in np.unique(lab):
+        ql = q[lab == lv]
+        d = ql.mean(0) - mu
+        bmat += len(ql) * np.outer(d, d)
+    top = np.linalg.eigh(bmat)[1][:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+
+
+def test_mmr_twin_diversification_fires(spark, sf_dir):
+    """The MMR twin's pick set must differ from pure top-5-by-rel
+    (diversification actually trades relevance for novelty on this
+    corpus) while pick 1 is the relevance argmax, and scores are
+    exactly 7·rel − 3·max-dot-to-selected recomputed from raw data."""
+    import numpy as np
+
+    from scout_spark.inventory import load_all
+    from scout_spark.inventory.r7_twins import (
+        _MMR_WREL,
+        _MMR_WSIM,
+        _PCA_SCALE,
+    )
+
+    picks = (
+        load_all()["mmr_greedy_integer_unrolled_twin"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    assert [r["rank"] for r in picks] == [1, 2, 3, 4, 5]
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    q = np.floor(
+        np.array(pdf["embedding"].tolist(), dtype=float) * _PCA_SCALE
+    ).astype(object)
+    ids = pdf["vec_id"].to_numpy()
+    qv = q[ids == 0][0]
+    rels = {
+        int(i): int(sum(a * b for a, b in zip(v, qv)))
+        for i, v in zip(ids, q)
+        if i != 0
+    }
+    top5 = [i for i, _ in sorted(rels.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+    got_ids = [r["vec_id"] for r in picks]
+    assert got_ids[0] == top5[0]          # pick 1 = relevance argmax
+    assert got_ids != top5                # diversification fired
+    # recompute scores independently
+    vec = {int(i): v for i, v in zip(ids, q) if i != 0}
+    sel = []
+    for r in picks:
+        if r["rank"] == 1:
+            assert r["mmr_score"] == _MMR_WREL * rels[r["vec_id"]]
+        else:
+            ms = max(
+                int(sum(a * b for a, b in zip(vec[r["vec_id"]], vec[s])))
+                for s in sel
+            )
+            assert (
+                r["mmr_score"]
+                == _MMR_WREL * rels[r["vec_id"]] - _MMR_WSIM * ms
+            )
+        sel.append(r["vec_id"])
