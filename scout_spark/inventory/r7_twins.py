@@ -447,15 +447,18 @@ def dedup_image_phash_wht_pairs(
 
     d = _th(spark, sf_dir, "documents")
     ph = _phash_udf()
-    # repartition barrier: without it CollapseProject inlines the
-    # Arrow-UDF hash into each of the 4 band expressions (4x kernel
-    # cost per row — the simhash lesson, CLAUDE.md perf rules)
+    # lazy localCheckpoint: the optimizer inlines the Arrow-UDF hash
+    # into BOTH the band-explode Generate and the carrying projection
+    # on EACH join side (4 ArrowEvalPython kernels measured; a
+    # repartition barrier did NOT stop it — projects collapse through
+    # RepartitionByExpression). Materializing the narrow (doc_id, ph)
+    # frame runs the kernel exactly once; bench lists this entry in
+    # E2E_REBUILD so the checkpoint compute stays inside the timed
+    # fresh build (the CC/pagerank discipline).
     sigs = d.select(
         "doc_id",
         ph(F.coalesce(F.col("text"), F.lit(""))).alias("ph"),
-    ).repartition(
-        max(spark.sparkContext.defaultParallelism, 8), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     banded = sigs.select(
         "doc_id",
         "ph",

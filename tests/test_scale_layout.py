@@ -735,3 +735,54 @@ def test_simhash_verify_is_bucket_equi_join(spark):
     # no grouped-list pair expansion: collect_list of candidate
     # structs feeding a Generate was the quadratic single-task shape
     assert "collect_list" not in plan, plan[:2000]
+
+
+def test_phash_pairs_is_banded_equi_join_single_kernel(spark):
+    """dedup_image_phash_wht_pairs must (a) verify candidates through
+    the (band, bv) equi-join — never an all-pairs or grouped-list
+    expansion — and (b) evaluate the Arrow hash kernel ONCE per side
+    behind the repartition barrier, not inlined into each of the 4
+    band expressions (the CollapseProject trap)."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["dedup_image_phash_wht_pairs"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan and "bv" in plan, plan[:2000]
+    assert "collect_list" not in plan, plan[:2000]
+    assert "NestedLoop" not in plan, plan[:2000]
+    # the (doc_id, ph) frame is localCheckpoint'ed, so the executed
+    # plan carries NO inline ArrowEvalPython: the kernel ran exactly
+    # once at materialization. 4 inline kernels (one per Generate +
+    # carrying projection per join side) was the pre-checkpoint shape
+    # — a repartition barrier did NOT prevent it.
+    assert plan.count("ArrowEvalPython") == 0, plan[:3000]
+
+
+def test_ltr_rerank_is_candidate_bounded(spark):
+    """rerank_ltr_linear_features joins the 50-row candidate cut back
+    to the corpus — the candidate side must broadcast (no data-sized
+    shuffle on the verify path), the reference two-phase contract."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["rerank_ltr_linear_features"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_frame_sample_twin_single_expansion(spark):
+    """multimodal_frame_sample_md5_twin's row expansion happens in ONE
+    mapInPandas stage; the rollup above it is plain hash aggregation
+    (map-side combinable), no window or second Python stage."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["multimodal_frame_sample_md5_twin"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan[:3000]
+    assert "windowspecdefinition" not in plan, plan[:3000]
