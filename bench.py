@@ -192,6 +192,9 @@ E2E_REBUILD = {
     # the hash-kernel localCheckpoint materializes at first action —
     # rebuild per pass so the kernel cost stays inside the timed wall
     "dedup_image_phash_wht_pairs",
+    # candidate-frame lazy checkpoints (r7 plan audit: the pair list
+    # fed 5 overlapping consumers, re-running the signature kernel 5x)
+    "dedup_minhash_lsh",
 }
 
 

@@ -62,18 +62,27 @@ _SHINGLES_SQL = f"""
     """,
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _th(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        word_shingles_arrow(_K)(F.col("text")).alias("sh"),
-    )
+    d = _th(spark, sf_dir, "documents")
+    # fresh per-entry UDF instance, fenced nondeterministic: the sh
+    # column is referenced by BOTH F.size and F.explode on the corpus
+    # branch, and a deterministic UDF gets inlined into each reference
+    # — 2x the shingle kernel per branch, 4x total (r7 plan audit).
+    # Source filters sit BELOW the kernel select, so no pushdown is
+    # lost to the fence; each branch shingles only its own rows, once.
+    shu = word_shingles_arrow(_K).asNondeterministic()
     ev = (
         d.where(F.col("source") == "src0")
-        .select(F.explode("sh").alias("g"))
+        .select(F.explode(shu(F.col("text"))).alias("g"))
         .distinct()
     )
-    cs = d.where(F.col("source") != "src0").select(
-        "doc_id", F.size("sh").alias("total"), F.explode("sh").alias("g")
+    cs = (
+        d.where(F.col("source") != "src0")
+        .select("doc_id", shu(F.col("text")).alias("sh"))
+        .select(
+            "doc_id",
+            F.size("sh").alias("total"),
+            F.explode("sh").alias("g"),
+        )
     )
     return (
         # ev = distinct shingles of the EVAL set — eval-set-sized by

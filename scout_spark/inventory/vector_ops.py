@@ -796,6 +796,12 @@ def ann_ivf_md5_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(np.argmin(d, axis=1).astype(np.int32))
 
+    # referenced by both the probe filter and the projection — the
+    # optimizer inlines a deterministic UDF into each reference (2x
+    # kernel, r7 plan audit); the nondeterministic marker is a pure
+    # optimizer fence (the function itself is deterministic)
+    _cell = _cell.asNondeterministic()
+
     return (
         e.where(F.col("vec_id") != QUERY_VEC_ID)
         .select(

@@ -179,7 +179,13 @@ def _assign_and_cosine_udf(cent_ids, cent_unit, qv):
             }
         )
 
-    return _fused
+    # the struct output is referenced by BOTH the probe filter and the
+    # score projection; the optimizer inlines a deterministic UDF into
+    # each reference, running the kernel twice over the corpus (r7 plan
+    # audit). asNondeterministic() forbids the duplication — the
+    # function is pure, the marker is purely an optimizer fence, and
+    # the probe filter must sit above the assignment anyway.
+    return _fused.asNondeterministic()
 
 
 def ivf_assign(

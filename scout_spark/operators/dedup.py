@@ -225,6 +225,13 @@ def minhash_lsh_pairs(
         buckets.select(F.explode(_pairs_from(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
+        # the candidate pair list feeds FIVE overlapping consumers
+        # (both cand_ids union branches x the two shingle_sets join
+        # sides + the final pair join) — without a barrier each one
+        # re-evaluates the whole signature pipeline, re-running the
+        # Arrow kernel over the corpus 5x (r7 plan audit). The lazy
+        # checkpoint materializes the SMALL pair list once.
+        .localCheckpoint(eager=False)
     )
     # verify: compute distinct shingle sets ONLY for candidate ids (semi
     # join first), then exact Jaccard per pair.
@@ -236,6 +243,9 @@ def minhash_lsh_pairs(
     shingle_sets = (
         df.join(cand_ids, F.col(id_col) == F.col("_cid"), "left_semi")
         .select(F.col(id_col), sh.alias("shingles"))
+        # consumed by both the id_a and id_b join sides: candidate-
+        # bounded rows, one shingle evaluation instead of two
+        .localCheckpoint(eager=False)
     )
     cand = cand.join(
         shingle_sets.withColumnRenamed(id_col, "id_a").withColumnRenamed(
