@@ -39,7 +39,7 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir).select(
         "src", "dst", (F.lit(1) + (F.col("src") + F.col("dst")) % 5).alias("w")
     )
-    tree = boruvka_mst(e)
+    tree = boruvka_mst(e, checkpoint_input=False)  # _edges is persisted
     nodes = (
         e.select(F.col("src").alias("n"))
         .unionByName(e.select(F.col("dst").alias("n")))

@@ -192,7 +192,10 @@ def graph_mst_boruvka_unrolled_twin(
         "dst",
         (F.lit(1) + (F.col("src") + F.col("dst")) % 5).alias("w"),
     )
-    tree = boruvka_mst(e, max_rounds=_MST_ROUNDS)
+    # _edges is session-persisted — skip the operator's input
+    # checkpoint (a second full copy of the 600k-row edge list; the
+    # weight projection re-reads the cache per round either way)
+    tree = boruvka_mst(e, max_rounds=_MST_ROUNDS, checkpoint_input=False)
     return (
         tree.groupBy(F.col("w").cast("long").alias("w"))
         .agg(

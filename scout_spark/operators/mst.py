@@ -33,11 +33,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def boruvka_mst(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
+def boruvka_mst(
+    edges: DataFrame,
+    max_rounds: int = 12,
+    checkpoint_input: bool = True,
+) -> DataFrame:
     """Minimum spanning forest of an undirected weighted edge list
-    ``(src, dst, w)`` with ``src < dst``; returns the tree edges."""
+    ``(src, dst, w)`` with ``src < dst``; returns the tree edges.
+
+    ``checkpoint_input=False`` skips the initial lineage-cut when the
+    caller's edge frame is already materialized (persisted/cached) —
+    the per-round argmin re-reads it from cache either way, and the
+    extra checkpoint is a full copy of the edge list."""
     spark = edges.sparkSession
-    e = edges.select("src", "dst", "w").localCheckpoint()
+    e = edges.select("src", "dst", "w")
+    if checkpoint_input:
+        e = e.localCheckpoint()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
