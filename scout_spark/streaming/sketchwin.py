@@ -53,9 +53,10 @@ def hll_day_registers(events: DataFrame) -> DataFrame:
     bucket, rho = _hll_cols(F.col("user_id"))
     return (
         events.select(
-            (F.unix_micros(F.col("ts")) / F.lit(_DAY_US))
-            .cast("long")
-            .alias("day"),
+            # integer floor division, matching the batch entry and the
+            # cross-engine invariant (float division + cast is exact only
+            # while unix_micros stays under 2^53 — enforced nowhere)
+            F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
             bucket,
             rho,
         )
@@ -89,7 +90,9 @@ def rolling_hll_estimate(
             "s_present"
         ),
     )
-    raw = F.lit(_HLL_ALPHA_M2) / (
+    # _HLL_ALPHA_M2 is repr(float) (a string, for SQL interpolation) —
+    # coerce explicitly rather than relying on implicit string→double
+    raw = F.lit(float(_HLL_ALPHA_M2)) / (
         F.col("s_present") + (_HLL_M - F.col("n_regs"))
     )
     lc = _HLL_M * F.log(

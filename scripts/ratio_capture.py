@@ -53,18 +53,38 @@ def _load_entry_module():
     return mod
 
 
-def _timed_duck(con, sql: str, timeout_s: float) -> float | None:
-    """Seconds for one fetchall, or None on watchdog interrupt."""
-    timer = threading.Timer(timeout_s, con.interrupt)
+def _timed_duck(con, sql: str, timeout_s: float):
+    """Seconds for one fetchall, None on watchdog interrupt, or an
+    ``"err: ..."`` string for a genuine SQL error (previously recorded
+    indistinguishably as a timeout). The timer can fire in the gap
+    between query completion and cancel() — the flag + drain below stop
+    that stale interrupt from corrupting the NEXT entry's measurement."""
+    import duckdb
+
+    fired = threading.Event()
+
+    def _watchdog():
+        fired.set()
+        con.interrupt()
+
+    timer = threading.Timer(timeout_s, _watchdog)
     timer.start()
     try:
         t0 = time.time()
         con.execute(sql).fetchall()
         return time.time() - t0
-    except Exception:
+    except duckdb.InterruptException:
         return None
+    except Exception as ex:
+        return f"err: {str(ex)[:160]}"
     finally:
         timer.cancel()
+        if fired.is_set():
+            # stale interrupt may be pending — drain it on a no-op
+            try:
+                con.execute("SELECT 1").fetchall()
+            except Exception:
+                pass
 
 
 def main() -> None:
@@ -101,7 +121,12 @@ def main() -> None:
 
     for name in names:
         fn = q[name]
-        rec: dict = {}
+        # per-entry load sample: a long sequential capture self-loads the
+        # box — rows captured hot are self-labeling (VERDICT r07 item 5)
+        load_1m = round(os.getloadavg()[0], 2)
+        rec: dict = {"load_1m": load_1m}
+        if load_1m > 2.0:
+            rec["hot_capture"] = True
         try:
             fn(spark, args.sf_dir).collect()  # warm (fresh build)
             t0 = time.time()
@@ -114,19 +139,21 @@ def main() -> None:
             print(name, rec, flush=True)
             continue
         if name in o:
-            if _timed_duck(con, o[name], args.timeout) is None:  # warm
+            warm = _timed_duck(con, o[name], args.timeout)
+            dt = warm if warm is None or isinstance(warm, str) else (
+                _timed_duck(con, o[name], args.timeout)
+            )
+            if dt is None:
                 rec["duck_timeout"] = args.timeout
                 timeouts.append(name)
+            elif isinstance(dt, str):
+                rec["duck_err"] = dt
+                errors.append(name)
             else:
-                dt = _timed_duck(con, o[name], args.timeout)
-                if dt is None:
-                    rec["duck_timeout"] = args.timeout
-                    timeouts.append(name)
-                else:
-                    rec["duck_s"] = round(dt, 3)
-                    rec["ratio"] = round(rec["spark_s"] / dt, 3) if dt > 0 else None
-                    spark_total += rec["spark_s"]
-                    duck_total += dt
+                rec["duck_s"] = round(dt, 3)
+                rec["ratio"] = round(rec["spark_s"] / dt, 3) if dt > 0 else None
+                spark_total += rec["spark_s"]
+                duck_total += dt
         entries[name] = rec
         print(name, rec, flush=True)
 

@@ -111,7 +111,12 @@ def test_rank_toolkit_call_budget():
     """ADVICE r06: _persist_bounded's FIFO eviction is only safe if no
     single query builds more than _MAX_CACHED ranged frames before its
     consuming action runs. Statically count toolkit calls per function
-    across the whole inventory package and pin the budget."""
+    across the whole inventory package — TRANSITIVELY through
+    intra-package helper calls (ADVICE r07: a per-body count missed an
+    entry that ranks via a helper which itself calls the toolkit), and
+    pin the budget. Counting is by bare function name, which OVERcounts
+    on name collisions and branch-exclusive calls — conservative in the
+    safe direction for a ceiling check."""
     import ast
     import pathlib
 
@@ -119,7 +124,18 @@ def test_rank_toolkit_call_budget():
 
     toolkit = {"global_row_number", "global_ntile", "global_prefix_sum"}
     inv = pathlib.Path("scout_spark/inventory")
-    worst = ("", 0)
+
+    def _callee_names(node):
+        for c in ast.walk(node):
+            if isinstance(c, ast.Call):
+                if isinstance(c.func, ast.Name):
+                    yield c.func.id
+                elif isinstance(c.func, ast.Attribute):
+                    yield c.func.attr
+
+    direct: dict[str, int] = {}  # bare name -> direct toolkit calls
+    callees: dict[str, list[str]] = {}  # bare name -> called names
+    where: dict[str, str] = {}
     for path in sorted(inv.glob("*.py")):
         tree = ast.parse(path.read_text())
         for node in ast.walk(tree):
@@ -127,22 +143,29 @@ def test_rank_toolkit_call_budget():
                 node, (ast.FunctionDef, ast.AsyncFunctionDef)
             ):
                 continue
-            calls = sum(
-                1
-                for c in ast.walk(node)
-                if isinstance(c, ast.Call)
-                and (
-                    (isinstance(c.func, ast.Name) and c.func.id in toolkit)
-                    or (
-                        isinstance(c.func, ast.Attribute)
-                        and c.func.attr in toolkit
-                    )
-                )
-            )
-            if calls > worst[1]:
-                worst = (f"{path.name}:{node.name}", calls)
+            names = list(_callee_names(node))
+            d = sum(1 for n in names if n in toolkit)
+            # name collision across modules: keep the heavier definition
+            if d >= direct.get(node.name, -1):
+                direct[node.name] = d
+                callees[node.name] = [n for n in names if n not in toolkit]
+                where[node.name] = f"{path.name}:{node.name}"
+
+    def total(name: str, stack: frozenset) -> int:
+        if name not in direct or name in stack:
+            return 0  # external call or recursion cycle
+        inner = stack | {name}
+        return direct[name] + sum(
+            total(c, inner) for c in callees[name]
+        )
+
+    worst = ("", 0)
+    for name in direct:
+        t = total(name, frozenset())
+        if t > worst[1]:
+            worst = (where[name], t)
     assert worst[1] <= _MAX_CACHED, (
-        f"{worst[0]} makes {worst[1]} rank-toolkit calls; "
+        f"{worst[0]} makes {worst[1]} rank-toolkit calls (transitive); "
         f"_MAX_CACHED={_MAX_CACHED} frames could evict a live ranged "
         "frame mid-query — raise _MAX_CACHED or split the query"
     )

@@ -8,6 +8,7 @@ from scout_spark.inventory import load_all
 from scout_spark.inventory.rotation import (
     CHECKED_PRIOR_ROUNDS,
     FAILED_PRIOR_ROUNDS,
+    LAST_CHECKED_ROUND,
     ordered_names,
 )
 
@@ -54,6 +55,30 @@ def test_unchecked_queries_fill_driver_window():
 def test_queries_iteration_order_matches_rotation():
     registry = load_all()
     assert list(entrymod.queries()) == ordered_names(registry)
+
+
+def test_green_tier_is_staleness_ordered():
+    """Checked-green entries re-enter the window stalest-first:
+    tier-2 order is (last-checked round, registration index), so a green
+    last verified in r03 precedes one verified in r07 regardless of
+    registration order, and every green cycles back on a ~N/50-round
+    cadence instead of the oldest-registered prefix re-checking forever."""
+    registry = load_all()
+    order = ordered_names(registry)
+    greens = [
+        n
+        for n in order
+        if n in CHECKED_PRIOR_ROUNDS and n not in FAILED_PRIOR_ROUNDS
+    ]
+    # greens occupy the back of the rotation contiguously
+    assert order[-len(greens) :] == greens
+    reg_index = {n: i for i, n in enumerate(registry)}
+    keys = [(LAST_CHECKED_ROUND[n], reg_index[n]) for n in greens]
+    assert keys == sorted(keys), (
+        "green tier must be ordered by (last-checked round, reg index)"
+    )
+    # the scan actually produced multiple distinct rounds (not all r01)
+    assert len({LAST_CHECKED_ROUND[n] for n in greens}) > 1
 
 
 def test_round1_correctness_keys_are_all_marked_checked():
