@@ -117,6 +117,7 @@ def load_all() -> dict[str, Item]:
         # round-7 additions — import LAST so they queue behind the 20
         # entries still awaiting their first driver check
         r7_twins,
+        r8_ops,
     )
 
     return REGISTRY
