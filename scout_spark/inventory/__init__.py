@@ -118,6 +118,7 @@ def load_all() -> dict[str, Item]:
         # entries still awaiting their first driver check
         r7_twins,
         r8_ops,
+        r8_ops2,
     )
 
     return REGISTRY

@@ -476,17 +476,52 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pri = w1.select(
         "l_returnflag",
         "bin",
+        F.col("bw"),
         F.coalesce(F.sum("bw").over(wprior), F.lit(0)).alias("prior"),
         F.sum("bw").over(Window.partitionBy("l_returnflag")).alias("tot"),
     )
-    # exact within-bin running sum: partitions on (flag, bin) keep the
-    # sort fan-out proportional to the bin count, not |flags|
+    # CROSSING-BIN PRUNING (r08 floor capture: the within-bin window
+    # over the full fact stream was 4.6× a single-thread DuckDB on
+    # identical work): each target fraction crosses in exactly ONE bin
+    # per flag — min bin whose end-cumulative reaches the threshold;
+    # the exact crossing row then comes from sorting ONLY those bins'
+    # rows (2 bins per flag regardless of corpus size). prior < thr <=
+    # prior+bw in the crossing bin, so the per-row scan below cannot
+    # miss it.
+    wflag = Window.partitionBy("l_returnflag")
+    crossing = (
+        pri.withColumn(
+            "med_bin",
+            F.min(
+                F.when(
+                    2 * (F.col("prior") + F.col("bw")) >= F.col("tot"),
+                    F.col("bin"),
+                )
+            ).over(wflag),
+        )
+        .withColumn(
+            "p90_bin",
+            F.min(
+                F.when(
+                    10 * (F.col("prior") + F.col("bw")) >= 9 * F.col("tot"),
+                    F.col("bin"),
+                )
+            ).over(wflag),
+        )
+        .where(
+            (F.col("bin") == F.col("med_bin"))
+            | (F.col("bin") == F.col("p90_bin"))
+        )
+        .select("l_returnflag", "bin", "prior", "tot")
+    )
+    # exact within-bin running sum over the crossing bins only:
+    # partitions on (flag, bin); sorted volume is O(rows-per-bin)
     win_in = (
         Window.partitionBy("l_returnflag", "bin")
         .orderBy("pc", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    r = base.join(F.broadcast(pri), ["l_returnflag", "bin"]).select(
+    r = base.join(F.broadcast(crossing), ["l_returnflag", "bin"]).select(
         "l_returnflag",
         "pc",
         (F.col("prior") + F.sum("q").over(win_in)).alias("cumw"),

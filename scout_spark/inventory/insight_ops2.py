@@ -669,15 +669,16 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "market_basket_association_rules",
     "A-Priori association rules over order baskets — support, "
     "confidence (both directions), and lift for every part pair "
-    "co-occurring in >= 3 orders: pair counts come from the per-order "
-    "sorted item arrays expanded with a SQL-lambda HOF (one shuffle on "
-    "orderkey, fanout bounded by basket size squared — the graph_ops "
-    "edge-builder pattern, 3x faster than the self-join at sf0.1), "
+    "co-occurring in >= 3 orders: pair counts come from a SHUFFLE_HASH "
+    "self-join of the distinct (order, part) stream on orderkey (one "
+    "reused exchange; fanout bounded by basket size squared — the r08 "
+    "floor capture retired the earlier HOF basket expansion, whose "
+    "interpreted lambdas and extra collect_list exchange cost 1.5x), "
     "per-item order counts BROADCAST onto the pair frame twice (item "
     "marginals are dimension-sized), and the ratios assemble from "
-    "exact integers with one rounded division each. 100 TB: the basket "
-    "collapse is the only fact-scale shuffle; candidate pairs above "
-    "min-support are sparse by construction.",
+    "exact integers with one rounded division each. 100 TB: the "
+    "item-stream shuffle on orderkey is the only fact-scale exchange; "
+    "candidate pairs above min-support are sparse by construction.",
     oracle="""
       WITH items AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -711,20 +712,24 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = items.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_partkey")).alias("ps")
+    # pair stream via SHUFFLE_HASH self-join on orderkey (exchange
+    # reused across the identical sides): the earlier collect_list +
+    # SQL-lambda HOF expansion — 3× faster than a SORT-MERGE self-join
+    # when measured in r04 — lost 1.5× to this hash join on the
+    # regenerated corpus (r08 floor capture: 2.5 s -> 1.7 s at sf0.1,
+    # identical output; the interpreted nested-transform lambdas and
+    # the extra collect_list exchange were the cost). localCheckpoint
+    # of items measured SLOWER (2.4 s — the butterfly-persist
+    # counterexample: materialization breaks codegen fusion).
+    ia = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
     )
+    ib = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    ).hint("shuffle_hash")
     pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS part_a, y AS part_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.part_a", "p.part_b")
+        ia.join(ib, "k")
+        .where(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= 3)

@@ -103,7 +103,6 @@ def main() -> None:
         if n in q
     ]
     spark = get_spark("floor-capture", cpus=args.cpus)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     con = oracle_connection(args.sf_dir)
 
     load0 = os.getloadavg()
@@ -111,38 +110,64 @@ def main() -> None:
     for name in names:
         rec: dict = {"load_1m": round(os.getloadavg()[0], 2)}
         fn = q[name]
-        # (i) bench-methodology wall at the default partitioning
+        # (i) bench-methodology wall: AQE on (session default, matches
+        # bench.py), default shuffle partitioning
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         rec["spark_noop_s"] = _median_fresh(
             fn, spark, args.sf_dir, args.passes
         )
-        # (ii) single-partition: exchanges still exist in the plan but
-        # move one partition each — what remains is scheduler floor +
-        # the actual single-stream compute, the closest Spark gets to
-        # DuckDB's in-process execution
+        # (ii) single-partition + AQE off: exchanges still exist in the
+        # plan but move one partition each and nothing re-plans — what
+        # remains is scheduler floor + the actual single-stream
+        # compute, the closest Spark gets to DuckDB's in-process
+        # execution. CAVEAT recorded in `method`: DuckDB itself runs
+        # multi-threaded, so for genuinely compute-bound entries sp1
+        # serializes work DuckDB parallelizes — read ratio_sp1 > 2
+        # as "investigate", and close with a like-for-like check
+        # (e.g. duck_threads=1) before calling it plan slack.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", "1")
         rec["spark_sp1_s"] = _median_fresh(
             fn, spark, args.sf_dir, args.passes
         )
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        # (iii) oracle wall
+        # (iii) oracle wall, default threads AND single-threaded —
+        # duck_1t is the like-for-like partner for spark_sp1
         if name in o:
-            con.execute(o[name]).fetchall()  # warm
-            runs = []
-            for _ in range(args.passes):
-                t0 = time.time()
-                con.execute(o[name]).fetchall()
-                runs.append(time.time() - t0)
-            rec["duck_s"] = round(statistics.median(runs), 3)
+
+            def _duck_median() -> float:
+                con.execute(o[name]).fetchall()  # warm
+                runs = []
+                for _ in range(args.passes):
+                    t0 = time.time()
+                    con.execute(o[name]).fetchall()
+                    runs.append(time.time() - t0)
+                return round(statistics.median(runs), 3)
+
+            rec["duck_s"] = _duck_median()
+            con.execute("SET threads=1")
+            rec["duck_1t_s"] = _duck_median()
+            con.execute(f"SET threads={args.cpus}")
             rec["ratio_noop"] = round(
                 rec["spark_noop_s"] / rec["duck_s"], 2
             )
             rec["ratio_sp1"] = round(
                 rec["spark_sp1_s"] / rec["duck_s"], 2
             )
+            rec["ratio_sp1_vs_1t"] = round(
+                rec["spark_sp1_s"] / rec["duck_1t_s"], 2
+            )
+            # single-stream vs single-stream is the honest test: if
+            # Spark's one-partition pipeline is still >2x a
+            # one-thread DuckDB on identical work, the plan carries
+            # real slack; if it's within 2x, the parallel-path gap
+            # (ratio_noop) is exchange/scheduler floor that a real
+            # cluster amortizes.
             rec["adjudication"] = (
                 "plan_slack"
-                if rec["ratio_sp1"] > 2.0
+                if rec["ratio_sp1_vs_1t"] > 2.0
                 else "engine_floor"
             )
         entries[name] = rec
@@ -155,10 +180,13 @@ def main() -> None:
         "load_avg_start": [round(x, 2) for x in load0],
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         "method": (
-            "per entry: median of fresh-build noop walls at "
-            "shuffle.partitions=8 (bench config) and =1 (floor "
-            "isolation), vs DuckDB fetchall median; sp1 > 2x duck "
-            "=> plan slack, else engine floor"
+            "per entry: median of fresh-build noop walls with AQE on "
+            "at shuffle.partitions=8 (bench config) and AQE off at "
+            "=1 (single-stream isolation), vs DuckDB fetchall medians "
+            "at default threads and threads=1; adjudication compares "
+            "single-stream to single-stream (spark_sp1 vs duck_1t): "
+            ">2x => plan slack, else engine floor (the ratio_noop gap "
+            "is then exchange/scheduler overhead a cluster amortizes)"
         ),
         "entries": entries,
     }
