@@ -195,6 +195,10 @@ E2E_REBUILD = {
     # candidate-frame lazy checkpoints (r7 plan audit: the pair list
     # fed 5 overlapping consumers, re-running the signature kernel 5x)
     "dedup_minhash_lsh",
+    # r08: the length histogram (the query's only corpus-scale job)
+    # collects at build time for the bounded driver contraction —
+    # rebuild per pass so that job stays inside the timed wall
+    "stats_psi_drift",
 }
 
 

@@ -1643,13 +1643,13 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drift gate (PSI > 0.2 = investigate). Decile edges are derived "
     "with pure integer arithmetic (edge_k = min value whose cumulative "
     "en count satisfies 10*cum >= k*n1 — no engine percentile "
-    "function, so both engines agree exactly); bin assignment is a "
-    "broadcast HOF count of edges <= value; missing bins are densified "
-    "so the 0.5-count smoothing applies uniformly; and the PSI sum "
-    "folds the 10 per-bin terms in bin order (Spark aggregate vs "
-    "DuckDB list_reduce — sequential, deterministic). 100 TB: the "
-    "value histogram collapses the corpus first; everything downstream "
-    "is decile-sized.",
+    "function, so both engines agree exactly); missing bins are "
+    "densified so the 0.5-count smoothing applies uniformly; and the "
+    "PSI sum folds the 10 per-bin terms in bin order (left-to-right, "
+    "matching DuckDB list_reduce). 100 TB: ONE distributed job — the "
+    "value histogram collapses the corpus; edges/bins/fold are a "
+    "bounded driver contraction over the collected histogram "
+    "(|distinct n_chars| rows).",
     oracle="""
       WITH pv AS (
         SELECT n_chars,
@@ -1709,91 +1709,54 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pv = _lang_length_hist(spark, sf_dir)
-    wcum = (
-        Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    import math
+
+    # ONE distributed job — the corpus-collapsing histogram (this is
+    # the entry's own 100 TB story: everything downstream is
+    # length-domain-bounded). The previous all-in-plan form built the
+    # same histogram THREE times (once per derived-frame broadcast:
+    # edges, bybin, tot) and its r06->r08 bench wall crept 0.49 -> 1.17 s
+    # on regenerated data; decile edges, bin assignment, and the
+    # 10-term fold are a bounded driver contraction over the collected
+    # histogram (|distinct n_chars| rows — the PCA/MMR/keyset-cursor
+    # precedent), 1 scan instead of 3 (1.17 -> ~0.45 s at sf0.1).
+    # Every arithmetic step mirrors the oracle exactly: integer cumsum
+    # thresholds, (b + 0.5)/(n + 5.0) smoothing, ln-ratio terms summed
+    # LEFT-TO-RIGHT in bin order, HALF-UP rounding (Python's round()
+    # is banker's — not used).
+    rows = sorted(
+        _lang_length_hist(spark, sf_dir).collect(),
+        key=lambda r: r["n_chars"],
     )
-    wall = Window.partitionBy()
-    c = pv.select(
-        "n_chars",
-        "c1",
-        "c2",
-        F.sum("c1").over(wcum).alias("cum1"),
-        F.sum("c1").over(wall).alias("n1"),
-        F.sum("c2").over(wall).alias("n2"),
-    )
-    e = (
-        c.crossJoin(F.broadcast(spark.range(1, 10).select(F.col("id").alias("k"))))
-        .groupBy("k")
-        .agg(
-            F.min(
-                F.when(
-                    10 * F.col("cum1") >= F.col("k") * F.col("n1"),
-                    F.col("n_chars"),
-                )
-            ).alias("edge")
-        )
-    )
-    ea = e.agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(k, edge))), "
-            "s -> s.edge)"
-        ).alias("earr")
-    )
-    binned = c.crossJoin(F.broadcast(ea)).select(
-        F.expr("size(filter(earr, x -> x <= n_chars))").alias("bin"),
-        "c1",
-        "c2",
-        "n1",
-        "n2",
-    )
-    bybin = binned.groupBy("bin").agg(
-        F.sum("c1").alias("b1"),
-        F.sum("c2").alias("b2"),
-        F.min("n1").alias("n1"),
-        F.min("n2").alias("n2"),
-    )
-    tot = bybin.agg(
-        F.min("n1").alias("n1"), F.min("n2").alias("n2")
-    )
-    grid = spark.range(0, 10).select(F.col("id").alias("bin"))
-    dense = (
-        grid.join(F.broadcast(bybin.select("bin", "b1", "b2")), "bin", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bin",
-            F.coalesce("b1", F.lit(0)).alias("b1"),
-            F.coalesce("b2", F.lit(0)).alias("b2"),
-            "n1",
-            "n2",
-        )
-    )
-    p1 = (F.col("b1") + 0.5) / (F.col("n1").cast("double") + 5.0)
-    p2 = (F.col("b2") + 0.5) / (F.col("n2").cast("double") + 5.0)
-    terms = dense.select(
-        "bin",
-        ((p1 - p2) * F.log(p1 / p2)).alias("term"),
-        "n1",
-        "n2",
-    )
-    return terms.agg(
-        F.min("n1").alias("n_en"),
-        F.min("n2").alias("n_de"),
-        F.count(F.lit(1)).alias("n_bins"),
-        F.round(
-            F.expr(
-                "aggregate(transform(array_sort(collect_list("
-                "struct(bin, term))), s -> s.term), "
-                "cast(0.0 as double), (a, x) -> a + x)"
-            ),
-            6,
-        ).alias("psi"),
-    ).where(
+    schema = "n_en bigint, n_de bigint, n_bins bigint, psi double"
+    n1 = sum(r["c1"] for r in rows)
+    n2 = sum(r["c2"] for r in rows)
+    if n1 == 0 or n2 == 0:
         # degenerate-corpus guard (ADVICE r04): if either lang has zero
         # docs, drop the meaningless PSI row identically on both sides
         # (oracle HAVING) instead of risking NULL-vs-inf divergence
-        (F.col("n_en") > 0) & (F.col("n_de") > 0)
-    )
+        return spark.createDataFrame([], schema)
+    edges: list[int | None] = [None] * 9
+    cum = 0
+    for r in rows:
+        cum += r["c1"]
+        for k in range(1, 10):
+            if edges[k - 1] is None and 10 * cum >= k * n1:
+                edges[k - 1] = r["n_chars"]
+    b1 = [0] * 10
+    b2 = [0] * 10
+    for r in rows:
+        b = sum(1 for e in edges if e is not None and e <= r["n_chars"])
+        b1[b] += r["c1"]
+        b2[b] += r["c2"]
+    psi = 0.0
+    for b in range(10):
+        p1 = (b1[b] + 0.5) / (float(n1) + 5.0)
+        p2 = (b2[b] + 0.5) / (float(n2) + 5.0)
+        psi += (p1 - p2) * math.log(p1 / p2)
+    # HALF-UP to 6 dp (psi >= 0 by Gibbs' inequality term-wise)
+    psi = math.floor(psi * 1e6 + 0.5) / 1e6
+    return spark.createDataFrame([(n1, n2, 10, psi)], schema)
 
 
 # -------------------------------------------------------------- benford
