@@ -119,6 +119,7 @@ def load_all() -> dict[str, Item]:
         r7_twins,
         r8_ops,
         r8_ops2,
+        r8_ops3,
     )
 
     return REGISTRY
