@@ -169,6 +169,16 @@ HEADLINE = [
     # composition; LTR rerank (1.24 s) is the BM25 family's
     # TakeOrdered shape already benched via bm25/rerank entries
     "dedup_image_phash_wht_pairs",
+    # round-8: one per new family — exact substring dedup (the
+    # gram-anchor join + diagonal-island window composition; its
+    # intra-doc sibling shares the machinery on a sparser join) and
+    # the cross-source overlap matrix (distinct-gram self-join off a
+    # checkpointed gram frame, E2E_REBUILD). The funnel /
+    # source-mix / packing-audit / KN-LM / LSH-eval / PRF entries are
+    # scan+bounded-agg or bounded-probe shapes existing entries
+    # already represent.
+    "dedup_longest_duplicated_substring",
+    "curation_cross_source_ngram_overlap",
 ]
 
 # Frozen round-2 comparison subset: the headline set as of BENCH_r02
@@ -199,6 +209,9 @@ E2E_REBUILD = {
     # collects at build time for the bounded driver contraction —
     # rebuild per pass so that job stays inside the timed wall
     "stats_psi_drift",
+    # r08: the distinct-gram frame localCheckpoints at first action —
+    # rebuild per pass so the gram build stays inside the timed wall
+    "curation_cross_source_ngram_overlap",
 }
 
 
