@@ -120,6 +120,7 @@ def load_all() -> dict[str, Item]:
         r8_ops,
         r8_ops2,
         r8_ops3,
+        r8_ops4,
     )
 
     return REGISTRY

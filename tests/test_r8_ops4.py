@@ -1,0 +1,34 @@
+"""Ground-truth test for the shot-boundary entry (planted payload with
+hand-computed frame signatures)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from scout_spark.inventory.r8_ops4 import multimodal_shot_boundaries
+
+
+def test_shot_boundaries_hand_computed(spark, tmp_path):
+    td = str(tmp_path)
+    # doc 1: three 64-byte frames — 64x'a' (sig 97*64=6208),
+    # 64x'a' (6208, jump 0 -> no cut), 64x'z' (122*64=7808,
+    # jump 1600 > 200 -> cut). shots = 2, max jump 1600.
+    d1 = "a" * 64 + "a" * 64 + "z" * 64
+    # doc 2: two identical frames -> 0 boundaries, 1 shot
+    d2 = "b" * 128
+    # doc 3: too short (one frame) -> excluded
+    d3 = "c" * 64
+    rows = [(1, d1), (2, d2), (3, d3)]
+    spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(os.path.join(td, "documents.parquet"))
+    out = multimodal_shot_boundaries(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_media"] == 2
+    assert r["total_frames"] == 5
+    assert r["total_shots"] == 3  # doc1: 2 shots, doc2: 1
+    assert r["avg_shots_per_media"] == 1.5
+    assert r["max_abs_jump"] == 1600
