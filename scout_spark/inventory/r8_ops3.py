@@ -92,8 +92,15 @@ _FUNNEL_STAGES = (
 )
 def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _th(spark, sf_dir, "documents")
+    return funnel_report(funnel_counters(d))
+
+
+def funnel_flag_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc (nt, f1..f4) cumulative-stage flags — shared by the
+    batch entry and the streaming twin (streaming/funnel.py) so the
+    two can never silently diverge on the filter definitions."""
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
-    s = d.select(
+    s = docs.select(
         "n_chars",
         F.size(toks).alias("nt"),
         F.size(F.array_distinct(toks)).alias("nd"),
@@ -105,13 +112,21 @@ def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     f2 = f1 * (F.col("nt") >= 30).cast("long")
     f3 = f2 * (10 * F.col("nd") >= 3 * F.col("nt")).cast("long")
     f4 = f3 * (F.col("nstop") > 0).cast("long")
-    a = s.select(
+    return s.select(
         "nt",
         f1.alias("f1"),
         f2.alias("f2"),
         f3.alias("f3"),
         f4.alias("f4"),
-    ).agg(
+    )
+
+
+def funnel_counters(docs: DataFrame) -> DataFrame:
+    """One-row funnel counter aggregate (c0..c4 survivor counts,
+    t1..t4 surviving-token sums). Plain decomposable sums — MERGEABLE
+    streaming state; the streaming twin runs this same aggregate in
+    complete mode and drains to an identical row."""
+    return funnel_flag_frame(docs).agg(
         F.count(F.lit(1)).cast("long").alias("c0"),
         *[
             F.sum(f"f{k}").cast("long").alias(f"c{k}")
@@ -122,6 +137,12 @@ def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(1, 5)
         ],
     )
+
+
+def funnel_report(a: DataFrame) -> DataFrame:
+    """Finishing step: unpivot the counter row to per-stage funnel
+    rows. Pure bounded-frame arithmetic — stream-fed and batch-fed
+    counters yield identical reports."""
     names = [n for n, _ in _FUNNEL_STAGES]
     stage_rows = ", ".join(
         f"{k}L, '{names[k - 1]}', c{k}, t{k}, "

@@ -815,3 +815,32 @@ def test_rolling_hll_finisher_matches_inventory_entry(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_funnel_counters_stream_equals_batch(spark, documents_path):
+    """Curation-funnel counters are decomposable sums (mergeable
+    state): the drained stream's one counter row must equal the batch
+    aggregate exactly, and the per-stage report finishing step must
+    match row-for-row — the streaming arm of curation_filter_funnel."""
+    from scout_spark.streaming.drift import read_documents_stream
+    from scout_spark.streaming.events import run_to_memory_sink
+    from scout_spark.streaming.funnel import funnel_counters, funnel_report
+
+    batch = spark.read.parquet(documents_path)
+    stream = read_documents_stream(
+        spark, documents_path, max_files_per_trigger=1
+    )
+    got_counters = run_to_memory_sink(
+        funnel_counters(stream), "t_funnel", output_mode="complete"
+    ).cache()
+    exp_row = funnel_counters(batch).collect()[0].asDict()
+    got_row = got_counters.collect()[0].asDict()
+    assert got_row == exp_row
+    assert exp_row["c0"] > exp_row["c4"] > 0  # non-vacuous funnel
+    got_report = [
+        tuple(r) for r in funnel_report(got_counters).collect()
+    ]
+    exp_report = [
+        tuple(r) for r in funnel_report(funnel_counters(batch)).collect()
+    ]
+    assert got_report == exp_report
