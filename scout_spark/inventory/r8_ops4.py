@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from scout_spark.inventory import register
 from scout_spark.inventory.core import _th
+from scout_spark.inventory.quality_ops import _TOK
 
 _SB_FRAME = 64
 _SB_THRESHOLD = 200
@@ -100,4 +101,137 @@ def multimodal_shot_boundaries(
             F.max("max_abs_jump").cast("long").alias("max_abs_jump"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------- padding waste by batching
+
+
+_PW_BATCH = 32
+
+
+@register(
+    "audit_padding_waste_bucketed",
+    "Padding-waste audit for batched training: tokens wasted padding "
+    f"each {_PW_BATCH}-sequence batch to its longest member, under "
+    "ARRIVAL-ORDER batching (doc_id) vs LENGTH-SORTED batching (the "
+    "bucketed-batching trick every trainer ships) — the measured "
+    "reduction is the entry's answer. Both orderings use the "
+    "distributed rank toolkit (operators/rank.py: range shuffle + "
+    "per-partition row_number + broadcast offsets — no single-"
+    "partition WindowExec at any scale); per-batch max/sum aggregate "
+    "map-side. All integers; ratios are single rounded divisions. The "
+    "oracle uses plain global row_number windows — independent "
+    "formulation, identical batch assignment.",
+    oracle=f"""
+      WITH d AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '{_TOK}')) AS nt
+        FROM documents
+      ),
+      nb AS (
+        SELECT nt, (row_number() OVER (ORDER BY doc_id) - 1)
+                   // {_PW_BATCH} AS batch
+        FROM d
+      ),
+      bb AS (
+        SELECT nt, (row_number() OVER (ORDER BY nt, doc_id) - 1)
+                   // {_PW_BATCH} AS batch
+        FROM d
+      ),
+      wn AS (
+        SELECT sum(mx * c - s)::BIGINT AS waste, count(*)::BIGINT AS nbatch
+        FROM (SELECT batch, max(nt) AS mx, count(*) AS c, sum(nt) AS s
+              FROM nb GROUP BY batch)
+      ),
+      wb AS (
+        SELECT sum(mx * c - s)::BIGINT AS waste
+        FROM (SELECT batch, max(nt) AS mx, count(*) AS c, sum(nt) AS s
+              FROM bb GROUP BY batch)
+      ),
+      t AS (SELECT count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS tokens
+            FROM d)
+      SELECT t.n_docs, t.tokens AS tokens_total, wn.nbatch AS n_batches,
+             wn.waste AS waste_arrival, wb.waste AS waste_bucketed,
+             round(CASE WHEN wn.waste > 0
+               THEN (wn.waste - wb.waste)::DOUBLE / wn.waste END, 6)
+               AS waste_reduction,
+             round(wn.waste::DOUBLE / (wn.waste + t.tokens), 6)
+               AS pad_ratio_arrival,
+             round(wb.waste::DOUBLE / (wb.waste + t.tokens), 6)
+               AS pad_ratio_bucketed
+      FROM t, wn, wb
+    """,
+)
+def audit_padding_waste_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from scout_spark.operators.rank import global_row_number
+
+    d = _th(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
+        ).alias("nt"),
+    )
+
+    def _waste(order_cols: list) -> DataFrame:
+        rn = global_row_number(d, order_cols, out="rn")
+        per = (
+            rn.select(
+                "nt",
+                ((F.col("rn") - 1) / _PW_BATCH)
+                .cast("long")
+                .alias("batch"),
+            )
+            .groupBy("batch")
+            .agg(
+                F.max("nt").alias("mx"),
+                F.count(F.lit(1)).alias("c"),
+                F.sum("nt").alias("s"),
+            )
+        )
+        return per.agg(
+            F.sum(F.col("mx") * F.col("c") - F.col("s"))
+            .cast("long")
+            .alias("waste"),
+            F.count(F.lit(1)).cast("long").alias("nbatch"),
+        )
+
+    wn = _waste(["doc_id"])
+    wb = _waste(["nt", "doc_id"]).select(
+        F.col("waste").alias("waste_b")
+    )
+    t = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("tokens_total"),
+    )
+    return (
+        t.crossJoin(F.broadcast(wn))
+        .crossJoin(F.broadcast(wb))
+        .select(
+            "n_docs",
+            "tokens_total",
+            F.col("nbatch").alias("n_batches"),
+            F.col("waste").alias("waste_arrival"),
+            F.col("waste_b").alias("waste_bucketed"),
+            F.round(
+                F.when(
+                    F.col("waste") > 0,
+                    (F.col("waste") - F.col("waste_b")).cast("double")
+                    / F.col("waste"),
+                ),
+                6,
+            ).alias("waste_reduction"),
+            F.round(
+                F.col("waste").cast("double")
+                / (F.col("waste") + F.col("tokens_total")),
+                6,
+            ).alias("pad_ratio_arrival"),
+            F.round(
+                F.col("waste_b").cast("double")
+                / (F.col("waste_b") + F.col("tokens_total")),
+                6,
+            ).alias("pad_ratio_bucketed"),
+        )
     )

@@ -32,3 +32,33 @@ def test_shot_boundaries_hand_computed(spark, tmp_path):
     assert r["total_shots"] == 3  # doc1: 2 shots, doc2: 1
     assert r["avg_shots_per_media"] == 1.5
     assert r["max_abs_jump"] == 1600
+
+
+def test_padding_waste_hand_computed(spark, tmp_path):
+    import os
+
+    td = str(tmp_path)
+    # 64 docs, lengths alternating 1 and 5 tokens by doc_id: arrival
+    # batches (2 x 32) each mix lengths -> max 5, waste (5*32-96)=64
+    # per batch = 128 total; length-sorted batches are uniform ->
+    # waste 0, reduction 1.0
+    rows = []
+    for i in range(64):
+        text = f"t{i}" if i % 2 == 0 else f"t{i} xx yy zz qq"
+        rows.append((i, text))
+    spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(os.path.join(td, "documents.parquet"))
+    from scout_spark.inventory.r8_ops4 import audit_padding_waste_bucketed
+
+    r = audit_padding_waste_bucketed(spark, td).collect()[0]
+    assert r["n_docs"] == 64
+    assert r["tokens_total"] == 32 * 1 + 32 * 5
+    assert r["n_batches"] == 2
+    assert r["waste_arrival"] == 128
+    assert r["waste_bucketed"] == 0
+    assert r["waste_reduction"] == 1.0
+    assert r["pad_ratio_arrival"] == round(128 / (128 + 192), 6)
+    assert r["pad_ratio_bucketed"] == 0.0
