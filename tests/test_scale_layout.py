@@ -786,3 +786,50 @@ def test_frame_sample_twin_single_expansion(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1, plan[:3000]
     assert "windowspecdefinition" not in plan, plan[:3000]
+
+
+def test_butterfly_wedge_join_is_hash_not_sortmerge(spark):
+    """graph_butterfly_count_bipartite (r08 floor fix): the degree
+    keep-list must broadcast and the wedge self-join must be a
+    SHUFFLE_HASH join — the sort-merge form sorted both 600k-row sides
+    before emitting 8.4M pairs (8.7 s -> 2.7 s at sf0.1). A plan that
+    reintroduces SortMergeJoin has lost the fix."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["graph_butterfly_count_bipartite"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "ShuffledHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_neardup_pairs_is_grouped_arrow_kernel(spark):
+    """embedding_neardup_pairs (r08 floor fix): per-label scoring runs
+    as ONE grouped-map Arrow kernel — no pair self-join, no interpreted
+    per-pair fold, no nested-loop/cartesian anywhere."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["embedding_neardup_pairs"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan[:3000]
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "Cartesian"):
+        assert bad not in plan, plan[:3000]
+
+
+def test_market_basket_pairs_join_is_hash(spark):
+    """market_basket_association_rules (r08 floor fix): the item-stream
+    self-join must stay a SHUFFLE_HASH join (the sort-merge and the
+    interpreted HOF expansion both measured slower on the regenerated
+    corpus)."""
+    from scout_spark.inventory import load_all
+
+    df = load_all()["market_basket_association_rules"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
