@@ -235,3 +235,99 @@ def audit_padding_waste_bucketed(
             ).alias("pad_ratio_bucketed"),
         )
     )
+
+
+# ----------------------------------------- REAL-codec PNM decode
+
+
+@register(
+    "multimodal_decode_pnm_real",
+    "Multimodal decode with a REAL injected codec — closes the 'the "
+    "decode step is a stub' gap: deterministic binary P6 (Netpbm RGB) "
+    "payloads are synthesized per document (header + text-derived "
+    "sample plane, dimensions from doc_id arithmetic), and the Spark "
+    "side PARSES them with the from-scratch binary-PNM decoder "
+    "(operators/multimodal.py::decode_pnm — whitespace/comment-"
+    "tolerant header scan + sample-plane length check) injected "
+    "through the standard decode_media(decode_fn=...) seam. The "
+    "oracle never parses: it independently PREDICTS what a correct "
+    "decoder must return from the same construction arithmetic "
+    "(width/height formulas, n_bytes = header length + w*h*3), so a "
+    "wrong parse breaks the hash match. 100 TB: Arrow batches through "
+    "one mapInPandas decode stage, per-source integer rollup — the "
+    "decode_media plan shape with a real codec in the slot.",
+    oracle="""
+      WITH d AS (
+        SELECT source,
+               4 + doc_id % 13 AS w,
+               3 + (doc_id * 7) % 11 AS h
+        FROM documents
+      )
+      SELECT source,
+             count(*)::BIGINT AS n_images,
+             sum(w * h)::BIGINT AS total_pixels,
+             max(w)::BIGINT AS max_width,
+             max(h)::BIGINT AS max_height,
+             sum(length('P6' || chr(10) || w || ' ' || h
+                        || chr(10) || '255' || chr(10))
+                 + w * h * 3)::BIGINT AS total_bytes,
+             sum(CASE WHEN 3 = 3 THEN 1 ELSE 0 END)::BIGINT AS n_rgb
+      FROM d GROUP BY source
+      ORDER BY source
+    """,
+)
+def multimodal_decode_pnm_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from scout_spark.operators.multimodal import decode_media, decode_pnm, pack_blobs
+
+    d = _th(spark, sf_dir, "documents")
+    w = (4 + F.col("doc_id") % 13).cast("int")
+    h = (3 + (F.col("doc_id") * 7) % 11).cast("int")
+    # sample plane: the doc's (ASCII) text repeated out to w*h*3 bytes
+    # — real bytes under the real header, so the parser exercises the
+    # whole format; 'x' guard keeps repeat() defined on empty text
+    body = F.expr(
+        "substring(repeat(concat(text, 'x'), "
+        "cast(ceil((wpx * hpx * 3) / (length(text) + 1)) as int) + 1), "
+        "1, wpx * hpx * 3)"
+    )
+    payload = F.encode(
+        F.concat(
+            F.lit("P6\n"),
+            F.col("wpx").cast("string"),
+            F.lit(" "),
+            F.col("hpx").cast("string"),
+            F.lit("\n255\n"),
+            body,
+        ),
+        "UTF-8",
+    )
+    blobs = pack_blobs(
+        d.select(
+            "doc_id", "text", "source", w.alias("wpx"), h.alias("hpx")
+        ).withColumn("payload", payload),
+        "doc_id",
+        "payload",
+        kind="image",
+        source_col="source",
+    )
+    decoded = decode_media(blobs, decode_fn=decode_pnm)
+    src = d.select(F.col("doc_id").alias("media_id"), "source")
+    return (
+        decoded.join(src, "media_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum(F.col("width") * F.col("height"))
+            .cast("long")
+            .alias("total_pixels"),
+            F.max("width").cast("long").alias("max_width"),
+            F.max("height").cast("long").alias("max_height"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum((F.col("channels") == 3).cast("long"))
+            .cast("long")
+            .alias("n_rgb"),
+        )
+        .orderBy("source")
+    )

@@ -93,6 +93,76 @@ def decode_media(
     return blobs.mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
+def decode_pnm(payload: bytes) -> tuple[int, int, int]:
+    """REAL image decode for binary Netpbm (P5 grayscale / P6 RGB) —
+    an actual on-disk image format, parsed from scratch (no image
+    library): magic, whitespace/'#'-comment-tolerant ASCII header
+    (width, height, maxval), then the raw sample plane. This is the
+    production-side ``decode_fn`` injection the module docstring
+    promises, implemented without container dependencies; PIL/OpenCV
+    slot into the same signature for compressed formats."""
+    if not payload or payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM payload")
+    channels = 3 if payload[:2] == b"P6" else 1
+    vals: list[int] = []
+    i = 2
+    while len(vals) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and payload[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("malformed PNM header")
+        vals.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = vals
+    if not (0 < maxval < 65536 and w > 0 and h > 0):
+        raise ValueError("malformed PNM header values")
+    i += 1  # exactly one whitespace byte after maxval (spec)
+    need = w * h * channels * (2 if maxval > 255 else 1)
+    if len(payload) - i < need:
+        raise ValueError("truncated PNM sample plane")
+    return w, h, channels
+
+
+def pnm_raster(payload: bytes):
+    """Real pixels from a binary PNM payload — the ``decode_pnm``
+    counterpart for the resize/feature kernels (H×W×C uint8; 16-bit
+    maxval planes are scaled down to 8-bit)."""
+    import numpy as np
+
+    w, h, c = decode_pnm(payload)
+    # re-scan the header end (decode_pnm validated it)
+    vals, i = [], 2
+    while len(vals) < 3:
+        while payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while payload[j : j + 1].isdigit():
+            j += 1
+        vals.append(int(payload[i:j]))
+        i = j
+    i += 1
+    maxval = vals[2]
+    if maxval > 255:
+        plane = np.frombuffer(
+            payload, dtype=">u2", count=w * h * c, offset=i
+        )
+        return (plane // 256).astype(np.uint8).reshape(h, w, c)
+    return np.frombuffer(
+        payload, dtype=np.uint8, count=w * h * c, offset=i
+    ).reshape(h, w, c)
+
+
 def _fake_raster(payload: bytes):
     """Deterministic H×W×C uint8 raster from a payload — the fake-decode
     counterpart that yields actual pixels (digest bytes tiled), so

@@ -62,3 +62,55 @@ def test_padding_waste_hand_computed(spark, tmp_path):
     assert r["waste_reduction"] == 1.0
     assert r["pad_ratio_arrival"] == round(128 / (128 + 192), 6)
     assert r["pad_ratio_bucketed"] == 0.0
+
+
+def test_decode_pnm_parses_real_format():
+    """The PNM decoder is a REAL parser: magic, comment-tolerant
+    header, maxval widths, truncation detection."""
+    import numpy as np
+    import pytest as _pt
+
+    from scout_spark.operators.multimodal import decode_pnm, pnm_raster
+
+    px = bytes(range(2 * 3 * 3))  # 3x2 RGB
+    assert decode_pnm(b"P6\n3 2\n255\n" + px) == (3, 2, 3)
+    # comments and odd whitespace inside the header are legal PNM
+    assert decode_pnm(b"P6 # wide\n # c2\n 3\t2 # d\n255\n" + px) == (3, 2, 3)
+    # grayscale P5
+    assert decode_pnm(b"P5\n4 2\n255\n" + bytes(8)) == (4, 2, 1)
+    # 16-bit maxval needs 2 bytes per sample
+    assert decode_pnm(b"P5\n2 2\n65535\n" + bytes(8)) == (2, 2, 1)
+    with _pt.raises(ValueError):
+        decode_pnm(b"P6\n3 2\n255\n" + px[:-1])  # truncated plane
+    with _pt.raises(ValueError):
+        decode_pnm(b"JFIF....")  # wrong magic
+    img = pnm_raster(b"P6\n3 2\n255\n" + px)
+    assert img.shape == (2, 3, 3) and img[0, 0, 0] == 0 and img[1, 2, 2] == 17
+    img16 = pnm_raster(b"P5\n2 1\n65535\n" + np.array([65535, 256], dtype=">u2").tobytes())
+    assert img16.shape == (1, 2, 1) and list(img16.ravel()) == [255, 1]
+
+
+def test_decode_pnm_entry_roundtrip(spark, tmp_path):
+    import os
+
+    td = str(tmp_path)
+    rows = [(1, "hello world"), (14, "x")]  # w=4+1%13=5,h=3+7%11=10 ; w=4+1,h=3+(98%11)
+    spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(os.path.join(td, "documents.parquet"))
+    from scout_spark.inventory.r8_ops4 import multimodal_decode_pnm_real
+
+    r = multimodal_decode_pnm_real(spark, td).collect()[0]
+    w1, h1 = 4 + 1 % 13, 3 + (1 * 7) % 11
+    w2, h2 = 4 + 14 % 13, 3 + (14 * 7) % 11
+    assert r["n_images"] == 2
+    assert r["total_pixels"] == w1 * h1 + w2 * h2
+    assert r["max_width"] == max(w1, w2)
+    assert r["max_height"] == max(h1, h2)
+    hdr = lambda w, h: len(f"P6\n{w} {h}\n255\n")
+    assert r["total_bytes"] == (
+        hdr(w1, h1) + w1 * h1 * 3 + hdr(w2, h2) + w2 * h2 * 3
+    )
+    assert r["n_rgb"] == 2
