@@ -121,6 +121,7 @@ def load_all() -> dict[str, Item]:
         r8_ops2,
         r8_ops3,
         r8_ops4,
+        r8_ops5,
     )
 
     return REGISTRY
