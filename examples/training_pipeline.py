@@ -193,6 +193,33 @@ def main() -> None:
         f"avg {stats['avg_chars']} chars, {stats['n_langs']} languages → {out}"
     )
 
+    # 6. curation audit report ------------------------------------------
+    # The per-stage filter funnel (the ablation table a dataset writeup
+    # publishes) over the CURATED corpus — counters are decomposable
+    # sums, so the same helpers run batch here and streaming in
+    # scout_spark/streaming/funnel.py.
+    from scout_spark.streaming.funnel import funnel_counters, funnel_report
+
+    print("filter-funnel audit of the curated corpus:")
+    for r in funnel_report(funnel_counters(curated)).collect():
+        print(
+            f"  stage {r['stage']} ({r['stage_name']}): "
+            f"{r['n_docs_surviving']} docs / "
+            f"{r['n_tokens_surviving']} tokens survive, "
+            f"{r['n_rejected_at_stage']} rejected here"
+        )
+
+    # 7. deterministic epoch order --------------------------------------
+    # Training shuffle without materializing a permutation: epoch order
+    # = sort by md5(epoch:doc_id), re-derivable on any shard/engine.
+    epoch0 = (
+        curated.select("doc_id")
+        .orderBy(F.md5(F.concat(F.lit("0:"), F.col("doc_id").cast("string"))))
+        .limit(5)
+        .collect()
+    )
+    print("epoch-0 order (first 5):", [r["doc_id"] for r in epoch0])
+
 
 if __name__ == "__main__":
     main()
