@@ -122,13 +122,20 @@ _CORPUS_BATCH_SQL = f"""
         ORDER BY doc_id LIMIT {_PROBE_CORPUS_N}
       ),
       batch_src AS (
-        SELECT id + 1000000 AS id,
+        -- base_id carries the pre-offset id under an unambiguous name
+        -- (ADVICE r08): the old form aliased 'id + 1000000 AS id'
+        -- while also referencing bare 'id' in the same SELECT, relying
+        -- on DuckDB's base-column-over-lateral-alias precedence
+        SELECT base_id + 1000000 AS id,
                regexp_replace(text, '^\\S+\\s+', '') AS text
-        FROM corpus_src WHERE id % 20 = 0
+        FROM (SELECT id AS base_id, text FROM corpus_src)
+        WHERE base_id % 20 = 0
         UNION ALL
-        SELECT id + 2000000 AS id,
-               concat('novel', id, ' isolated vocabulary payload') AS text
-        FROM corpus_src WHERE id % 20 = 7
+        SELECT base_id + 2000000 AS id,
+               concat('novel', base_id,
+                      ' isolated vocabulary payload') AS text
+        FROM (SELECT id AS base_id, text FROM corpus_src)
+        WHERE base_id % 20 = 7
       )
 """
 

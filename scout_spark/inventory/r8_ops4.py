@@ -38,9 +38,16 @@ _SB_THRESHOLD = 200
     "rollup out — the audio-energy plan shape.",
     oracle=f"""
       WITH b AS (
+        -- length(text) = strlen(text) is the checked ASCII
+        -- precondition (ADVICE r08): the engine side hashes UTF-8
+        -- BYTES while ascii(substr()) reads CODE POINTS — the two
+        -- agree exactly on the docs this filter keeps, and non-ASCII
+        -- docs are excluded IDENTICALLY on both sides instead of
+        -- silently diverging
         SELECT source, doc_id, text,
                (length(text) // {_SB_FRAME})::INT AS n
         FROM documents WHERE length(text) >= {2 * _SB_FRAME}
+          AND length(text) = strlen(text)
       ),
       f AS (
         SELECT source, doc_id, n, unnest(range(0, n)) AS fi, text
@@ -80,8 +87,16 @@ def multimodal_shot_boundaries(
 ) -> DataFrame:
     from scout_spark.operators.multimodal import pack_blobs, shot_boundaries
 
-    d = _th(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"), "source"
+    # chars == bytes pins the ASCII precondition the oracle checks
+    # with length(text) = strlen(text) — see the oracle comment
+    d = (
+        _th(spark, sf_dir, "documents")
+        .where(F.length("text") == F.octet_length("text"))
+        .select(
+            "doc_id",
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+            "source",
+        )
     )
     blobs = pack_blobs(
         d, "doc_id", "payload", kind="video", source_col="source"
@@ -258,10 +273,16 @@ def audit_padding_waste_bucketed(
     "decode_media plan shape with a real codec in the slot.",
     oracle="""
       WITH d AS (
+        -- checked ASCII precondition (ADVICE r08): the engine builds
+        -- the sample plane by CHARACTER repeat/substring then UTF-8
+        -- encodes, so bytes == chars must hold for the predicted
+        -- n_bytes to match the parse; non-ASCII docs are excluded
+        -- identically on both sides
         SELECT source,
                4 + doc_id % 13 AS w,
                3 + (doc_id * 7) % 11 AS h
         FROM documents
+        WHERE length(text) = strlen(text)
       )
       SELECT source,
              count(*)::BIGINT AS n_images,
@@ -281,7 +302,10 @@ def multimodal_decode_pnm_real(
 ) -> DataFrame:
     from scout_spark.operators.multimodal import decode_media, decode_pnm, pack_blobs
 
-    d = _th(spark, sf_dir, "documents")
+    # chars == bytes: the checked ASCII precondition (see oracle)
+    d = _th(spark, sf_dir, "documents").where(
+        F.length("text") == F.octet_length("text")
+    )
     w = (4 + F.col("doc_id") % 13).cast("int")
     h = (3 + (F.col("doc_id") * 7) % 11).cast("int")
     # sample plane: the doc's (ASCII) text repeated out to w*h*3 bytes

@@ -147,7 +147,11 @@ def _neardup_label_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     pairs = (
-        e.select("vec_id", "label", "embedding")
+        # NULL labels never pair: the oracle's a.label = b.label
+        # equi-join drops them, but groupBy treats NULL as a real
+        # group — pin the join semantics explicitly (ADVICE r08)
+        e.where(F.col("label").isNotNull())
+        .select("vec_id", "label", "embedding")
         .groupBy("label")
         .applyInPandas(
             _neardup_label_kernel,
