@@ -179,6 +179,12 @@ HEADLINE = [
     # already represent.
     "dedup_longest_duplicated_substring",
     "curation_cross_source_ngram_overlap",
+    # round-9: cross-video keyframe dedup — the shot-boundary ×
+    # WHT-pHash × band-blocking composition (mapInPandas kernel
+    # behind a lazy checkpoint, E2E_REBUILD). The URL-blocklist and
+    # trigram-KN entries are pure-Column scan+bounded-agg /
+    # vocab-bounded window shapes existing entries represent.
+    "dedup_video_keyframe_phash",
 ]
 
 # Frozen round-2 comparison subset: the headline set as of BENCH_r02
@@ -212,6 +218,10 @@ E2E_REBUILD = {
     # r08: the distinct-gram frame localCheckpoints at first action —
     # rebuild per pass so the gram build stays inside the timed wall
     "curation_cross_source_ngram_overlap",
+    # r09: the keyframe-hash kernel materializes behind its lazy
+    # checkpoint at first action — rebuild per pass so the kernel
+    # cost stays inside the timed wall (the image-pHash discipline)
+    "dedup_video_keyframe_phash",
 }
 
 
@@ -222,20 +232,20 @@ def output_payload(
     wall: float,
     load_at_start,
 ) -> dict:
-    """The one-line JSON payload. Key order is deliberate (VERDICT r07
-    item 4: the driver's capture buffer truncates the one-line JSON —
-    BENCH_r07 lost the first ~15 per-query keys). Graded scalars lead
-    the line, the E2E_REBUILD entries lead the queries dict (they are
-    the per-query numbers the judge reads), and a compact trailing
-    "summary" duplicates the graded scalars at the very END — whichever
-    end the capture keeps, the graded numbers survive."""
+    """The one-line JSON payload. Key order is deliberate: BENCH_r08
+    proved empirically that the driver's capture buffer keeps the TAIL
+    of the line (~2 KB) and drops the FRONT (`parsed: null`, first ~5
+    query keys lost). So (VERDICT r08 item 6): the queries dict is
+    ordered ASCENDING by cost — front truncation now loses the
+    CHEAPEST entries, and the expensive entries the judge reads plus
+    the "summary" scalars sit at the surviving end. The full payload
+    is additionally written to BENCH_FULL_LOCAL.json (see main), so
+    every per-query number is reconstructible from the repo even if
+    the captured line truncates."""
     sequential = round(sum(timings.values()), 3)
     core32_sec = round(sum(timings[n] for n in CORE32), 3)
-    ordered_queries = {
-        n: timings[n] for n in HEADLINE if n in E2E_REBUILD
-    }
-    ordered_queries.update(
-        (n, timings[n]) for n in HEADLINE if n not in E2E_REBUILD
+    ordered_queries = dict(
+        sorted(timings.items(), key=lambda kv: (kv[1], kv[0]))
     )
     return {
         "metric": "headline_sequential_sec",
@@ -343,11 +353,21 @@ def main() -> None:
         list(ex.map(_run, HEADLINE))
     wall = round(time.time() - t0, 3)
 
-    print(
-        json.dumps(
-            output_payload(timings, sf, build_sec, wall, load_at_start)
-        )
-    )
+    payload = output_payload(timings, sf, build_sec, wall, load_at_start)
+    # committed self-sufficient artifact (VERDICT r08 item 6): the
+    # driver's capture of the stdout line truncates from the front,
+    # so persist the complete payload next to the repo's BENCH_r* files
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL_LOCAL.json"),
+            "w",
+        ) as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout line is still complete
+    # compact separators buy ~130 bytes of tail-survival for 63 entries
+    print(json.dumps(payload, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -122,6 +122,9 @@ def load_all() -> dict[str, Item]:
         r8_ops3,
         r8_ops4,
         r8_ops5,
+        # round-9 additions (cross-modal compositions; import LAST so
+        # the staleness rotation keeps its order)
+        r9_ops,
     )
 
     return REGISTRY

@@ -389,3 +389,90 @@ def shot_boundaries(
             )
 
     return blobs.mapInPandas(batches, SHOT_SCHEMA)
+
+
+KEYFRAME_SCHEMA = "media_id long, shot_id int, frame_index int, ph long"
+
+
+def shot_keyframe_hashes(
+    blobs: DataFrame, frame_bytes: int = 64, threshold: int = 200
+) -> DataFrame:
+    """Per-shot keyframe extraction + 63-bit WHT perceptual hash — the
+    composition video-curation pipelines run for cross-video keyframe
+    dedup: detect shot boundaries on the frame-signature stream (the
+    ``shot_boundaries`` detector: integer byte-sum signatures, a cut
+    where the adjacent jump exceeds ``threshold``), take the FIRST
+    frame of each shot as its keyframe, and hash that frame's 8x8
+    raster with the Walsh-Hadamard sign transform (the integer-exact
+    pHash stand-in proven in dedup_image_phash_wht_pairs). All
+    intermediates are int64, so every output is engine-reproducible
+    bit-for-bit from code points. The WHT runs as ONE batched numpy
+    matmul per Arrow batch (hmat @ (m,8,8) @ hmat — no per-keyframe
+    Python loop). Production swaps real frame decode in behind the
+    same mapInPandas signature.
+
+    100 TB: one map-side pass, output rows = shots (boundary-bounded,
+    orders of magnitude below frames); downstream dedup shuffles only
+    (media_id, shot_id, ph)."""
+    import numpy as np
+
+    if frame_bytes != 64:
+        raise ValueError("WHT keyframe hash needs 8x8 = 64-byte frames")
+
+    hmat = np.array(
+        [
+            [1 - 2 * (bin(u & i).count("1") % 2) for i in range(8)]
+            for u in range(8)
+        ],
+        dtype=np.int64,
+    )
+    weights = np.zeros(64, dtype=np.int64)
+    weights[1:] = np.int64(1) << np.arange(0, 63, dtype=np.int64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            mids, sids, fis, rasters = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(payload or b"", dtype=np.uint8)
+                n = len(buf) // frame_bytes
+                if n < 1:
+                    continue
+                fs = (
+                    buf[: n * frame_bytes]
+                    .astype(np.int64)
+                    .reshape(n, frame_bytes)
+                    .sum(axis=1)
+                )
+                # keyframes: frame 0 + every frame after a cut
+                kf = np.concatenate(
+                    [[0], np.flatnonzero(np.abs(np.diff(fs)) > threshold) + 1]
+                )
+                for s_ix, fi in enumerate(kf):
+                    mids.append(mid)
+                    sids.append(s_ix)
+                    fis.append(int(fi))
+                    rasters.append(
+                        buf[fi * frame_bytes : (fi + 1) * frame_bytes]
+                        .astype(np.int64)
+                        .reshape(8, 8)
+                    )
+            if mids:
+                px = np.stack(rasters)  # (m, 8, 8)
+                c = hmat @ px @ hmat  # batched WHT, one matmul pair
+                bits = (c > 0).reshape(len(mids), 64)
+                bits[:, 0] = False  # DC excluded — 63-bit hash
+                phs = bits.astype(np.int64) @ weights
+            else:
+                phs = np.zeros(0, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "shot_id": pd.array(sids, dtype="int32"),
+                    "frame_index": pd.array(fis, dtype="int32"),
+                    "ph": phs,
+                }
+            )
+
+    return blobs.mapInPandas(batches, KEYFRAME_SCHEMA)

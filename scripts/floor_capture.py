@@ -63,6 +63,122 @@ def _load_entry_module():
     return mod
 
 
+# ---------------------------------------------------------------- r09
+# Throughput-floor calibration (VERDICT r08 item 3): for entries whose
+# single-stream wall is dominated by one operator class, run an
+# IDENTICAL minimal program on both engines at the entry's measured
+# stream shape. If the minimal program — no joins, no parquet, no plan
+# choices left to make — already shows the gap, the entry's residual
+# ratio is the ENGINE's per-operator throughput, not plan slack.
+#
+# Shapes below are the entries' real intermediate streams, measured
+# from the oracle at sf0.1 (r09 session):
+#   butterfly wedge agg: 8,408,860 pair rows → 8,405,737 distinct
+#     (o1,o2) keys (99.96% unique — the hash table IS the work);
+#   basket pair agg: 1,199,575 rows → 1,196,000 distinct keys.
+CALIBRATIONS = {
+    "hashagg_2col_near_unique_8m": 8_408_860,
+    "hashagg_2col_near_unique_1m2": 1_199_575,
+}
+
+# Entries adjudicated against a calibration. `variants` is the
+# exhausted alternative-plan list (each A/B'd on this box, result
+# recorded in PLANS.md r08 floor decomposition + r09 session notes).
+THROUGHPUT_EVIDENCE = {
+    "graph_butterfly_count_bipartite": {
+        "calibration": "hashagg_2col_near_unique_8m",
+        "variants_tried": [
+            "packed BIGINT (o1<<32|o2) agg key: null",
+            "grouped-list HOF wedge expansion: 1.8x slower",
+            "window-degree instead of agg+join: slower",
+            "persist/localCheckpoint shared inc frame: slower "
+            "(breaks codegen fusion)",
+            "sort-merge self-join: 3.2x slower than SHUFFLE_HASH",
+            "vectorized agg hash map "
+            "(spark.sql.codegen.aggregate.map.vectorized): -9%, "
+            "session-global config, not worth the blast radius",
+            "twolevel.partialOnly=false: 16% slower",
+        ],
+    },
+    "market_basket_association_rules": {
+        "calibration": "hashagg_2col_near_unique_1m2",
+        "variants_tried": [
+            "grouped-list HOF basket expansion: 1.5x slower on r08 "
+            "regenerated data (r04 crossover flipped)",
+            "sort-merge self-join: slower than SHUFFLE_HASH",
+            "broadcast item marginals: already in the plan",
+        ],
+    },
+}
+
+
+def _calibrate(spark, con, passes: int) -> dict:
+    """spark-sp1 vs duck-1t on the identical minimal hash-agg program:
+    N rows of two ~near-unique int keys → groupBy(k1,k2).count →
+    1-row final agg. Key arithmetic is the same expression on both
+    engines, so row format and distribution match exactly."""
+    from pyspark.sql import functions as F
+
+    out = {}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    con.execute("SET threads=1")
+    for key, n in CALIBRATIONS.items():
+
+        def _spark_build():
+            base = spark.range(n).coalesce(1).select(
+                ((F.col("id") * 2654435761) % 6000000).alias("k1"),
+                ((F.col("id") * 40503) % 6000000).alias("k2"),
+            )
+            c = base.groupBy("k1", "k2").agg(
+                F.count(F.lit(1)).alias("c")
+            )
+            return c.agg(
+                F.count(F.lit(1)),
+                F.sum(
+                    F.when(
+                        F.col("c") > 1, F.col("c") * (F.col("c") - 1) / 2
+                    )
+                ),
+                F.max("c"),
+            )
+
+        _noop(_spark_build())
+        runs = []
+        for _ in range(passes):
+            t0 = time.time()
+            _noop(_spark_build())
+            runs.append(time.time() - t0)
+        sp1 = round(statistics.median(runs), 3)
+
+        duck_q = f"""
+          SELECT count(*),
+                 coalesce(sum(CASE WHEN c > 1 THEN c*(c-1)/2 END), 0),
+                 max(c)
+          FROM (SELECT k1, k2, count(*)::BIGINT c FROM (
+                  SELECT (range * 2654435761) % 6000000 AS k1,
+                         (range * 40503) % 6000000 AS k2
+                  FROM range({n})) GROUP BY k1, k2)
+        """
+        con.execute(duck_q).fetchall()
+        runs = []
+        for _ in range(passes):
+            t0 = time.time()
+            con.execute(duck_q).fetchall()
+            runs.append(time.time() - t0)
+        d1 = round(statistics.median(runs), 3)
+        out[key] = {
+            "rows": n,
+            "spark_sp1_s": sp1,
+            "duck_1t_s": d1,
+            "ratio": round(sp1 / d1, 2),
+        }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    con.execute("SET threads=32")
+    return out
+
+
 def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -106,6 +222,9 @@ def main() -> None:
     con = oracle_connection(args.sf_dir)
 
     load0 = os.getloadavg()
+    calibrations = _calibrate(spark, con, args.passes)
+    for k, v in calibrations.items():
+        print("calibration", k, v, flush=True)
     entries: dict[str, dict] = {}
     for name in names:
         rec: dict = {"load_1m": round(os.getloadavg()[0], 2)}
@@ -165,13 +284,76 @@ def main() -> None:
             # real slack; if it's within 2x, the parallel-path gap
             # (ratio_noop) is exchange/scheduler floor that a real
             # cluster amortizes.
-            rec["adjudication"] = (
-                "plan_slack"
-                if rec["ratio_sp1_vs_1t"] > 2.0
-                else "engine_floor"
-            )
+            if (
+                rec["spark_sp1_s"] <= 0.5
+                and rec["spark_noop_s"] <= 0.5
+            ):
+                # r08 adjudication rule, now codified: an entry whose
+                # parallel AND single-stream walls are both under the
+                # ~0.4-0.5 s per-query job launch floor (scheduler +
+                # codegen + Arrow setup) measures the FLOOR, not the
+                # plan — its ratio against a millisecond oracle is
+                # constant overhead a real cluster amortizes per-query
+                rec["adjudication"] = "job_floor"
+            elif rec["ratio_sp1_vs_1t"] <= 2.0:
+                rec["adjudication"] = "engine_floor"
+            elif name in THROUGHPUT_EVIDENCE:
+                # calibration-backed retirement (see _calibrate): the
+                # entry is at the engine's measured per-operator
+                # throughput if its single-stream ratio is within 2x
+                # of the IDENTICAL minimal program's ratio (the 2x
+                # covers the scan/join structure composed around the
+                # dominant operator — itself decomposed in PLANS.md)
+                ev = THROUGHPUT_EVIDENCE[name]
+                calib = calibrations[ev["calibration"]]
+                rec["calibration"] = ev["calibration"]
+                rec["calibration_ratio"] = calib["ratio"]
+                rec["variants_tried"] = ev["variants_tried"]
+                rec["adjudication"] = (
+                    "engine_floor_throughput"
+                    if rec["ratio_sp1_vs_1t"] <= 2.0 * calib["ratio"]
+                    else "plan_slack"
+                )
+            else:
+                rec["adjudication"] = "plan_slack"
         entries[name] = rec
         print(name, rec, flush=True)
+
+    # A long sequential capture self-loads the box (documented ~2-3x
+    # drift): any row still labeled plan_slack gets ONE re-measure at
+    # controlled load before the label sticks — the r06/r08 lesson
+    # ("re-measure flagged entries alone, idle") as code, so the
+    # committed artifact doesn't need prose triage.
+    for name, rec in entries.items():
+        if rec.get("adjudication") != "plan_slack":
+            continue
+        waited = 0
+        while os.getloadavg()[0] > 1.5 and waited < 240:
+            time.sleep(10)
+            waited += 10
+        rec["remeasure_load_1m"] = round(os.getloadavg()[0], 2)
+        fn = q[name]
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        rec["spark_noop_s"] = _median_fresh(
+            fn, spark, args.sf_dir, args.passes
+        )
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        rec["spark_sp1_s"] = _median_fresh(
+            fn, spark, args.sf_dir, args.passes
+        )
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        rec["ratio_sp1_vs_1t"] = round(
+            rec["spark_sp1_s"] / rec["duck_1t_s"], 2
+        )
+        if rec["spark_sp1_s"] <= 0.5 and rec["spark_noop_s"] <= 0.5:
+            rec["adjudication"] = "job_floor"
+        elif rec["ratio_sp1_vs_1t"] <= 2.0:
+            rec["adjudication"] = "engine_floor"
+        rec["remeasured_idle"] = True
+        print("re-measured", name, rec, flush=True)
 
     result = {
         "sf_dir": args.sf_dir,
@@ -185,9 +367,19 @@ def main() -> None:
             "=1 (single-stream isolation), vs DuckDB fetchall medians "
             "at default threads and threads=1; adjudication compares "
             "single-stream to single-stream (spark_sp1 vs duck_1t): "
-            ">2x => plan slack, else engine floor (the ratio_noop gap "
-            "is then exchange/scheduler overhead a cluster amortizes)"
+            "noop AND sp1 both <=0.5s => job_floor (per-query launch "
+            "overhead, ratio measures the floor not the plan); "
+            "<=2x => engine floor; >2x with a calibration row => "
+            "engine_floor_throughput when the ratio is within 2x of "
+            "the IDENTICAL minimal program's spark-sp1/duck-1t ratio "
+            "at the entry's measured stream shape (calibrations key; "
+            "variants_tried lists the exhausted alternative plans); "
+            "otherwise plan slack — fix it. plan_slack rows are "
+            "re-measured once at controlled load (<1.5 1-min load, "
+            "remeasured_idle) before the label sticks, because the "
+            "sequential capture self-loads the box"
         ),
+        "calibrations": calibrations,
         "entries": entries,
     }
     with open(out, "w") as f:

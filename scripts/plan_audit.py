@@ -61,8 +61,12 @@ def main() -> None:
             df = fn(spark, args.sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
             rec = {
+                # MapInPandas added r09: the keyframe/shot/audio
+                # kernels run as mapInPandas stages, which the
+                # ArrowEvalPython count (pandas_udf only) missed
                 "python_kernels": plan.count("ArrowEvalPython")
-                + plan.count("BatchEvalPython"),
+                + plan.count("BatchEvalPython")
+                + plan.count("MapInPandas"),
                 "nested_loop_joins": plan.count(
                     "BroadcastNestedLoopJoin"
                 ),

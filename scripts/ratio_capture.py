@@ -113,16 +113,49 @@ def main() -> None:
     q, o = m.queries(), m.oracle_sql()
     names = [n for n in sorted(q) if not args.only or n in args.only]
 
+    # idle start gate (VERDICT r08 item 4): RATIOS_r08's 0.945x
+    # headline was a hot-capture number rescued by prose triage — the
+    # committed artifact must stand on its own. Refuse to start above
+    # load 2.0 (wait up to 10 min for decay, then abort), and pace the
+    # sequential sweep: if self-load pushes past the threshold, pause
+    # until it decays before measuring the next entry, so hot rows
+    # stay the rare exception (<10%) instead of the norm.
+    waited = 0
+    while os.getloadavg()[0] >= 2.0 and waited < 600:
+        print(
+            f"waiting for idle start (load {os.getloadavg()[0]:.2f})",
+            flush=True,
+        )
+        time.sleep(30)
+        waited += 30
+    if os.getloadavg()[0] >= 2.0:
+        sys.exit(
+            f"abort: box not idle after {waited}s "
+            f"(load {os.getloadavg()[0]:.2f} >= 2.0) — rerun later"
+        )
+
     load_start = os.getloadavg()
     wall0 = time.time()
     entries: dict[str, dict] = {}
     spark_total = duck_total = 0.0
     timeouts, errors = [], []
 
+    pace_budget = 1200.0  # total pacing across the sweep, seconds
+
     for name in names:
         fn = q[name]
-        # per-entry load sample: a long sequential capture self-loads the
-        # box — rows captured hot are self-labeling (VERDICT r07 item 5)
+        # pacing: let self-load decay before the next measurement —
+        # bounded per entry AND by a global budget so pacing can never
+        # dominate the sweep (past the budget, rows self-label hot)
+        pace = 0
+        while (
+            os.getloadavg()[0] > 2.0 and pace < 90 and pace_budget > 0
+        ):
+            time.sleep(10)
+            pace += 10
+            pace_budget -= 10
+        # per-entry load sample: rows still captured hot after the
+        # pacing wait are self-labeling (VERDICT r07 item 5)
         load_1m = round(os.getloadavg()[0], 2)
         rec: dict = {"load_1m": load_1m}
         if load_1m > 2.0:

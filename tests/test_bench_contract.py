@@ -1,11 +1,13 @@
 """bench.py output contract (no Spark session needed).
 
-VERDICT r07 item 4: the driver's capture buffer truncates bench's
-one-line JSON (BENCH_r07 lost the first ~15 per-query keys and could
-not reconstruct all entries). The payload must place the graded
-scalars first, the E2E_REBUILD per-query entries first inside
-``queries``, and duplicate the graded scalars in a trailing
-``summary`` so truncation from EITHER end preserves them.
+VERDICT r07 item 4 + r08 item 6: the driver's capture buffer keeps the
+TAIL of bench's one-line JSON and truncates the FRONT (BENCH_r08:
+``parsed: null``, first ~5 per-query keys unrecoverable). The payload
+must therefore order ``queries`` ASCENDING by cost (front truncation
+loses the cheapest entries, never arbitrary ones), keep the graded
+scalars duplicated in a trailing ``summary``, and main() writes the
+complete payload to BENCH_FULL_LOCAL.json so the repo itself carries
+every per-query number regardless of capture truncation.
 """
 
 import json
@@ -13,8 +15,8 @@ import json
 import bench
 
 
-def _payload():
-    timings = {n: 0.5 for n in bench.HEADLINE}
+def _payload(timings=None):
+    timings = timings or {n: 0.5 for n in bench.HEADLINE}
     return bench.output_payload(
         timings, sf=0.1, build_sec=1.0, wall=2.0,
         load_at_start=(0.1, 0.2, 0.3),
@@ -31,11 +33,20 @@ def test_graded_scalars_lead_the_line():
     assert keys[-2:] == ["queries", "summary"]
 
 
-def test_e2e_rebuild_entries_lead_queries_dict():
-    q = list(_payload()["queries"])
-    n = len(bench.E2E_REBUILD)
-    assert set(q[:n]) == bench.E2E_REBUILD
+def test_queries_ascend_by_cost_so_tail_keeps_expensive():
+    timings = {
+        n: 0.001 * (i + 1) for i, n in enumerate(bench.HEADLINE)
+    }
+    q = _payload(timings)["queries"]
+    vals = list(q.values())
+    assert vals == sorted(vals)
     assert set(q) == set(bench.HEADLINE)
+    # the single most expensive entry is adjacent to the summary at
+    # the surviving end of the line
+    line = json.dumps(_payload(timings), separators=(",", ":"))
+    most_expensive = max(timings, key=timings.get)
+    tail = line[-200:]
+    assert most_expensive in tail and '"summary"' in tail
 
 
 def test_trailing_summary_duplicates_graded_scalars():
