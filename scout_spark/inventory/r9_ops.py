@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 from scout_spark.inventory import register
 from scout_spark.inventory.core import _t, _th
 from scout_spark.inventory.quality_ops import _TOK
+from scout_spark.inventory.r8_ops import _GRAM_SQL as _R8_GRAM_SQL
 
 # ------------------------------------------ cross-video keyframe dedup
 
@@ -256,6 +257,68 @@ def _url_expr_sql() -> str:
     )
 
 
+def url_flag_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, host, reg_domain, blocked) — URL synthesis, the REAL
+    parse path (parse_url host extraction + public-suffix registrable-
+    domain rule), and the broadcast blocklist flag. Pure-Column +
+    stream-static broadcast join, so it runs identically on a batch
+    frame and a streaming frame (shared-helper discipline: the batch
+    entry and the streaming twin cannot diverge)."""
+    d = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in _URL_SUBS]),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+            F.lit("."),
+            F.lower("source"),
+            F.lit("."),
+            F.element_at(
+                F.array(*[F.lit(t) for t in _URL_TLDS]),
+                (F.expr("doc_id div 20") % 5 + 1).cast("int"),
+            ),
+            F.lit("/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref="),
+            F.coalesce(F.col("lang"), F.lit("xx")),
+        ).alias("url"),
+    )
+    host = F.expr("parse_url(url, 'HOST')")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    reg = F.when(
+        # 2-label public suffix (co.uk): registrable = last 3 labels
+        host.endswith(".co.uk"),
+        F.concat_ws(".", F.slice(labels, n - 2, F.lit(3))),
+    ).otherwise(F.concat_ws(".", F.slice(labels, n - 1, F.lit(2))))
+    parsed = d.select(
+        F.col("doc_id"), host.alias("host"), reg.alias("reg_domain")
+    )
+    block = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(b,) for b in _URL_BLOCKLIST], "reg_domain string"
+        ).withColumn("blocked_flag", F.lit(True))
+    )
+    return parsed.join(block, "reg_domain", "left").select(
+        "doc_id",
+        "host",
+        "reg_domain",
+        F.coalesce(F.col("blocked_flag"), F.lit(False)).alias("blocked"),
+    )
+
+
+def domain_block_counters(docs: DataFrame) -> DataFrame:
+    """Per-(domain, blocked) doc counts — plain decomposable sums,
+    MERGEABLE streaming state (complete-mode agg; each micro-batch
+    adds in). The n_hosts distinct stays in the batch entry only —
+    exact distinct is not mergeable counter state."""
+    return url_flag_frame(docs).groupBy("reg_domain", "blocked").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
 @register(
     "curation_url_domain_blocklist",
     "URL -> registrable-domain curation stage (VERDICT r08 item 5b): "
@@ -300,51 +363,7 @@ def _url_expr_sql() -> str:
 def curation_url_domain_blocklist(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.lit("https://"),
-            F.element_at(
-                F.array(*[F.lit(s) for s in _URL_SUBS]),
-                (F.col("doc_id") % 3 + 1).cast("int"),
-            ),
-            F.lit("."),
-            F.lower("source"),
-            F.lit("."),
-            F.element_at(
-                F.array(*[F.lit(t) for t in _URL_TLDS]),
-                (F.expr("doc_id div 20") % 5 + 1).cast("int"),
-            ),
-            F.lit("/d/"),
-            F.col("doc_id").cast("string"),
-            F.lit("?ref="),
-            F.coalesce(F.col("lang"), F.lit("xx")),
-        ).alias("url"),
-    )
-    # the REAL parse path: parse_url host extraction + public-suffix
-    # registrable-domain rule over the host's label array
-    host = F.expr("parse_url(url, 'HOST')")
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    reg = F.when(
-        # 2-label public suffix (co.uk): registrable = last 3 labels
-        host.endswith(".co.uk"),
-        F.concat_ws(".", F.slice(labels, n - 2, F.lit(3))),
-    ).otherwise(F.concat_ws(".", F.slice(labels, n - 1, F.lit(2))))
-    parsed = d.select(
-        F.col("doc_id"), host.alias("host"), reg.alias("reg_domain")
-    )
-    block = F.broadcast(
-        spark.createDataFrame(
-            [(b,) for b in _URL_BLOCKLIST], "reg_domain string"
-        ).withColumn("blocked_flag", F.lit(True))
-    )
-    flagged = parsed.join(block, "reg_domain", "left").select(
-        "reg_domain",
-        F.coalesce(F.col("blocked_flag"), F.lit(False)).alias("blocked"),
-        "doc_id",
-        "host",
-    )
+    flagged = url_flag_frame(_t(spark, sf_dir, "documents"))
     return (
         flagged.groupBy("reg_domain", "blocked")
         .agg(
@@ -499,4 +518,139 @@ def lm_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select("w1", "w2", "w3", "c123", p_kn3.alias("p_kn3"))
         .orderBy(F.desc("p_kn3"), "w1", "w2", "w3")
         .limit(20)
+    )
+
+
+# ----------------------------- dup-rate x quality-band interaction
+
+
+_STOPWORDS = ("the", "a")
+
+
+@register(
+    "curation_dup_by_quality_band",
+    "Duplication x quality FILTER-INTERACTION audit — the 2x2 "
+    "contingency a curation team reads before ordering its pipeline "
+    "stages: are the high-stopword (low-quality) documents also the "
+    "duplicated ones, i.e. how much work does running the quality "
+    "filter first save the (more expensive) dedup stage? Per-doc dup "
+    "coverage comes from the proven 8-gram machinery "
+    "(r8_ops._gram_frame: shifted-slice zip behind a repartition "
+    "barrier; corpus frequency rides a hash-partitioned window on the "
+    "8-byte gram hash); flags compare in INTEGERS (n_stop*10 >= n_tok "
+    "<=> stopword ratio >= 0.1; covered*5 >= n_tok <=> coverage >= "
+    "0.2) so no FP threshold flap; cell metrics are integer sums with "
+    "one rounded division. 100 TB: the gram-frame window is the "
+    "substring-dedup shuffle already adjudicated; everything after is "
+    "a 4-row contingency.",
+    oracle=f"""
+      WITH {_R8_GRAM_SQL},
+      gc AS (SELECT g AS gg, count(*)::BIGINT AS c FROM g GROUP BY g),
+      dup AS (
+        -- JOIN resolved BEFORE the LATERAL unnest: the comma-join
+        -- form (g, gc, LATERAL ...) planned as a nested loop over
+        -- |g| x |gc| and ran for minutes — explicit join first keeps
+        -- it a hash join feeding a bounded unnest
+        SELECT DISTINCT a.doc_id, ue.cp
+        FROM (SELECT a0.doc_id, a0.p
+              FROM g a0 JOIN gc ON a0.g = gc.gg
+              WHERE gc.c >= 2) a,
+             LATERAL unnest(range(a.p, a.p + 8)) ue(cp)
+      ),
+      cov AS (
+        SELECT doc_id, count(*)::BIGINT AS covered
+        FROM dup GROUP BY doc_id
+      ),
+      q AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '{_TOK}'))::BIGINT
+                 AS n_tok,
+               len(list_filter(regexp_extract_all(lower(text), '{_TOK}'),
+                   x -> x IN {_STOPWORDS}))::BIGINT AS n_stop
+        FROM documents
+      ),
+      f AS (
+        SELECT q.doc_id, q.n_tok, q.n_stop,
+               coalesce(cov.covered, 0) AS covered
+        FROM q LEFT JOIN cov USING (doc_id)
+        WHERE q.n_tok > 0
+      )
+      SELECT (n_stop * 10 >= n_tok) AS high_stopword,
+             (covered * 5 >= n_tok) AS high_dup,
+             count(*)::BIGINT AS n_docs,
+             sum(covered)::BIGINT AS covered_tokens,
+             sum(n_tok)::BIGINT AS total_tokens,
+             round(sum(covered)::DOUBLE / sum(n_tok), 6)
+               AS pooled_dup_coverage
+      FROM f GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def curation_dup_by_quality_band(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from scout_spark.inventory.r8_ops import _gram_frame
+
+    ex = _gram_frame(spark, sf_dir).select(
+        "doc_id", "p", F.xxhash64("g").alias("h")
+    )
+    # corpus frequency via hash-partitioned window on the 8-byte gram
+    # hash (the dedup_duplicated_ngram_coverage shuffle; same accepted
+    # 64-bit collision class)
+    freq = ex.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    cov = (
+        freq.where(F.col("cnt") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + 7)).alias(
+                "cp"
+            ),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("covered"))
+    )
+    # token + stopword counts off ONE tokenize behind the repartition
+    # barrier (regex runs once per row, not once per reference)
+    q = (
+        _th(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(_TOK), 0
+            ).alias("t"),
+        )
+        .repartition(max(spark.sparkContext.defaultParallelism, 8))
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tok"),
+            F.size(
+                F.filter(F.col("t"), lambda x: x.isin(*_STOPWORDS))
+            )
+            .cast("long")
+            .alias("n_stop"),
+        )
+    )
+    f = (
+        q.join(cov, "doc_id", "left")
+        .withColumn("covered", F.coalesce(F.col("covered"), F.lit(0)))
+        .where(F.col("n_tok") > 0)
+    )
+    return (
+        f.groupBy(
+            (F.col("n_stop") * 10 >= F.col("n_tok")).alias(
+                "high_stopword"
+            ),
+            (F.col("covered") * 5 >= F.col("n_tok")).alias("high_dup"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("covered").cast("long").alias("covered_tokens"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("covered").cast("double") / F.sum("n_tok"), 6
+            ).alias("pooled_dup_coverage"),
+        )
+        .orderBy("high_stopword", "high_dup")
     )

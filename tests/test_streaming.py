@@ -844,3 +844,32 @@ def test_funnel_counters_stream_equals_batch(spark, documents_path):
         tuple(r) for r in funnel_report(funnel_counters(batch)).collect()
     ]
     assert got_report == exp_report
+
+
+def test_url_domain_counters_stream_equals_batch(spark, documents_path):
+    """URL-blocklist per-(domain, blocked) doc counts are decomposable
+    sums (mergeable state): the drained stream must equal the batch
+    rollup row-for-row — the streaming arm of
+    curation_url_domain_blocklist (shared url_flag_frame helper, so
+    batch and stream cannot diverge)."""
+    from scout_spark.streaming.drift import read_documents_stream
+    from scout_spark.streaming.events import run_to_memory_sink
+    from scout_spark.streaming.urlblock import domain_block_counters
+
+    batch = spark.read.parquet(documents_path)
+    stream = read_documents_stream(
+        spark, documents_path, max_files_per_trigger=1
+    )
+    got = {
+        (r.reg_domain, r.blocked): r.n_docs
+        for r in run_to_memory_sink(
+            domain_block_counters(stream), "t_urlblock",
+            output_mode="complete",
+        ).collect()
+    }
+    exp = {
+        (r.reg_domain, r.blocked): r.n_docs
+        for r in domain_block_counters(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    assert any(blocked for (_, blocked) in got)  # non-vacuous blocklist
