@@ -129,6 +129,33 @@ def _keyframe_oracle() -> str:
     """
 
 
+def keyframe_band_index(sigs: DataFrame) -> DataFrame:
+    """(media_id, shot_id, ph) -> banded (media_id, shot_id, ph, band,
+    bv) — the 4x16-bit band explode SHARED by the batch entry and the
+    streaming ingest probe (streaming/keyframe.py), so the two paths
+    cannot diverge."""
+    return sigs.select(
+        "media_id",
+        "shot_id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (
+                            F.shiftright(F.col("ph"), 16 * i)
+                            .bitwiseAND(F.lit(65535))
+                        ).alias("bv"),
+                    )
+                    for i in range(_KF_BANDS)
+                ]
+            )
+        ).alias("x"),
+    ).select("media_id", "shot_id", "ph", "x.band", "x.bv")
+
+
+
 @register(
     "dedup_video_keyframe_phash",
     "Cross-video keyframe dedup — the composition a video-curation "
@@ -174,25 +201,7 @@ def dedup_video_keyframe_phash(
     sigs = shot_keyframe_hashes(
         blobs, frame_bytes=_KF_FRAME, threshold=_KF_THRESHOLD
     ).localCheckpoint(eager=False)
-    banded = sigs.select(
-        "media_id",
-        "shot_id",
-        "ph",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        (
-                            F.shiftright(F.col("ph"), 16 * i)
-                            .bitwiseAND(F.lit(65535))
-                        ).alias("bv"),
-                    )
-                    for i in range(_KF_BANDS)
-                ]
-            )
-        ).alias("x"),
-    ).select("media_id", "shot_id", "ph", "x.band", "x.bv")
+    banded = keyframe_band_index(sigs)
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(

@@ -100,3 +100,62 @@ def test_trigram_kn_probabilities_sane(spark, oracle_sf_dir):
     ps = [r.p_kn3 for r in rows]
     assert all(0.0 < p <= 1.0 for p in ps)
     assert ps == sorted(ps, reverse=True)
+
+
+def test_keyframe_probe_stream_equals_batch(spark, tmp_path_factory):
+    """Streaming keyframe-dedup ingest probe: a stream of videos
+    probing a static banded index must produce exactly the batch
+    probe's match set (shared keyframe_band_index/keyframe_probe
+    helpers; the kernel is mapInPandas, legal on streams; the bucket
+    join is stream-static)."""
+    from scout_spark.inventory.core import _t
+    from scout_spark.operators.multimodal import (
+        pack_blobs,
+        shot_keyframe_hashes,
+    )
+    from scout_spark.streaming.drift import read_documents_stream
+    from scout_spark.streaming.events import run_to_memory_sink
+    from scout_spark.streaming.keyframe import (
+        keyframe_band_index,
+        keyframe_probe,
+    )
+
+    path = str(tmp_path_factory.mktemp("kf_stream"))
+    docs = _t(spark, "/root/testdata/sf0.001", "documents").where(
+        F.length("text") == F.octet_length("text")
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(path)
+
+    def sigs_of(frame):
+        blobs = pack_blobs(
+            frame.select(
+                "doc_id",
+                F.encode(F.col("text"), "UTF-8").alias("payload"),
+                "source",
+            ),
+            "doc_id",
+            "payload",
+            kind="video",
+            source_col="source",
+        )
+        return shot_keyframe_hashes(blobs)
+
+    index = keyframe_band_index(
+        sigs_of(spark.read.parquet(path))
+    ).localCheckpoint()
+    exp = {
+        tuple(r)
+        for r in keyframe_probe(
+            sigs_of(spark.read.parquet(path)), index
+        ).collect()
+    }
+    stream = read_documents_stream(spark, path, max_files_per_trigger=1)
+    got = {
+        tuple(r)
+        for r in run_to_memory_sink(
+            keyframe_probe(sigs_of(stream), index),
+            "t_kfprobe",
+            output_mode="complete",
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
