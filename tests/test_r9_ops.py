@@ -159,3 +159,63 @@ def test_keyframe_probe_stream_equals_batch(spark, tmp_path_factory):
         ).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_trigram_kn_matches_independent_python(spark, oracle_sf_dir):
+    """Pin the Kneser-Ney MATH, not just cross-engine parity: oracle
+    parity cannot catch the same wrong formula implemented on both
+    engines, so recompute interpolated trigram KN (Chen & Goodman
+    continuation recursion) independently in pure Python from the raw
+    parquet and compare the top-20 exactly."""
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from scout_spark.inventory.r9_ops import lm_kneser_ney_trigram
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            "SELECT doc_id, lower(coalesce(text, '')) FROM "
+            f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+        )
+        .fetchall()
+    )
+    d = 0.75
+    tg = Counter()
+    for _, text in rows:
+        toks = re.findall(r"[a-z0-9]+", text)
+        for i in range(len(toks) - 2):
+            tg[(toks[i], toks[i + 1], toks[i + 2])] += 1
+    c12 = Counter()
+    n3_foll = Counter()
+    bt = Counter()  # (w2,w3) -> distinct w1 count (types are unique)
+    for (w1, w2, w3), c in tg.items():
+        c12[(w1, w2)] += c
+        n3_foll[(w1, w2)] += 1
+        bt[(w2, w3)] += 1
+    nmid_2 = defaultdict(int)
+    n23_types = defaultdict(int)
+    nprec_3 = defaultdict(int)
+    for (w2, w3), n_prec in bt.items():
+        nmid_2[w2] += n_prec
+        n23_types[w2] += 1
+        nprec_3[w3] += 1
+    ntot = len(bt)
+    scored = []
+    for (w1, w2, w3), c123 in tg.items():
+        p_lower = max(bt[(w2, w3)] - d, 0) / nmid_2[w2] + (
+            (d * n23_types[w2]) / nmid_2[w2]
+        ) * (nprec_3[w3] / ntot)
+        p = max(c123 - d, 0) / c12[(w1, w2)] + (
+            (d * n3_foll[(w1, w2)]) / c12[(w1, w2)]
+        ) * p_lower
+        scored.append((round(p, 6), w1, w2, w3, c123))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2], t[3]))
+    exp = [(w1, w2, w3, c, p) for p, w1, w2, w3, c in scored[:20]]
+    got = [
+        (r.w1, r.w2, r.w3, r.c123, r.p_kn3)
+        for r in lm_kneser_ney_trigram(spark, oracle_sf_dir).collect()
+    ]
+    assert got == exp
