@@ -219,3 +219,58 @@ def test_trigram_kn_matches_independent_python(spark, oracle_sf_dir):
         for r in lm_kneser_ney_trigram(spark, oracle_sf_dir).collect()
     ]
     assert got == exp
+
+
+def test_dup_by_quality_matches_independent_python(spark, oracle_sf_dir):
+    """Independent math pin for the 2x2 filter-interaction audit:
+    recompute per-doc 8-gram dup coverage, stopword counts, integer
+    flags, and cell aggregates in pure Python from raw parquet."""
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from scout_spark.inventory.r9_ops import curation_dup_by_quality_band
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            "SELECT doc_id, lower(coalesce(text, '')) FROM "
+            f"read_parquet('{oracle_sf_dir}/documents.parquet')"
+        )
+        .fetchall()
+    )
+    grams = defaultdict(list)  # gram -> [(doc, pos1based)]
+    toks_by_doc = {}
+    for doc, text in rows:
+        toks = re.findall(r"[a-z0-9]+", text)
+        toks_by_doc[doc] = toks
+        for i in range(len(toks) - 7):
+            grams[" ".join(toks[i : i + 8])].append((doc, i + 1))
+    covered = defaultdict(set)
+    for occ in grams.values():
+        if len(occ) >= 2:
+            for doc, p in occ:
+                covered[doc].update(range(p, p + 8))
+    cells = defaultdict(lambda: [0, 0, 0])  # n_docs, covered, total
+    for doc, toks in toks_by_doc.items():
+        n_tok = len(toks)
+        if n_tok == 0:
+            continue
+        n_stop = sum(1 for t in toks if t in ("the", "a"))
+        cov = len(covered.get(doc, ()))
+        key = (n_stop * 10 >= n_tok, cov * 5 >= n_tok)
+        cells[key][0] += 1
+        cells[key][1] += cov
+        cells[key][2] += n_tok
+    exp = sorted(
+        (hs, hd, n, c, t, round(c / t, 6))
+        for (hs, hd), (n, c, t) in cells.items()
+    )
+    got = sorted(
+        tuple(r)
+        for r in curation_dup_by_quality_band(
+            spark, oracle_sf_dir
+        ).collect()
+    )
+    assert got == exp
