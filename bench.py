@@ -270,6 +270,12 @@ def output_payload(
             "headline_sequential_sec": sequential,
             "headline_core32_sec": core32_sec,
             "sf": sf,
+            # VERDICT r09 item 3: the summary sits at the TAIL of the
+            # line (the part the driver's capture keeps), so the load
+            # context must live HERE to make a hot-box headline
+            # self-labeling from the one-line JSON alone (r09's 25.2 s
+            # driver headline ran at load 10.9 vs 14.85 s idle)
+            "load_avg_start": round(load_at_start[0], 2),
         },
     }
 

@@ -256,10 +256,15 @@ def _url_expr_sql() -> str:
     # tld per source (prototype-measured — the blocklist was vacuous
     # under the first % 5 draft). doc_id is non-negative, so DuckDB's
     # truncating // and Spark's `div` agree.
+    # source is coalesced like lang (ADVICE r09): a NULL source would
+    # otherwise NULL the whole Spark concat (reg_domain '' via
+    # concat_ws over a NULL split) while DuckDB's || yields NULL — a
+    # latent parity divergence if a regenerated corpus ever carries
+    # NULL sources.
     return (
         "concat('https://', "
         "['www','cdn','m'][(doc_id % 3 + 1)::INT], '.', "
-        "lower(source), '.', "
+        "lower(coalesce(source, 'unksrc')), '.', "
         "['com','org','net','co.uk','io']"
         "[((doc_id // 20) % 5 + 1)::INT], "
         "'/d/', doc_id, '?ref=', coalesce(lang, 'xx'))"
@@ -282,7 +287,9 @@ def url_flag_frame(docs: DataFrame) -> DataFrame:
                 (F.col("doc_id") % 3 + 1).cast("int"),
             ),
             F.lit("."),
-            F.lower("source"),
+            # coalesce matches the oracle's _url_expr_sql (ADVICE r09
+            # NULL-source pin; see the comment there)
+            F.lower(F.coalesce(F.col("source"), F.lit("unksrc"))),
             F.lit("."),
             F.element_at(
                 F.array(*[F.lit(t) for t in _URL_TLDS]),
@@ -351,11 +358,11 @@ def domain_block_counters(docs: DataFrame) -> DataFrame:
       ),
       parsed AS (
         SELECT doc_id,
-               lower(source) || '.' ||
+               lower(coalesce(source, 'unksrc')) || '.' ||
                  ['com','org','net','co.uk','io']
                  [((doc_id // 20) % 5 + 1)::INT] AS reg_domain,
                ['www','cdn','m'][(doc_id % 3 + 1)::INT] || '.' ||
-                 lower(source) || '.' ||
+                 lower(coalesce(source, 'unksrc')) || '.' ||
                  ['com','org','net','co.uk','io']
                  [((doc_id // 20) % 5 + 1)::INT] AS host
         FROM d

@@ -112,17 +112,22 @@ THROUGHPUT_EVIDENCE = {
 }
 
 
-def _calibrate(spark, con, passes: int) -> dict:
+def _calibrate(spark, con, passes: int, cpus: int) -> dict:
     """spark-sp1 vs duck-1t on the identical minimal hash-agg program:
     N rows of two ~near-unique int keys → groupBy(k1,k2).count →
     1-row final agg. Key arithmetic is the same expression on both
-    engines, so row format and distribution match exactly."""
+    engines, so row format and distribution match exactly.
+
+    Restores the caller's shuffle.partitions and `SET threads={cpus}`
+    on exit (ADVICE r09: the old hardcoded 32/8 restore left the first
+    entry's duck_s running at 32 threads under --cpus != 32)."""
     from pyspark.sql import functions as F
 
-    out = {}
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     con.execute("SET threads=1")
+    out = {}
     for key, n in CALIBRATIONS.items():
 
         def _spark_build():
@@ -174,9 +179,45 @@ def _calibrate(spark, con, passes: int) -> dict:
             "ratio": round(sp1 / d1, 2),
         }
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    con.execute("SET threads=32")
+    spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    con.execute(f"SET threads={cpus}")
     return out
+
+
+def _adjudicate(rec: dict, name: str, calibrations: dict) -> None:
+    """The four-way adjudication (job_floor / engine_floor /
+    engine_floor_throughput / plan_slack) in ONE place, called by both
+    the first pass and the idle re-measure loop (ADVICE r09: the
+    re-measure loop previously re-applied only the first two branches,
+    so a calibrated entry could keep a stale plan_slack label)."""
+    if rec["spark_sp1_s"] <= 0.5 and rec["spark_noop_s"] <= 0.5:
+        # r08 adjudication rule: an entry whose parallel AND
+        # single-stream walls are both under the ~0.4-0.5 s per-query
+        # job launch floor (scheduler + codegen + Arrow setup)
+        # measures the FLOOR, not the plan — its ratio against a
+        # millisecond oracle is constant overhead a real cluster
+        # amortizes per-query.
+        rec["adjudication"] = "job_floor"
+    elif rec["ratio_sp1_vs_1t"] <= 2.0:
+        rec["adjudication"] = "engine_floor"
+    elif name in THROUGHPUT_EVIDENCE:
+        # calibration-backed retirement (see _calibrate): the entry is
+        # at the engine's measured per-operator throughput if its
+        # single-stream ratio is within 2x of the IDENTICAL minimal
+        # program's ratio (the 2x covers the scan/join structure
+        # composed around the dominant operator).
+        ev = THROUGHPUT_EVIDENCE[name]
+        calib = calibrations[ev["calibration"]]
+        rec["calibration"] = ev["calibration"]
+        rec["calibration_ratio"] = calib["ratio"]
+        rec["variants_tried"] = ev["variants_tried"]
+        rec["adjudication"] = (
+            "engine_floor_throughput"
+            if rec["ratio_sp1_vs_1t"] <= 2.0 * calib["ratio"]
+            else "plan_slack"
+        )
+    else:
+        rec["adjudication"] = "plan_slack"
 
 
 def _noop(df) -> None:
@@ -222,7 +263,7 @@ def main() -> None:
     con = oracle_connection(args.sf_dir)
 
     load0 = os.getloadavg()
-    calibrations = _calibrate(spark, con, args.passes)
+    calibrations = _calibrate(spark, con, args.passes, args.cpus)
     for k, v in calibrations.items():
         print("calibration", k, v, flush=True)
     entries: dict[str, dict] = {}
@@ -284,38 +325,7 @@ def main() -> None:
             # real slack; if it's within 2x, the parallel-path gap
             # (ratio_noop) is exchange/scheduler floor that a real
             # cluster amortizes.
-            if (
-                rec["spark_sp1_s"] <= 0.5
-                and rec["spark_noop_s"] <= 0.5
-            ):
-                # r08 adjudication rule, now codified: an entry whose
-                # parallel AND single-stream walls are both under the
-                # ~0.4-0.5 s per-query job launch floor (scheduler +
-                # codegen + Arrow setup) measures the FLOOR, not the
-                # plan — its ratio against a millisecond oracle is
-                # constant overhead a real cluster amortizes per-query
-                rec["adjudication"] = "job_floor"
-            elif rec["ratio_sp1_vs_1t"] <= 2.0:
-                rec["adjudication"] = "engine_floor"
-            elif name in THROUGHPUT_EVIDENCE:
-                # calibration-backed retirement (see _calibrate): the
-                # entry is at the engine's measured per-operator
-                # throughput if its single-stream ratio is within 2x
-                # of the IDENTICAL minimal program's ratio (the 2x
-                # covers the scan/join structure composed around the
-                # dominant operator — itself decomposed in PLANS.md)
-                ev = THROUGHPUT_EVIDENCE[name]
-                calib = calibrations[ev["calibration"]]
-                rec["calibration"] = ev["calibration"]
-                rec["calibration_ratio"] = calib["ratio"]
-                rec["variants_tried"] = ev["variants_tried"]
-                rec["adjudication"] = (
-                    "engine_floor_throughput"
-                    if rec["ratio_sp1_vs_1t"] <= 2.0 * calib["ratio"]
-                    else "plan_slack"
-                )
-            else:
-                rec["adjudication"] = "plan_slack"
+            _adjudicate(rec, name, calibrations)
         entries[name] = rec
         print(name, rec, flush=True)
 
@@ -348,10 +358,7 @@ def main() -> None:
         rec["ratio_sp1_vs_1t"] = round(
             rec["spark_sp1_s"] / rec["duck_1t_s"], 2
         )
-        if rec["spark_sp1_s"] <= 0.5 and rec["spark_noop_s"] <= 0.5:
-            rec["adjudication"] = "job_floor"
-        elif rec["ratio_sp1_vs_1t"] <= 2.0:
-            rec["adjudication"] = "engine_floor"
+        _adjudicate(rec, name, calibrations)
         rec["remeasured_idle"] = True
         print("re-measured", name, rec, flush=True)
 

@@ -56,10 +56,15 @@ def test_trailing_summary_duplicates_graded_scalars():
         p["summary"]["headline_core32_sec"] == p["headline_core32_sec"]
     )
     assert p["summary"]["sf"] == p["sf"]
+    # VERDICT r09 item 3: the load context lives INSIDE the tail-kept
+    # summary so a hot-box headline is self-labeling from the one-line
+    # JSON alone (r09's 25.2 s driver headline ran at load 10.9)
+    assert p["summary"]["load_avg_start"] == 0.1
     # summary survives a front-truncation that eats half the line
     line = json.dumps(p)
     tail = line[len(line) // 2 :]
     assert '"summary"' in tail
+    assert '"load_avg_start"' in tail
 
 
 def test_core32_is_frozen_prefix():

@@ -102,7 +102,7 @@ def test_trigram_kn_probabilities_sane(spark, oracle_sf_dir):
     assert ps == sorted(ps, reverse=True)
 
 
-def test_keyframe_probe_stream_equals_batch(spark, tmp_path_factory):
+def test_keyframe_probe_stream_equals_batch(spark, sf_dir, tmp_path_factory):
     """Streaming keyframe-dedup ingest probe: a stream of videos
     probing a static banded index must produce exactly the batch
     probe's match set (shared keyframe_band_index/keyframe_probe
@@ -121,7 +121,10 @@ def test_keyframe_probe_stream_equals_batch(spark, tmp_path_factory):
     )
 
     path = str(tmp_path_factory.mktemp("kf_stream"))
-    docs = _t(spark, "/root/testdata/sf0.001", "documents").where(
+    # sf_dir fixture, not a hardcoded path (ADVICE r09): the test
+    # must follow SPARK_GRAFT_TEST_SF_DIR if the driver relocates
+    # testdata, like the other stream==batch tests.
+    docs = _t(spark, sf_dir, "documents").where(
         F.length("text") == F.octet_length("text")
     )
     docs.repartition(4).write.mode("overwrite").parquet(path)
