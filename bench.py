@@ -185,6 +185,13 @@ HEADLINE = [
     # trigram-KN entries are pure-Column scan+bounded-agg /
     # vocab-bounded window shapes existing entries represent.
     "dedup_video_keyframe_phash",
+    # round-10: held-out trigram-KN document scoring — the
+    # train-model-then-score-stream composition (checkpointed
+    # type-frame model, 5 broadcast dims, integer log-micro scoring;
+    # E2E_REBUILD). The per-source keyframe KPI rides the same
+    # machinery as dedup_video_keyframe_phash — not separately
+    # benched.
+    "lm_kn3_heldout_doc_score",
 ]
 
 # Frozen round-2 comparison subset: the headline set as of BENCH_r02
@@ -222,6 +229,9 @@ E2E_REBUILD = {
     # checkpoint at first action — rebuild per pass so the kernel
     # cost stays inside the timed wall (the image-pHash discipline)
     "dedup_video_keyframe_phash",
+    # r10: the train type-frame localCheckpoints at first action —
+    # rebuild per pass so the model-build pass stays inside the wall
+    "lm_kn3_heldout_doc_score",
 }
 
 

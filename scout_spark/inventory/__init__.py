@@ -125,6 +125,8 @@ def load_all() -> dict[str, Item]:
         # round-9 additions (cross-modal compositions; import LAST so
         # the staleness rotation keeps its order)
         r9_ops,
+        # round-10 additions (held-out KN scoring, keyframe KPI)
+        r10_ops,
     )
 
     return REGISTRY

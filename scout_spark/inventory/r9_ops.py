@@ -42,16 +42,17 @@ _KF_BANDS = 4
 _KF_HAM = 3
 
 
-def _keyframe_oracle() -> str:
-    """Shot detection + per-keyframe WHT hash + band-blocked pairs,
-    recomputed from code points (the audio-energy/pHash ord()
+def _keyframe_ctes() -> str:
+    """The WITH body (shot detection + per-keyframe WHT hash +
+    band-blocked candidate pairs) shared by the pair-level oracle and
+    the r10 per-source dup-rate KPI oracle, so the two cannot diverge.
+    Recomputed from code points (the audio-energy/pHash ord()
     discipline; every intermediate is int64). Keyframes are frame 0
     plus every frame whose signature jump exceeds the threshold —
     identical to the mapInPandas kernel by construction. The checked
     ASCII precondition (length = strlen) excludes non-ASCII docs
     identically on both engines (byte == code point only then)."""
-    return f"""
-      WITH b AS (
+    return f"""b AS (
         SELECT doc_id, text, (length(text) // {_KF_FRAME})::INT AS n
         FROM documents
         WHERE length(text) >= {_KF_FRAME}
@@ -120,7 +121,12 @@ def _keyframe_oracle() -> str:
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.ph, b.ph)) <= {_KF_HAM}
-      )
+      )"""
+
+
+def _keyframe_oracle() -> str:
+    return f"""
+      WITH {_keyframe_ctes()}
       SELECT da AS media_a, db AS media_b,
              count(*)::BIGINT AS n_shared_keyframes,
              min(hamming)::BIGINT AS min_hamming
@@ -153,6 +159,37 @@ def keyframe_band_index(sigs: DataFrame) -> DataFrame:
             )
         ).alias("x"),
     ).select("media_id", "shot_id", "ph", "x.band", "x.bv")
+
+
+def keyframe_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded keyframe candidate pairs (da, sa, db, sb, hamming) at
+    hamming <= {_KF_HAM} — the band-bucket equi-join SHARED by the
+    pair-level dedup entry and the r10 per-source dup-rate KPI (and
+    matching the `cand` CTE in _keyframe_ctes), so engine and oracle
+    pair semantics live in exactly one place each."""
+    banded = keyframe_band_index(sigs)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.ph").bitwiseXOR(F.col("b.ph"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .where(ham <= _KF_HAM)
+        .select(
+            F.col("a.media_id").alias("da"),
+            F.col("a.shot_id").alias("sa"),
+            F.col("b.media_id").alias("db"),
+            F.col("b.shot_id").alias("sb"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
 
 
 
@@ -201,29 +238,7 @@ def dedup_video_keyframe_phash(
     sigs = shot_keyframe_hashes(
         blobs, frame_bytes=_KF_FRAME, threshold=_KF_THRESHOLD
     ).localCheckpoint(eager=False)
-    banded = keyframe_band_index(sigs)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    ham = F.bit_count(
-        F.col("a.ph").bitwiseXOR(F.col("b.ph"))
-    ).cast("long")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .where(ham <= _KF_HAM)
-        .select(
-            F.col("a.media_id").alias("da"),
-            F.col("a.shot_id").alias("sa"),
-            F.col("b.media_id").alias("db"),
-            F.col("b.shot_id").alias("sb"),
-            ham.alias("hamming"),
-        )
-        .distinct()
-    )
+    cand = keyframe_candidate_pairs(sigs)
     return (
         cand.groupBy(
             F.col("da").alias("media_a"), F.col("db").alias("media_b")

