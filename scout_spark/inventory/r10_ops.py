@@ -49,6 +49,159 @@ from scout_spark.inventory.r9_ops import (
 _HELD_SQL = "(doc_id // 20) % 5 = 4"
 
 
+def kn3_doc_trigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, w1, w2, w3) token trigrams — the
+    tokenize + shifted-slice zip (O(1) references to the derived
+    token array, the CollapseProject discipline). Pure-Column, so it
+    runs identically on a batch frame and a streaming frame (shared
+    by the batch entry and streaming/kn3score.py)."""
+    d = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(_TOK), 0
+        ).alias("t"),
+        # the repartition barrier materializes the token array so the
+        # THREE slice references below read the shuffled column — not
+        # three CollapseProject-inlined regex evaluations per row
+        # (legal on streaming frames too)
+    ).repartition(
+        max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    )
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "arrays_zip("
+                "slice(t, 1, greatest(size(t) - 2, 0)), "
+                "slice(t, 2, greatest(size(t) - 2, 0)), "
+                "slice(t, 3, greatest(size(t) - 2, 0)))"
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.expr("s['0']").alias("w1"),
+        F.expr("s['1']").alias("w2"),
+        F.expr("s['2']").alias("w3"),
+    )
+
+
+def kn3_model(train_trigrams: DataFrame) -> dict:
+    """Train-side interpolated-KN model from a trigram token frame:
+    a lazy-checkpointed vocab^3-bounded type frame plus its derived
+    dims. The checkpoint is load-bearing: the dim broadcasts
+    materialize as SEPARATE jobs with no cross-job subtree reuse (the
+    BM25 persist lesson) — without it each dim re-ran the full
+    tokenize pipeline (7 parquet scans, 9.5 s at sf0.1; fenced: 1
+    scan, 2.2 s). ntot is a collected int (1-row bounded driver
+    contraction) so scoring composes with Structured Streaming's
+    single-aggregation limit (no 1-row crossJoin needed)."""
+    tg = (
+        train_trigrams.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c123"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = tg.groupBy("w1", "w2").agg(
+        F.sum("c123").cast("long").alias("c12"),
+        F.count(F.lit(1)).cast("long").alias("n3_foll"),
+    )
+    bt = tg.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prec")
+    )
+    mid = bt.groupBy("w2").agg(
+        F.sum("n_prec").cast("long").alias("nmid_2"),
+        F.count(F.lit(1)).cast("long").alias("n23_types"),
+    )
+    uni = bt.groupBy("w3").agg(
+        F.count(F.lit(1)).cast("long").alias("nprec_3")
+    )
+    ntot = bt.count()
+    return {
+        "tg": tg,
+        "ctx": ctx,
+        "bt": bt,
+        "mid": mid,
+        "uni": uni,
+        "ntot": ntot,
+    }
+
+
+def kn3_score_per_doc(trigrams: DataFrame, model: dict) -> DataFrame:
+    """Per-doc KN3 log-score over a trigram token stream: 5 broadcast
+    dim joins (type-bounded; flip to shuffle joins past the
+    autoBroadcast threshold), per-token integer round(ln(p)*1e6)
+    micros, then exactly ONE aggregation — token-level scoring skips
+    the per-(doc,type) shuffle AND keeps the pipeline legal on a
+    streaming frame (Structured Streaming allows one aggregation).
+    Integer sums over tokens equal the type-level sum(lnp*cnt)
+    exactly."""
+    s = (
+        trigrams.join(F.broadcast(model["ctx"]), ["w1", "w2"], "left")
+        .join(F.broadcast(model["tg"]), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(model["mid"]), ["w2"], "left")
+        .join(F.broadcast(model["bt"]), ["w2", "w3"], "left")
+        .join(F.broadcast(model["uni"]), ["w3"], "left")
+        .withColumn("ntot", F.lit(model["ntot"]).cast("long"))
+        .withColumn("c123", F.coalesce(F.col("c123"), F.lit(0)))
+        .withColumn("n_prec", F.coalesce(F.col("n_prec"), F.lit(0)))
+        .withColumn(
+            "scored",
+            F.col("c12").isNotNull()
+            & F.col("nmid_2").isNotNull()
+            & F.col("nprec_3").isNotNull(),
+        )
+    )
+    # the IDENTICAL parenthesized expression as the oracle (and as
+    # lm_kneser_ney_trigram — deterministic IEEE ops over identical
+    # integers), then integer log-micros
+    p_lower = F.greatest(F.col("n_prec") - 0.75, F.lit(0)) / F.col(
+        "nmid_2"
+    ) + ((0.75 * F.col("n23_types")) / F.col("nmid_2")) * (
+        F.col("nprec_3").cast("double") / F.col("ntot")
+    )
+    p_kn3 = (
+        F.greatest(F.col("c123") - 0.75, F.lit(0)) / F.col("c12")
+        + ((0.75 * F.col("n3_foll")) / F.col("c12")) * p_lower
+    )
+    sc = s.select(
+        "doc_id",
+        "scored",
+        F.when(
+            F.col("scored"),
+            F.round(F.log(p_kn3) * 1e6, 0).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("lnp_micro"),
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum(F.when(F.col("scored"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_scored"),
+        F.sum(F.when(F.col("scored"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_oov"),
+        F.sum(F.when(F.col("scored"), F.col("lnp_micro")).otherwise(0))
+        .cast("long")
+        .alias("total_lnp_micro"),
+    )
+    avg_lnp = F.when(
+        F.col("n_scored") > 0,
+        F.round(
+            (F.col("total_lnp_micro").cast("double") / 1e6)
+            / F.col("n_scored"),
+            6,
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        "n_trigrams",
+        "n_scored",
+        "n_oov",
+        "total_lnp_micro",
+        avg_lnp.alias("avg_lnp"),
+    )
+
+
 @register(
     "lm_kn3_heldout_doc_score",
     "Held-out document scoring under the interpolated trigram "
@@ -156,150 +309,22 @@ _HELD_SQL = "(doc_id // 20) % 5 = 4"
 def lm_kn3_heldout_doc_score(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    d = (
-        _th(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            (F.expr("doc_id div 20") % 5 == 4).alias("held"),
-            F.regexp_extract_all(
-                F.lower(F.col("text")), F.lit(_TOK), 0
-            ).alias("t"),
-        )
-        # the repartition barrier is the shared Exchange BOTH the
-        # train and held-out branches read (ReusedExchange): the regex
-        # tokenize runs once per row, not once per branch
-        .repartition(max(spark.sparkContext.defaultParallelism, 8))
-    )
-    tg0 = d.select(
+    docs = _th(spark, sf_dir, "documents").select(
         "doc_id",
-        "held",
-        F.explode(
-            F.expr(
-                "arrays_zip("
-                "slice(t, 1, greatest(size(t) - 2, 0)), "
-                "slice(t, 2, greatest(size(t) - 2, 0)), "
-                "slice(t, 3, greatest(size(t) - 2, 0)))"
-            )
-        ).alias("s"),
-    ).select(
-        "doc_id",
-        "held",
-        F.expr("s['0']").alias("w1"),
-        F.expr("s['1']").alias("w2"),
-        F.expr("s['2']").alias("w3"),
+        "text",
+        (F.expr("doc_id div 20") % 5 == 4).alias("held"),
     )
-    # train-side model dims — every frame type-bounded (trigram types
-    # <= min(train tokens, vocab^3)). The 5 dim broadcasts materialize
-    # as SEPARATE jobs and Spark has no cross-job subtree reuse (the
-    # BM25 persist lesson): without a barrier here each dim re-ran the
-    # full tokenize+explode corpus pipeline — 7 parquet scans, 0
-    # ReusedExchange, 9.5 s at sf0.1. The lazy localCheckpoint of the
-    # SMALL type frame gates the big pipeline (the pHash fence
-    # pattern): one train pass builds the model, one held pass scores.
-    # Broadcast is right while the type frames fit the autoBroadcast
-    # threshold (orders of magnitude of slack at any SF of this
-    # corpus); past it, drop the hint for shuffle joins on the w-keys.
-    tg = (
-        tg0.where(~F.col("held"))
-        .groupBy("w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).cast("long").alias("c123"))
-        .localCheckpoint(eager=False)
+    # the held filter sits BELOW the tokenize in both pipelines (each
+    # pass tokenizes only its split); the train pass materializes the
+    # model behind kn3_model's checkpoint, the held pass streams
+    # through kn3_score_per_doc's broadcast joins
+    model = kn3_model(
+        kn3_doc_trigrams(docs.where(~F.col("held")))
     )
-    ctx = tg.groupBy("w1", "w2").agg(
-        F.sum("c123").cast("long").alias("c12"),
-        F.count(F.lit(1)).cast("long").alias("n3_foll"),
+    scores = kn3_score_per_doc(
+        kn3_doc_trigrams(docs.where(F.col("held"))), model
     )
-    bt = tg.groupBy("w2", "w3").agg(
-        F.count(F.lit(1)).cast("long").alias("n_prec")
-    )
-    mid = bt.groupBy("w2").agg(
-        F.sum("n_prec").cast("long").alias("nmid_2"),
-        F.count(F.lit(1)).cast("long").alias("n23_types"),
-    )
-    uni = bt.groupBy("w3").agg(
-        F.count(F.lit(1)).cast("long").alias("nprec_3")
-    )
-    tot = bt.agg(F.count(F.lit(1)).cast("long").alias("ntot"))
-    h = (
-        tg0.where(F.col("held"))
-        .groupBy("doc_id", "w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    s = (
-        h.join(F.broadcast(ctx), ["w1", "w2"], "left")
-        .join(F.broadcast(tg), ["w1", "w2", "w3"], "left")
-        .join(F.broadcast(mid), ["w2"], "left")
-        .join(F.broadcast(bt), ["w2", "w3"], "left")
-        .join(F.broadcast(uni), ["w3"], "left")
-        .crossJoin(F.broadcast(tot))
-        .withColumn("c123", F.coalesce(F.col("c123"), F.lit(0)))
-        .withColumn("n_prec", F.coalesce(F.col("n_prec"), F.lit(0)))
-        .withColumn(
-            "scored",
-            F.col("c12").isNotNull()
-            & F.col("nmid_2").isNotNull()
-            & F.col("nprec_3").isNotNull(),
-        )
-    )
-    # the IDENTICAL parenthesized expression as the oracle (and as
-    # lm_kneser_ney_trigram — deterministic IEEE ops over identical
-    # integers), then integer log-micros
-    p_lower = F.greatest(F.col("n_prec") - 0.75, F.lit(0)) / F.col(
-        "nmid_2"
-    ) + ((0.75 * F.col("n23_types")) / F.col("nmid_2")) * (
-        F.col("nprec_3").cast("double") / F.col("ntot")
-    )
-    p_kn3 = (
-        F.greatest(F.col("c123") - 0.75, F.lit(0)) / F.col("c12")
-        + ((0.75 * F.col("n3_foll")) / F.col("c12")) * p_lower
-    )
-    sc = s.select(
-        "doc_id",
-        "cnt",
-        "scored",
-        F.when(
-            F.col("scored"),
-            F.round(F.log(p_kn3) * 1e6, 0).cast("long"),
-        )
-        .otherwise(F.lit(0))
-        .alias("lnp_micro"),
-    )
-    agg = sc.groupBy("doc_id").agg(
-        F.sum("cnt").cast("long").alias("n_trigrams"),
-        F.sum(F.when(F.col("scored"), F.col("cnt")).otherwise(0))
-        .cast("long")
-        .alias("n_scored"),
-        F.sum(F.when(F.col("scored"), 0).otherwise(F.col("cnt")))
-        .cast("long")
-        .alias("n_oov"),
-        F.sum(
-            F.when(
-                F.col("scored"), F.col("lnp_micro") * F.col("cnt")
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("total_lnp_micro"),
-    )
-    avg_lnp = F.when(
-        F.col("n_scored") > 0,
-        F.round(
-            (F.col("total_lnp_micro").cast("double") / 1e6)
-            / F.col("n_scored"),
-            6,
-        ),
-    )
-    return (
-        agg.select(
-            "doc_id",
-            "n_trigrams",
-            "n_scored",
-            "n_oov",
-            "total_lnp_micro",
-            avg_lnp.alias("avg_lnp"),
-        )
-        .orderBy(F.asc("avg_lnp"), "doc_id")
-        .limit(20)
-    )
+    return scores.orderBy(F.asc("avg_lnp"), "doc_id").limit(20)
 
 
 # ----------------------------- per-source keyframe dup-rate KPI

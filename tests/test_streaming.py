@@ -873,3 +873,44 @@ def test_url_domain_counters_stream_equals_batch(spark, documents_path):
     }
     assert got == exp and len(got) > 0
     assert any(blocked for (_, blocked) in got)  # non-vacuous blocklist
+
+
+def test_kn3_scoring_stream_equals_batch(spark, documents_path):
+    """Streaming LM-quality scoring at ingest: new documents scored
+    against a STATIC trigram-KN model (stream-static broadcast dim
+    joins + exactly ONE aggregation) must produce the batch scorer's
+    per-doc rows exactly — the streaming arm of
+    lm_kn3_heldout_doc_score (shared kn3_doc_trigrams / kn3_model /
+    kn3_score_per_doc helpers, so batch and stream cannot diverge)."""
+    from scout_spark.streaming.drift import read_documents_stream
+    from scout_spark.streaming.events import run_to_memory_sink
+    from scout_spark.streaming.kn3score import (
+        kn3_doc_trigrams,
+        kn3_model,
+        kn3_score_per_doc,
+    )
+
+    batch = spark.read.parquet(documents_path)
+    train = batch.where((F.expr("doc_id div 20") % 5) != 4)
+    incoming_b = batch.where((F.expr("doc_id div 20") % 5) == 4)
+    model = kn3_model(kn3_doc_trigrams(train))
+    exp = {
+        tuple(r)
+        for r in kn3_score_per_doc(
+            kn3_doc_trigrams(incoming_b), model
+        ).collect()
+    }
+    stream = read_documents_stream(
+        spark, documents_path, max_files_per_trigger=1
+    ).where((F.expr("doc_id div 20") % 5) == 4)
+    got = {
+        tuple(r)
+        for r in run_to_memory_sink(
+            kn3_score_per_doc(kn3_doc_trigrams(stream), model),
+            "t_kn3score",
+            output_mode="complete",
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+    # every score row carries a negative integer log-micro total
+    assert all(t[4] < 0 for t in got)
