@@ -103,7 +103,13 @@ def sketch_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = doc_tokens(spark, sf_dir).select("source", "tok")
     hv = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     w = F.shiftright(hv, _HLL_B)
-    rho = F.when(w > 0, F.lit(53) - F.length(F.bin(w))).otherwise(F.lit(53))
+    # single-reference rho: 54 - bitlength(2w+1) == (w>0 ? 53 -
+    # bitlength(w) : 53) for all w >= 0 — the conditional form
+    # referenced w TWICE, so CollapseProject inlined the md5 chain 3x
+    # per row (bucket + both w refs); this form evaluates it 2x
+    # (measured 1.29 -> 1.01 s at sf0.1, r10). Oracle unchanged —
+    # identical integers.
+    rho = F.lit(54) - F.length(F.bin(F.shiftleft(w, 1) + 1))
     regs = (
         tok.select(
             "source", "tok", (hv % _HLL_M).alias("bucket"), rho.alias("rho")

@@ -93,7 +93,9 @@ def sketch_hll_md5_union_merge(
     tok = doc_tokens(spark, sf_dir).select("source", "tok")
     hv = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     w = F.shiftright(hv, _HLL_B)
-    rho = F.when(w > 0, F.lit(53) - F.length(F.bin(w))).otherwise(F.lit(53))
+    # single-reference rho (see analytics_ops.sketch_hll_md5): avoids
+    # the 3x md5 CollapseProject inline; identical integers
+    rho = F.lit(54) - F.length(F.bin(F.shiftleft(w, 1) + 1))
     srcregs = (
         tok.select("source", (hv % _HLL_M).alias("bucket"), rho.alias("rho"))
         .groupBy("source", "bucket")

@@ -90,6 +90,11 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.where(F.col("o_totalprice") > _BLOOM_PRICE)
         .select(F.col("o_custkey").alias("key"))
         .distinct()
+        # one orders scan, not two: the frame is read by BOTH the
+        # build-time bit-position collect and the truth-audit
+        # broadcast — separate jobs, no cross-job subtree reuse (the
+        # BM25/kn3 lesson; caught by the r10 ratio triage)
+        .localCheckpoint(eager=False)
     )
     def pos(key, s):
         return (

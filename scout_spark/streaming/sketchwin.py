@@ -40,9 +40,9 @@ def _hll_cols(user_id: Column) -> tuple[Column, Column]:
         F.substring(F.md5(user_id.cast("string")), 1, 15), 16, 10
     ).cast("long")
     w = F.shiftright(hv, _HLL_B)
-    rho = F.when(w > 0, F.lit(53) - F.length(F.bin(w))).otherwise(
-        F.lit(53)
-    )
+    # single-reference rho (see analytics_ops.sketch_hll_md5): avoids
+    # the 3x md5 CollapseProject inline; identical integers
+    rho = F.lit(54) - F.length(F.bin(F.shiftleft(w, 1) + 1))
     return (hv % _HLL_M).alias("bucket"), rho.alias("rho")
 
 

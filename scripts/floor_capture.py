@@ -77,8 +77,27 @@ def _load_entry_module():
 #     (o1,o2) keys (99.96% unique — the hash table IS the work);
 #   basket pair agg: 1,199,575 rows → 1,196,000 distinct keys.
 CALIBRATIONS = {
-    "hashagg_2col_near_unique_8m": 8_408_860,
-    "hashagg_2col_near_unique_1m2": 1_199_575,
+    "hashagg_2col_near_unique_8m": {
+        "kind": "hashagg", "n": 8_408_860
+    },
+    "hashagg_2col_near_unique_1m2": {
+        "kind": "hashagg", "n": 1_199_575
+    },
+    # r10: bloom's IDENTICAL minimal program, including its TWO-action
+    # structure (the literal-mask design: action 1 = distinct member
+    # keys + 3 md5 bucket positions + driver collect of <=4096 bits;
+    # action 2 = probe stream, 3 md5+substr+conv hashes per row against
+    # the collected mask). Shapes measured from the sf0.1 entry:
+    # 150k order rows -> 14,238 distinct members; 15k probe rows.
+    # A single-action md5 program CANNOT represent this entry — the
+    # per-action job launch floor dominates and the two actions are
+    # the design (the mask probe is Spark's runtime bloom-filter
+    # pushdown shape).
+    "bloom_mask_2job_150k": {"kind": "bloom2job", "n": 150_000},
+    # r10: heavy-hitter's stream shape — regex tokenize + unnest +
+    # token hash-agg over ~5k docs x ~54 tokens (the sf0.1 documents
+    # stream measured 270,704 tokens).
+    "regex_tokenize_agg_5k_docs": {"kind": "tokenize", "n": 5_000},
 }
 
 # Entries adjudicated against a calibration. `variants` is the
@@ -107,6 +126,36 @@ THROUGHPUT_EVIDENCE = {
             "regenerated data (r04 crossover flipped)",
             "sort-merge self-join: slower than SHUFFLE_HASH",
             "broadcast item marginals: already in the plan",
+        ],
+    },
+    # r10: the two md5-sketch rows the ratio-capture triage surfaced
+    # (the +80%-token regenerated corpus moved them out of the
+    # job-floor class). Both already took their measured plan fix
+    # this round (bloom: localCheckpoint dedupes the double orders
+    # scan, 3.4 -> 1.1 s parallel; heavy-hitter: declarative groupby
+    # kernel, 2.1 -> 1.2 s); what remains is per-row expression
+    # throughput, adjudicated against the identical minimal program.
+    "sketch_bloom_md5_membership": {
+        "calibration": "bloom_mask_2job_150k",
+        "variants_tried": [
+            "members localCheckpoint (shipped r10): one orders scan "
+            "instead of two across the mask-collect and truth-audit "
+            "jobs — parallel wall 3.4 -> 1.1 s",
+            "broadcast-bits join instead of the literal mask: not "
+            "taken — the literal-mask probe (no join at all) is the "
+            "entry's demonstrated shape (Spark runtime bloom-filter "
+            "pushdown), and the build collect is bounded at 4096 "
+            "positions",
+        ],
+    },
+    "sketch_heavy_hitter_tokens": {
+        "calibration": "regex_tokenize_agg_5k_docs",
+        "variants_tried": [
+            "declarative groupby kernel (shipped r10): 1.8x faster "
+            "than the Arrow O(k) candidate pass at vocabulary-bounded "
+            "cardinality (1.16 vs 2.08 s); the pigeonhole/misra-gries "
+            "kernels remain the unbounded-cardinality path, "
+            "pytest-pinned",
         ],
     },
 }
@@ -159,52 +208,206 @@ def _calibrate(spark, con, passes: int, cpus: int) -> dict:
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     con.execute("SET threads=1")
     out = {}
-    for key, n in CALIBRATIONS.items():
+    # one fixed fake-doc text per row for the tokenize program: 54
+    # whitespace tokens, matching the measured sf0.1 stream shape
+    tok_text = " ".join(
+        f"w{i % 9}" for i in range(54)
+    )
+    for key, spec in CALIBRATIONS.items():
+        n = spec["n"]
+        kind = spec["kind"]
 
-        def _spark_build():
-            base = spark.range(n).coalesce(1).select(
-                ((F.col("id") * 2654435761) % 6000000).alias("k1"),
-                ((F.col("id") * 40503) % 6000000).alias("k2"),
-            )
-            c = base.groupBy("k1", "k2").agg(
-                F.count(F.lit(1)).alias("c")
-            )
-            return c.agg(
-                F.count(F.lit(1)),
-                F.sum(
-                    F.when(
-                        F.col("c") > 1, F.col("c") * (F.col("c") - 1) / 2
+        if kind == "hashagg":
+
+            def _spark_build():
+                base = spark.range(n).coalesce(1).select(
+                    ((F.col("id") * 2654435761) % 6000000).alias("k1"),
+                    ((F.col("id") * 40503) % 6000000).alias("k2"),
+                )
+                c = base.groupBy("k1", "k2").agg(
+                    F.count(F.lit(1)).alias("c")
+                )
+                return c.agg(
+                    F.count(F.lit(1)),
+                    F.sum(
+                        F.when(
+                            F.col("c") > 1,
+                            F.col("c") * (F.col("c") - 1) / 2,
+                        )
+                    ),
+                    F.max("c"),
+                )
+
+            duck_q = f"""
+              SELECT count(*),
+                     coalesce(sum(CASE WHEN c > 1 THEN c*(c-1)/2 END), 0),
+                     max(c)
+              FROM (SELECT k1, k2, count(*)::BIGINT c FROM (
+                      SELECT (range * 2654435761) % 6000000 AS k1,
+                             (range * 40503) % 6000000 AS k2
+                      FROM range({n})) GROUP BY k1, k2)
+            """
+        elif kind == "bloom2job":
+            # two actions, like the entry: (1) distinct member keys
+            # from an n-row stream, 3 md5 bucket positions each,
+            # driver collect of the distinct positions; (2) probe
+            # n//10 rows x 3 md5 hashes against the collected mask.
+            def _pos_cols(key_col, duck=False):
+                if duck:
+                    return [
+                        f"('0x' || substr(md5({key_col}::VARCHAR || "
+                        f"':{s}'), 1, 8))::BIGINT % 4096"
+                        for s in range(3)
+                    ]
+                return [
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    key_col.cast("string"),
+                                    F.lit(f":{s}"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 4096
+                    for s in range(3)
+                ]
+
+            def _spark_build():
+                members = (
+                    spark.range(n)
+                    .coalesce(1)
+                    .select((F.col("id") % (n // 10)).alias("key"))
+                    .distinct()
+                )
+                bits = {
+                    r["pos"]
+                    for r in members.select(
+                        F.explode(
+                            F.array(*_pos_cols(F.col("key")))
+                        ).alias("pos")
                     )
-                ),
-                F.max("c"),
-            )
+                    .distinct()
+                    .collect()
+                }
+                mask = "".join(
+                    "1" if i in bits else "0" for i in range(4096)
+                )
+                probe = (
+                    spark.range(n // 10)
+                    .coalesce(1)
+                    .select(F.col("id").alias("key"))
+                    .withColumn("_mask", F.lit(mask))
+                )
+                hits = [
+                    (
+                        F.substring(
+                            F.col("_mask"), (p + 1).cast("int"), 1
+                        )
+                        == "1"
+                    ).cast("int")
+                    for p in _pos_cols(F.col("key"))
+                ]
+                hit_sum = hits[0]
+                for h in hits[1:]:
+                    hit_sum = hit_sum + h
+                return probe.agg(
+                    F.sum(hit_sum), F.count(F.lit(1))
+                )
 
-        _noop(_spark_build())
+            duck_pos = _pos_cols("key", duck=True)
+
+            def _duck_run():
+                bits = {
+                    r[0]
+                    for r in con.execute(
+                        f"""
+                      SELECT DISTINCT unnest([{', '.join(duck_pos)}])
+                      FROM (SELECT DISTINCT range % {n // 10} AS key
+                            FROM range({n}))
+                    """
+                    ).fetchall()
+                }
+                mask = "".join(
+                    "1" if i in bits else "0" for i in range(4096)
+                )
+                return con.execute(
+                    f"""
+                  SELECT sum(h), count(*) FROM (
+                    SELECT {' + '.join(
+                        f"(substr('{mask}', ({p})::INT + 1, 1) = '1')"
+                        f"::INT" for p in duck_pos
+                    )} AS h
+                    FROM (SELECT range AS key FROM range({n // 10})))
+                """
+                ).fetchall()
+
+            duck_q = None  # bloom2job times _duck_run instead
+        else:  # tokenize
+
+            def _spark_build():
+                base = spark.range(n).coalesce(1).select(
+                    F.lit(tok_text).alias("text")
+                )
+                toks = base.select(
+                    F.explode(
+                        F.regexp_extract_all(
+                            F.lower(F.col("text")),
+                            F.lit("[a-z0-9]+"),
+                            0,
+                        )
+                    ).alias("tok")
+                )
+                c = toks.groupBy("tok").agg(
+                    F.count(F.lit(1)).alias("c")
+                )
+                return c.agg(
+                    F.count(F.lit(1)), F.sum("c"), F.max("c")
+                )
+
+            duck_q = f"""
+              SELECT count(*), sum(c), max(c) FROM (
+                SELECT tok, count(*)::BIGINT c FROM (
+                  SELECT unnest(regexp_extract_all(
+                    lower('{tok_text}'), '[a-z0-9]+')) AS tok
+                  FROM range({n})) GROUP BY tok)
+            """
+
+        def _spark_run():
+            out_df = _spark_build()
+            # bloom2job's collect happens inside _spark_build; the
+            # final agg still goes through the noop sink like every
+            # other program
+            _noop(out_df)
+
+        _spark_run()
         runs = []
         for _ in range(passes):
             t0 = time.time()
-            _noop(_spark_build())
+            _spark_run()
             runs.append(time.time() - t0)
         sp1 = round(statistics.median(runs), 3)
 
-        duck_q = f"""
-          SELECT count(*),
-                 coalesce(sum(CASE WHEN c > 1 THEN c*(c-1)/2 END), 0),
-                 max(c)
-          FROM (SELECT k1, k2, count(*)::BIGINT c FROM (
-                  SELECT (range * 2654435761) % 6000000 AS k1,
-                         (range * 40503) % 6000000 AS k2
-                  FROM range({n})) GROUP BY k1, k2)
-        """
-        con.execute(duck_q).fetchall()
+        duck_fn = (
+            _duck_run
+            if duck_q is None
+            else (lambda q=duck_q: con.execute(q).fetchall())
+        )
+        duck_fn()
         runs = []
         for _ in range(passes):
             t0 = time.time()
-            con.execute(duck_q).fetchall()
+            duck_fn()
             runs.append(time.time() - t0)
         d1 = round(statistics.median(runs), 3)
         out[key] = {
             "rows": n,
+            "kind": kind,
             "spark_sp1_s": sp1,
             "duck_1t_s": d1,
             "ratio": round(sp1 / d1, 2),
