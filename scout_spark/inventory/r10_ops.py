@@ -92,13 +92,18 @@ def kn3_model(train_trigrams: DataFrame) -> dict:
     materialize as SEPARATE jobs with no cross-job subtree reuse (the
     BM25 persist lesson) — without it each dim re-ran the full
     tokenize pipeline (7 parquet scans, 9.5 s at sf0.1; fenced: 1
-    scan, 2.2 s). ntot is a collected int (1-row bounded driver
-    contraction) so scoring composes with Structured Streaming's
-    single-aggregation limit (no 1-row crossJoin needed)."""
+    scan, 2.2 s). The checkpoint is EAGER: with a lazy one the 5
+    broadcast-dim jobs race to materialize it and each recomputes the
+    full corpus lineage when the scheduler launches them concurrently
+    (AQE-on happened to serialize them; bench runs AQE-off and
+    measured 1.7-23 s flapping walls at load 6+). ntot is a collected
+    int (1-row bounded driver contraction) so scoring composes with
+    Structured Streaming's single-aggregation limit (no 1-row
+    crossJoin needed)."""
     tg = (
         train_trigrams.groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).cast("long").alias("c123"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     ctx = tg.groupBy("w1", "w2").agg(
         F.sum("c123").cast("long").alias("c12"),
