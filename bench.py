@@ -229,8 +229,9 @@ E2E_REBUILD = {
     # checkpoint at first action — rebuild per pass so the kernel
     # cost stays inside the timed wall (the image-pHash discipline)
     "dedup_video_keyframe_phash",
-    # r10: the train type-frame localCheckpoints at first action —
-    # rebuild per pass so the model-build pass stays inside the wall
+    # r10: the train type-frame EAGERLY localCheckpoints at build
+    # time (b7d71ca — lazy raced under AQE-off) — rebuild per pass so
+    # the model-build pass stays inside the timed wall
     "lm_kn3_heldout_doc_score",
 }
 

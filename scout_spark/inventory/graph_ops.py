@@ -245,29 +245,8 @@ def graph_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "graph_pagerank_top20",
-    "PageRank centrality (damping 0.85, 10 fixed iterations) on the "
-    "co-purchase graph via operators/graph.py::pagerank — per-iteration "
-    "cost is one shuffle of (node, contribution) pairs keyed by dst; "
-    "ranks are (id, double) only, edges hash-partitioned once and "
-    "reused, lineage truncated by localCheckpoint. Rows-only: a "
-    "10-step damped power iteration is not recursive-CTE-expressible "
-    "in DuckDB with per-step aggregation; ground truth is pinned "
-    "against a dense numpy power iteration on a fixture graph in "
-    "tests/test_graph.py.",
-    tags=("rows-only",),
-)
-def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scout_spark.operators.graph import pagerank
-
-    edges = _edges(spark, sf_dir)
-    ranks = pagerank(edges, iterations=10, damping=0.85)
-    return (
-        ranks.orderBy(F.desc("rank"), "node")
-        .limit(20)
-        .select("node", F.round("rank", 6).alias("rank"))
-    )
+# graph_pagerank_top20 is registered below the integer-twin section
+# (it reads _pr_oracle_sql/_pr_integer_ranks, defined there).
 
 
 # ------------------------------------------------- integer PageRank twin
@@ -277,7 +256,7 @@ _PR_SCALE = 10**15
 _PR_ITERS = 5
 
 
-def _pr_oracle_sql() -> str:
+def _pr_oracle_sql(iters: int = _PR_ITERS) -> str:
     """Unrolled fixed-iteration integer PageRank as chained CTEs.
 
     A damped power iteration with per-step aggregation is not
@@ -290,7 +269,7 @@ def _pr_oracle_sql() -> str:
     scaled ranks are engine-exact integers, no FP anywhere."""
     steps = []
     prev = "r0"
-    for k in range(1, _PR_ITERS + 1):
+    for k in range(1, iters + 1):
         steps.append(
             f"""
       r{k} AS (
@@ -351,6 +330,15 @@ def _pr_oracle_sql() -> str:
 def graph_pagerank_integer_fixedpoint(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _pr_integer_ranks(spark, sf_dir, _PR_ITERS)
+
+
+def _pr_integer_ranks(
+    spark: SparkSession, sf_dir: str, iters: int
+) -> DataFrame:
+    """Shared engine side of the unrolled integer PageRank (the
+    fixed-point twin and the converted graph_pagerank_top20 both read
+    this — VERDICT r10 item 5)."""
     e0 = _edges(spark, sf_dir)
     e = e0.union(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -376,7 +364,7 @@ def graph_pagerank_integer_fixedpoint(
         F.col("src").alias("node"),
         F.lit(_PR_SCALE // n).cast("bigint").alias("r"),
     )
-    for _ in range(_PR_ITERS):
+    for _ in range(iters):
         contribs = ed.join(
             F.broadcast(r.withColumnRenamed("node", "src")), "src"
         ).select(
@@ -403,3 +391,27 @@ def graph_pagerank_integer_fixedpoint(
             F.col("r").alias("rank_scaled"),
         )
     )
+
+
+_PR_TOP20_ITERS = 10
+
+
+@register(
+    "graph_pagerank_top20",
+    "PageRank centrality (damping 0.85, 10 fixed iterations) on the "
+    "co-purchase graph — per-iteration cost is one shuffle of (node, "
+    "contribution) pairs keyed by dst; ranks are (id, bigint) only, "
+    "edges hash-partitioned once and reused, lineage truncated by "
+    "localCheckpoint every round. Converted from rows-only in r11 "
+    "(VERDICT r10 item 5): the entry reads the oracle-green "
+    "scaled-integer formulation (_pr_integer_ranks, ranks x 1e15, "
+    "floor division everywhere) at its documented 10 iterations, so "
+    "the unrolled 10-CTE DuckDB chain is bit-exact. The "
+    "double-arithmetic production operator (operators/graph.py::"
+    "pagerank, identical plan shape + the broadcast_ranks_below "
+    "big-graph switch) stays pinned against a dense numpy power "
+    "iteration in tests/test_graph.py.",
+    oracle=_pr_oracle_sql(_PR_TOP20_ITERS),
+)
+def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pr_integer_ranks(spark, sf_dir, _PR_TOP20_ITERS)

@@ -190,17 +190,49 @@ def incremental_agg_maintenance(
 @register(
     "multimodal_frame_sample_rollup",
     "Video frame sampling surfaced to the driver: documents' bytes "
-    "packed as opaque video-kind blobs, frame-sampled through the "
-    "ROW-EXPANDING mapInPandas stage (operators/multimodal.py::"
-    "sample_frames — deterministic fake frame decode, REAL Arrow "
-    "batch iteration / explode-shape / schema plumbing), then a "
-    "per-media rollup (frame count, distinct checksums, max index). "
-    "Rows-only: sha-derived frame checksums aren't oracle-"
-    "expressible; kernel ground truth pinned in "
-    "tests/test_multimodal.py. 100 TB: the expansion factor is the "
-    "frame sample rate (bounded per blob), and the rollup combines "
-    "map-side.",
-    tags=("rows-only",),
+    "packed as opaque video-kind blobs with PER-MEDIA declared frame "
+    "counts (1 + doc_id % 12 — doc_id % 20 is the source index on "
+    "this corpus, so % 12 varies WITHIN sources), frame-sampled "
+    "through the ROW-EXPANDING mapInPandas stage (operators/"
+    "multimodal.py::sample_frames — deterministic fake frame decode, "
+    "REAL Arrow batch iteration / explode-shape / schema plumbing), "
+    "then a per-media rollup (frame count, distinct checksums, max "
+    "index). Converted from rows-only in r11 (VERDICT r10 item 5) by "
+    "the decode_pnm oracle-PREDICTS discipline: the kernel's frame "
+    "indices are pure integer arithmetic over declared_frames "
+    "(step = max(d div 4, 1); indices = range(0, min(d, 4*step), "
+    "step)), which the oracle re-derives in SQL, and the per-media "
+    "distinct-checksum count equals the frame count because sha256 "
+    "is injective on the distinct (payload, frame_index) inputs — a "
+    "collision would be a break of sha256 itself. The driver hash "
+    "therefore checks the REAL kernel loop, not a fixture. Kernel "
+    "ground truth also pinned in tests/test_multimodal.py. 100 TB: "
+    "the expansion factor is the frame sample rate (bounded per "
+    "blob), and the rollup combines map-side.",
+    oracle="""
+      WITH m AS (
+        SELECT doc_id, 1 + doc_id % 12 AS d FROM documents
+      ),
+      f AS (
+        SELECT doc_id,
+               greatest(d // 4, 1) AS step,
+               least(d, 4 * greatest(d // 4, 1)) AS lim
+        FROM m
+      ),
+      per AS (
+        SELECT doc_id,
+               (lim + step - 1) // step AS nf,
+               ((lim + step - 1) // step - 1) * step AS mfi
+        FROM f
+      )
+      SELECT nf::BIGINT AS n_frames,
+             mfi::BIGINT AS max_frame_index,
+             count(*)::BIGINT AS n_media,
+             sum(nf)::BIGINT AS total_distinct_frames
+      FROM per
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """,
 )
 def multimodal_frame_sample_rollup(
     spark: SparkSession, sf_dir: str
@@ -212,6 +244,14 @@ def multimodal_frame_sample_rollup(
     )
     blobs = pack_blobs(
         d, "doc_id", "payload", kind="video", source_col="lang"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.source").alias("source"),
+            (F.lit(1) + F.pmod(F.col("media_id"), F.lit(12)))
+            .cast("int")
+            .alias("declared_frames"),
+        ),
     )
     frames = sample_frames(blobs, n_frames=4)
     per_media = frames.groupBy("media_id").agg(

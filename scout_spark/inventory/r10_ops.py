@@ -329,7 +329,14 @@ def lm_kn3_heldout_doc_score(
     scores = kn3_score_per_doc(
         kn3_doc_trigrams(docs.where(F.col("held"))), model
     )
-    return scores.orderBy(F.asc("avg_lnp"), "doc_id").limit(20)
+    # asc_nulls_last, NOT asc (ADVICE r10): avg_lnp is NULL for an
+    # all-OOV held-out doc (n_scored=0); Spark asc is NULLS FIRST but
+    # DuckDB's ORDER BY avg_lnp ASC is NULLS LAST, so plain asc would
+    # flip the top-20 the day a regenerated corpus produces one.
+    # Pinned on an all-OOV fixture in tests/test_r11_advice.py.
+    return scores.orderBy(
+        F.asc_nulls_last("avg_lnp"), "doc_id"
+    ).limit(20)
 
 
 # ----------------------------- per-source keyframe dup-rate KPI

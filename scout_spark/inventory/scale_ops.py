@@ -102,6 +102,20 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_md5_bucket(col, d: int, width: int):
+    # DuckDB-reproducible bucket (hash_parity.py md5 discipline):
+    # first 8 md5 hex chars of "d:item" as an unsigned 32-bit int,
+    # mod width — non-negative on both engines, so % == pmod.
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{d}:"), col)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
 @register(
     "sketch_cms_term_frequencies",
     "Count-min sketch term-frequency estimation (operators/sketches.py"
@@ -109,10 +123,51 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "depth×width counter table (shuffle bounded by the sketch size, "
     "never the stream), point queries broadcast the sketch and take the "
     "min counter. Emits estimate alongside the exact count for the four "
-    "flagship terms; rows-only (xxhash64 buckets aren't oracle-"
-    "reproducible) — the never-undercounts and ≤εN-overcount bounds are "
-    "pinned in tests/test_retrieval.py.",
-    tags=("rows-only",),
+    "flagship terms. Converted from rows-only in r11 (VERDICT r10 item "
+    "5): the injected md5 bucket_fn makes every counter deterministic "
+    "on both engines, so the full sketch+probe pipeline is the oracle "
+    "(same pure-Column plan shape as the xxhash64 default, which stays "
+    "the production hash — its never-undercounts and ≤εN-overcount "
+    "bounds remain pinned in tests/test_retrieval.py).",
+    oracle="""
+      WITH tok AS (
+        SELECT unnest(regexp_extract_all(
+                 lower(coalesce(text, '')), '[a-z0-9]+')) AS tok
+        FROM documents
+      ),
+      cells AS (SELECT unnest(range(0, 4)) AS d, tok FROM tok),
+      sketch AS (
+        SELECT d,
+               ('0x' || substr(md5(d::VARCHAR || ':' || tok), 1, 8))::BIGINT
+                 % 2048 AS bucket,
+               count(*) AS n
+        FROM cells GROUP BY 1, 2
+      ),
+      probes(tok) AS (VALUES ('spark'), ('table'), ('merge'), ('fast')),
+      pcells AS (
+        SELECT p.tok, dd.d,
+               ('0x' || substr(md5(dd.d::VARCHAR || ':' || p.tok),
+                               1, 8))::BIGINT % 2048 AS bucket
+        FROM probes p
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS d) dd
+      ),
+      est AS (
+        SELECT pc.tok, min(coalesce(s.n, 0))::BIGINT AS estimate
+        FROM pcells pc
+        LEFT JOIN sketch s ON pc.d = s.d AND pc.bucket = s.bucket
+        GROUP BY pc.tok
+      ),
+      ex AS (
+        SELECT p.tok,
+               (SELECT count(*) FROM tok t
+                WHERE t.tok = p.tok)::BIGINT AS exact
+        FROM probes p
+      )
+      SELECT e.tok, e.estimate, x.exact,
+             e.estimate - x.exact AS overcount
+      FROM est e JOIN ex x ON e.tok = x.tok
+      ORDER BY e.tok
+    """,
 )
 def sketch_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scout_spark.inventory.core import _th
@@ -121,21 +176,32 @@ def sketch_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _th(spark, sf_dir, "documents")
     toks = d.select(F.explode(_tokens_col(F.col("text"))).alias("tok"))
-    sketch = cms_build(toks, "tok", width=2048, depth=4)
+    sketch = cms_build(
+        toks, "tok", width=2048, depth=4, bucket_fn=_cms_md5_bucket
+    )
     terms = spark.createDataFrame(
         [("spark",), ("table",), ("merge",), ("fast",)], "tok string"
     )
-    est = cms_estimates(sketch, terms, "tok", width=2048, depth=4)
+    est = cms_estimates(
+        sketch, terms, "tok", width=2048, depth=4,
+        bucket_fn=_cms_md5_bucket,
+    )
     exact = (
         toks.join(F.broadcast(terms), "tok", "left_semi")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("exact"))
     )
-    return est.join(exact, "tok", "left").select(
-        "tok",
-        "estimate",
-        F.coalesce("exact", F.lit(0)).alias("exact"),
-        (F.col("estimate") - F.coalesce("exact", F.lit(0))).alias("overcount"),
+    return (
+        est.join(exact, "tok", "left")
+        .select(
+            "tok",
+            F.col("estimate").cast("long").alias("estimate"),
+            F.coalesce("exact", F.lit(0)).cast("long").alias("exact"),
+            (
+                F.col("estimate") - F.coalesce("exact", F.lit(0))
+            ).cast("long").alias("overcount"),
+        )
+        .orderBy("tok")
     )
 
 
