@@ -1017,8 +1017,18 @@ def ann_range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audit_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     def check(tbl: str, lhs: str, rhs: str) -> DataFrame:
         t = _t(spark, sf_dir, tbl)
-        nd = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
-        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        # nd > 1 ⟺ min(rhs) != max(rhs): both countDistinct and
+        # min/max ignore NULLs (all-NULL rhs -> NULL != NULL -> not
+        # violating, matching nd=0), so the oracle's count(DISTINCT)
+        # form is untouched while the engine swaps the exact
+        # distinct's two-phase expand for map-side-combinable
+        # min/max partials (FLOOR_r11: 6.05 s -> the countDistinct
+        # expand was the whole cost; each branch is now ONE exchange
+        # of partial min/max pairs keyed by the lhs).
+        nd = t.groupBy(lhs).agg(
+            (F.min(rhs) != F.max(rhs)).alias("viol")
+        )
+        viol = F.sum(F.when(F.col("viol"), 1).otherwise(0))
         return nd.agg(
             F.count(F.lit(1)).alias("n_keys"),
             viol.alias("n_violating"),
