@@ -74,7 +74,9 @@ _ROUND_1 = {
     "sql_parameterized_query",
 }
 
-def _scan_driver_records() -> tuple[frozenset[str], frozenset[str], dict]:
+def _scan_driver_records() -> tuple[
+    frozenset[str], frozenset[str], dict, frozenset[str], dict, int
+]:
     """(all recorded names, names whose LATEST record was red, name ->
     latest round it appeared in) across every CORRECTNESS_r*.json the
     driver has written to the repo root — self-maintaining across rounds
@@ -97,6 +99,9 @@ def _scan_driver_records() -> tuple[frozenset[str], frozenset[str], dict]:
     names: set[str] = set(_ROUND_1)
     red: set[str] = set()
     last_round: dict[str, int] = {n: 1 for n in _ROUND_1}
+    hash_green: set[str] = set(_ROUND_1)  # fallback: r01 was hash-green
+    n_records: dict[str, int] = {n: 1 for n in _ROUND_1}
+    max_round = 0
     paths = sorted(
         glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
@@ -110,11 +115,19 @@ def _scan_driver_records() -> tuple[frozenset[str], frozenset[str], dict]:
             continue
         if not isinstance(rec, dict):
             continue
+        max_round = max(max_round, rnd)
+        if rnd == 1:
+            # the real r01 file supersedes the hardcoded fallback seeds
+            hash_green -= _ROUND_1
+            n_records = {
+                n: c for n, c in n_records.items() if n not in _ROUND_1
+            }
         for k, v in rec.items():
             if not isinstance(k, str):
                 continue
             names.add(k)
             last_round[k] = max(rnd, last_round.get(k, 0))
+            n_records[k] = n_records.get(k, 0) + 1
             red.discard(k)  # a newer record supersedes an older red
             if isinstance(v, dict):
                 # red = an oracle comparison that FAILED or an execution
@@ -128,12 +141,26 @@ def _scan_driver_records() -> tuple[frozenset[str], frozenset[str], dict]:
                 )
                 if failed:
                     red.add(k)
-    return frozenset(names), frozenset(red), last_round
+                if v.get("hash_match") is True:
+                    hash_green.add(k)
+    return (
+        frozenset(names),
+        frozenset(red),
+        last_round,
+        frozenset(hash_green),
+        n_records,
+        max_round,
+    )
 
 
-CHECKED_PRIOR_ROUNDS, FAILED_PRIOR_ROUNDS, LAST_CHECKED_ROUND = (
-    _scan_driver_records()
-)
+(
+    CHECKED_PRIOR_ROUNDS,
+    FAILED_PRIOR_ROUNDS,
+    LAST_CHECKED_ROUND,
+    ORACLE_GREEN_EVER,
+    N_RECORDS,
+    MAX_RECORDED_ROUND,
+) = _scan_driver_records()
 
 
 def rotation_key(name: str, has_oracle: bool, reg_index: int):
@@ -156,14 +183,33 @@ def rotation_key(name: str, has_oracle: bool, reg_index: int):
        instead of the same registration prefix re-checking forever while
        mid-round greens age indefinitely on regenerated data.
 
-    ``has_oracle`` is retained in the signature for call-site stability
-    (tests and tooling pass it) but no longer affects the order."""
+    Round-11 additions (VERDICT r10 items 5/6):
+
+    1b. oracle-unverified — an entry that is oracle-backed NOW but has
+        never earned a hash-green driver record (every prior record was
+        rows-only) joins the never-checked tier: an in-place rows-only →
+        oracle conversion has a brand-new oracle comparison the driver
+        has never run, so it must re-enter the window like a new entry.
+    1.5. second exposure — an entry whose ONLY driver record is from
+        the latest recorded round re-checks once more on the next
+        round's regenerated corpus before joining the green rotation
+        (a first-exposure green can be corpus-shape luck; the r10
+        entries lm_kn3 / keyframe-dup-rate are the motivating case).
+        Self-maintaining: each round's new entries automatically claim
+        second-exposure slots the following round."""
     if name in FAILED_PRIOR_ROUNDS:
         tier = 0
-    elif name not in CHECKED_PRIOR_ROUNDS:
+    elif name not in CHECKED_PRIOR_ROUNDS or (
+        has_oracle and name not in ORACLE_GREEN_EVER
+    ):
         tier = 1
-    else:
+    elif (
+        N_RECORDS.get(name, 0) == 1
+        and LAST_CHECKED_ROUND.get(name, 0) == MAX_RECORDED_ROUND
+    ):
         tier = 2
+    else:
+        tier = 3
         return (tier, LAST_CHECKED_ROUND.get(name, 0), reg_index)
     return (tier, 0, reg_index)
 

@@ -36,6 +36,7 @@ import argparse
 import importlib.util
 import json
 import os
+import statistics
 import sys
 import threading
 import time
@@ -210,6 +211,24 @@ def main() -> None:
         "aggregate_ratio": round(spark_total / duck_total, 3)
         if duck_total
         else None,
+        # VERDICT r10 item 7: the aggregate is a SUM ratio, dominated
+        # by the longest walls; the per-entry median tells the other
+        # half of the story — it sits near the ~0.25 s Spark job
+        # floor divided by a millisecond DuckDB wall, i.e. it
+        # measures per-query launch overhead a real cluster
+        # amortizes, NOT plan slack. Carry both so the floor-shaped
+        # tail stays visible without reading every row.
+        "median_entry_ratio": (
+            round(
+                statistics.median(
+                    v["ratio"] for v in entries.values()
+                    if v.get("ratio")
+                ),
+                2,
+            )
+            if any(v.get("ratio") for v in entries.values())
+            else None
+        ),
         "duck_timeouts": timeouts,
         "errors": errors,
         "notes": (
@@ -217,7 +236,10 @@ def main() -> None:
             "warm-then-timed; aggregate excludes rows-only entries and "
             "duck timeouts; collect overstates large-output entries vs "
             "the bench's noop wall — bench is the graded absolute, this "
-            "file is the load-robust ratio signal"
+            "file is the load-robust ratio signal. median_entry_ratio "
+            "is job-floor-dominated (sub-second Spark walls over "
+            "millisecond DuckDB walls) — read it as per-query launch "
+            "overhead, not plan slack"
         ),
         "entries": entries,
     }
