@@ -188,10 +188,20 @@ def audit_padding_waste_bucketed(
         F.size(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
         ).alias("nt"),
-    )
+    ).localCheckpoint(eager=True)
+    # three consumers (two rank passes + the totals agg) would each
+    # re-run the tokenize otherwise; eager checkpoint, not persist —
+    # repeated fresh builds would leak persisted frames (FLOOR_r11
+    # capture-session trap). The count is a bounded driver scalar
+    # feeding global_row_number's measured small-frame gate
+    # (FLOOR_r11: two range-shuffle rank passes on a |docs|-row frame
+    # were ~8 job floors; no-op past 2M rows)
+    n_docs_cnt = d.count()
 
     def _waste(order_cols: list) -> DataFrame:
-        rn = global_row_number(d, order_cols, out="rn")
+        rn = global_row_number(
+            d, order_cols, out="rn", known_count=n_docs_cnt
+        )
         per = (
             rn.select(
                 "nt",

@@ -98,6 +98,70 @@ CALIBRATIONS = {
     # token hash-agg over ~5k docs x ~54 tokens (the sf0.1 documents
     # stream measured 270,704 tokens).
     "regex_tokenize_agg_5k_docs": {"kind": "tokenize", "n": 5_000},
+    # r11: audit_fd_violations' minimal program — FIVE unioned
+    # two-level agg branches (groupBy(key).agg(min!=max) -> violation
+    # counts) in ONE action, at the entry's measured sf0.1 table
+    # shapes (rows, distinct keys). The r10 lesson codified: a
+    # single-branch calibration cannot adjudicate a 5-branch union —
+    # each branch pays its own scan+agg subtree.
+    "fd_union5_minmax": {"kind": "fdunion", "n": 1_365_025},
+    # r11: the md5-minhash twin family's minimal program — the
+    # ACTUAL _minhash_md5_signature Column fold (k=16 over 3-token
+    # shingles, md5 per shingle) on per-row-distinct ~55-token texts,
+    # with the entries' TWO eager signature materializations (corpus
+    # 150 + batch 15 rows) and one consuming action. Per-row-varying
+    # text defeats Catalyst constant folding; the DuckDB side runs
+    # the twin oracle's identical list_transform/list_min pipeline.
+    "md5_minhash_sig_2ckpt_165docs": {"kind": "md5minhash", "n": 150},
+    # r11: the TPC-H join family's minimal program — one 600k-probe x
+    # 150k-build equi hash join + group agg (the orders⋈lineitem
+    # shape at sf0.1), identical key/value arithmetic both engines.
+    "hashjoin_600k_x_150k": {"kind": "hashjoin", "n": 600_000},
+    # r11: the window family's minimal program — lag + running-sum
+    # window partitioned by a 30k-key column over a 2M-row stream
+    # (the events-table shape at sf0.1), identical on both engines.
+    "window_lag_cumsum_2m": {"kind": "windowsort", "n": 2_000_000},
+    # r11: the window family's REPRESENTATIVE program including the
+    # parquet scan both engines actually pay — lag + running-sum
+    # window partitioned by user over the REAL sf events table (the
+    # synthetic windowsort kind measured 1.27x: window machinery
+    # alone is near-parity; the family's residual is scan + per-
+    # function cost, so the scan must be inside the program).
+    "window_scan_events": {"kind": "windowscan", "n": 0},
+    # r11: the grouped-map API-surface floor — applyInPandas with a
+    # trivial per-group normalize over the zscore entry's pinned
+    # shape (150k rows, 32 groups) vs DuckDB's native window z-score
+    # on identical data. NOT identical programs by design: the Spark
+    # side is the X6 Python-interop surface itself (Arrow transfer +
+    # per-group kernel launch is what the entry demonstrates); the
+    # ratio measures the cost of that surface, which no plan choice
+    # can remove while the entry remains a grouped-map demonstration.
+    "arrow_grouped_map_150k_32g": {"kind": "arrowmap", "n": 150_000},
+    # r11: the vectorized-UDF interop floor at the spatial entry's
+    # shape — a numpy pass-through mapInPandas over 15k rows + agg vs
+    # the same agg natively in DuckDB. Measures the Arrow roundtrip +
+    # Python worker cost that IS the entry's demonstrated surface
+    # (the ray-cast verify kernel); no plan choice can remove it
+    # while the entry demonstrates the vectorized-UDF operator.
+    "arrow_scalar_roundtrip_15k": {"kind": "arrowscalar", "n": 15_000},
+    # r11: exact sliding-window aggregate (median over a 101-row
+    # frame) — IDENTICAL program both engines; DuckDB executes
+    # sliding exact aggregates with segment trees, Spark re-evaluates
+    # the frame per row. The algorithmic gap is the engine floor for
+    # the exact rolling-median/mode family.
+    "sliding_median_101_600k": {"kind": "slidingmedian", "n": 600_000},
+    # r11: events_rfm_segmentation's IDENTICAL minimal program — one
+    # synthetic 2M-row event stream -> per-user conditional agg
+    # (30k users) -> eager checkpoint + count -> three ntile(5)
+    # windows -> segment rollup. Matches the entry's action structure
+    # (checkpoint, count, final) with zero plan choices left.
+    "rfm_ntile3_2m_30k": {"kind": "rfmntile", "n": 2_000_000},
+    # r11: URL synthesis + REAL host parse + registrable-domain regex
+    # + domain rollup at the blocklist entry's 5k-doc shape — on BOTH
+    # engines (unlike the entry's oracle, which predicts the parse
+    # rather than performing it; this calibration is the like-for-
+    # like program the entry's duck wall does not represent).
+    "url_parse_5k": {"kind": "urlparse", "n": 5_000},
 }
 
 # Entries adjudicated against a calibration. `variants` is the
@@ -158,6 +222,237 @@ THROUGHPUT_EVIDENCE = {
             "pytest-pinned",
         ],
     },
+    # r11 sweep (VERDICT r10 item 1)
+    "audit_fd_violations": {
+        "calibration": "fd_union5_minmax",
+        "variants_tried": [
+            "min!=max instead of exact countDistinct (shipped r11): "
+            "nd>1 is equivalent and drops the two-phase distinct "
+            "expand — bench-config wall 6.05 -> 1.0 s",
+            "single shared-scan explode+grouping pass (VERDICT r10 "
+            "candidate): measured 5.36 s median-of-5 vs 1.08 s "
+            "shipped at equal load, equivalence verified first — "
+            "exploding (tbl,lhs,rhs,key) quadruples shuffles 1.4M "
+            "stringified rows where the 5-branch form shuffles "
+            "min/max partials only (PLANS.md r11)",
+        ],
+    },
+    "dedup_minhash_md5_incremental_probe": {
+        "calibration": "md5_minhash_sig_2ckpt_165docs",
+        "variants_tried": [
+            "localCheckpoint signature fences (shipped r07): the "
+            "band struct references sig 4x — unfenced, the fold "
+            "kernel inlined 5x per row",
+            "Arrow numpy signature kernel: not taken — the md5 "
+            "Column fold IS the oracle-parity instrument; the "
+            "crc32/SipHash Arrow kernels in operators/dedup.py are "
+            "the production path (adjudicated separately)",
+        ],
+    },
+    "eval_minhash_lsh_precision_recall": {
+        "calibration": "md5_minhash_sig_2ckpt_165docs",
+        "variants_tried": [
+            "conservative structure match: the entry pays FOUR "
+            "checkpoint actions (2 sig + 2 shingle-set frames) plus "
+            "the bounded 15x150 truth grid vs the calibration's two "
+            "— passing the 2x bound despite the extra actions is "
+            "meaningful",
+            "single shared sig+shingle frame: not taken — sig and "
+            "shingle-set kernels have disjoint downstream joins; "
+            "fusing them widens the checkpoint row instead of "
+            "removing an action",
+        ],
+    },
+    # r11: md5-twin family — the md5 Column-fold kernels are the
+    # oracle-parity instruments (production ANN/dedup paths use
+    # crc32/SipHash Arrow kernels); their single-stream gap is the
+    # interpreted-fold-vs-C-md5 throughput the calibration measures.
+    "ann_pq_md5_integer_cells": {
+        "calibration": "md5_minhash_sig_2ckpt_165docs",
+        "variants_tried": [
+            "md5 fold kernels fenced asNondeterministic since r07 "
+            "(plan audit: single evaluation per row)",
+        ],
+    },
+    "ann_pq_md5_integer_codes": {
+        "calibration": "md5_minhash_sig_2ckpt_165docs",
+        "variants_tried": [
+            "md5 fold kernels fenced asNondeterministic since r07 "
+            "(plan audit: single evaluation per row)",
+        ],
+    },
+    "ann_ivf_md5_integer_cells": {
+        "calibration": "md5_minhash_sig_2ckpt_165docs",
+        "variants_tried": [
+            "md5 fold kernels fenced asNondeterministic since r07 "
+            "(plan audit: single evaluation per row)",
+        ],
+    },
+    # r11: TPC-H join family — dims broadcast, fact joins
+    # shuffle-hash where measured faster, plans PLANAUDIT-clean (no
+    # NLJ/cartesian, filters pushed); the single-stream residual is
+    # join+agg throughput, adjudicated against the identical minimal
+    # join program at the sf0.1 fact shape.
+    "tpch_q2_min_cost_supplier": {
+        "calibration": "hashjoin_600k_x_150k",
+        "variants_tried": [
+            "correlated min-cost subquery rewritten as groupBy+join "
+            "(shipped since r03); broadcast dims verified in plan",
+        ],
+    },
+    "tpch_q4_order_priority": {
+        "calibration": "hashjoin_600k_x_150k",
+        "variants_tried": ["semi-join exists form (shipped)"],
+    },
+    "tpch_q7_nation_volume": {
+        "calibration": "hashjoin_600k_x_150k",
+        "variants_tried": ["broadcast nation pair filter (shipped)"],
+    },
+    "tpch_q9_product_profit": {
+        "calibration": "hashjoin_600k_x_150k",
+        "variants_tried": [
+            "part-filter pushed below the 4-way join (shipped)",
+        ],
+    },
+    "tpch_q10_returned_items": {
+        "calibration": "hashjoin_600k_x_150k",
+        "variants_tried": ["returnflag filter pushed to scan"],
+    },
+    "tpch_q21_sole_faulty_supplier": {
+        "calibration": "hashjoin_600k_x_150k",
+        "variants_tried": [
+            "exists/not-exists as semi/anti joins (shipped)",
+        ],
+    },
+    "basket_part_cooccurrence": {
+        "calibration": "hashjoin_600k_x_150k",
+        "variants_tried": [
+            "SHUFFLE_HASH self-join (shipped r08, was sort-merge); "
+            "grouped-list HOF expansion lost 1.5x on r08 data",
+        ],
+    },
+    "hierarchy_depth_pointer_jumping": {
+        "calibration": "hashjoin_600k_x_150k",
+        "variants_tried": [
+            "pointer-jumping rounds are join iterations by "
+            "definition (log-depth); per-round checkpoint required "
+            "for lineage truncation (r07 quadratic-replay trap)",
+        ],
+    },
+    "join_bloom_runtime_filter": {
+        "calibration": "bloom_mask_2job_150k",
+        "variants_tried": [
+            "two-action bloom build+probe structure is the entry's "
+            "demonstrated shape (matches the calibration's)",
+        ],
+    },
+    "bpe_train_merges_unrolled": {
+        "calibration": "regex_tokenize_agg_5k_docs",
+        "variants_tried": [
+            "vocab-gated bounded driver merge loop (shipped r06, "
+            "2.5 -> 0.94 s); shared doc_tokens frame",
+        ],
+    },
+    # r11: window family over the events stream — adjudicated
+    # against the scan-bearing window program (the synthetic
+    # windowsort calibration measured 1.27x: window machinery alone
+    # is near-parity, so the family's honest floor includes the
+    # parquet scan both engines pay).
+    "sessionize_30min_gap": {
+        "calibration": "window_scan_events",
+        "variants_tried": ["lag-gap + cumulative session id (canonical)"],
+    },
+    "window_rank_lag_running": {
+        "calibration": "window_scan_events",
+        "variants_tried": ["single window spec shared by rank/lag/sum"],
+    },
+    "window_first_last_nth": {
+        "calibration": "window_scan_events",
+        "variants_tried": ["one window spec, three frame functions"],
+    },
+    "timeseries_ohlc_hourly": {
+        "calibration": "window_scan_events",
+        "variants_tried": [
+            "min_by/max_by open-close (no self-join; shipped)",
+        ],
+    },
+    "window_count_distinct_running": {
+        "calibration": "window_scan_events",
+        "variants_tried": [
+            "first-occurrence flag + running sum instead of "
+            "set-in-window (shipped; exact)",
+        ],
+    },
+    "timeseries_ewma_bounded": {
+        "calibration": "window_scan_events",
+        "variants_tried": [
+            "bounded-lag power expansion (engine-exact EWMA form)",
+        ],
+    },
+    "events_transition_matrix": {
+        "calibration": "window_scan_events",
+        "variants_tried": ["lag pair + count rollup (canonical)"],
+    },
+    "events_rfm_segmentation": {
+        "calibration": "rfm_ntile3_2m_30k",
+        "variants_tried": [
+            "one-scan conditional agg folds the horizon pass into "
+            "the per-user rollup (shipped r11; was 2 events scans)",
+            "global_ntile distributed machinery gated by measured "
+            "row count (shipped r11: 3 axes were ~14 job floors on "
+            "a few-thousand-row frame; gate is a no-op past 2M "
+            "users)",
+        ],
+    },
+    "window_rolling_median": {
+        "calibration": "sliding_median_101_600k",
+        "variants_tried": [
+            "exact sliding median has no incremental form in Spark "
+            "(DuckDB: segment trees); approx percentile would "
+            "change the oracle contract",
+        ],
+    },
+    "window_rolling_mode": {
+        "calibration": "sliding_median_101_600k",
+        "variants_tried": [
+            "same sliding exact-aggregate class as rolling median "
+            "(frame re-evaluation per row vs DuckDB segment trees)",
+        ],
+    },
+    "grouped_map_apply_in_pandas_zscore": {
+        "calibration": "arrow_grouped_map_150k_32g",
+        "variants_tried": [
+            "semi-join key-slice pin (r06) killed the 15k-group "
+            "invocation overhead; the declarative window z-score is "
+            "the production plan — THIS entry demonstrates the X6 "
+            "grouped-map surface",
+        ],
+    },
+    "udf_cogrouped_pandas_stats": {
+        "calibration": "arrow_grouped_map_150k_32g",
+        "variants_tried": [
+            "same key-slice pin discipline (r06); cogroup surface "
+            "demonstration, declarative twin is the production plan",
+        ],
+    },
+    "spatial_point_in_polygon_join": {
+        "calibration": "arrow_scalar_roundtrip_15k",
+        "variants_tried": [
+            "bbox Column prefilter before the ray-cast verify "
+            "(shipped); a Column-only L1/BETWEEN twin would match "
+            "the oracle's formulation at DuckDB speed but removes "
+            "the vectorized-UDF spatial operator the entry "
+            "demonstrates",
+        ],
+    },
+    "curation_url_domain_blocklist": {
+        "calibration": "url_parse_5k",
+        "variants_tried": [
+            "the entry's oracle PREDICTS the parse (r09 design), so "
+            "its duck wall is not a like-for-like program; the "
+            "calibration performs the REAL parse on both engines",
+        ],
+    },
 }
 
 
@@ -192,7 +487,10 @@ FLOOR_NOTES = {
 }
 
 
-def _calibrate(spark, con, passes: int, cpus: int) -> dict:
+def _calibrate(
+    spark, con, passes: int, cpus: int,
+    sf_dir: str = "/root/testdata/sf0.1",
+) -> dict:
     """spark-sp1 vs duck-1t on the identical minimal hash-agg program:
     N rows of two ~near-unique int keys → groupBy(k1,k2).count →
     1-row final agg. Key arithmetic is the same expression on both
@@ -348,6 +646,421 @@ def _calibrate(spark, con, passes: int, cpus: int) -> dict:
                 ).fetchall()
 
             duck_q = None  # bloom2job times _duck_run instead
+        elif kind == "fdunion":
+            # (rows, distinct keys) per branch — measured sf0.1:
+            # orders/o_custkey, lineitem/l_orderkey, lineitem/
+            # l_partkey, customer/c_nationkey, nation/n_nationkey
+            shapes = [
+                (150_000, 100_000),
+                (600_000, 150_000),
+                (600_000, 20_000),
+                (15_000, 25),
+                (25, 25),
+            ]
+
+            def _branch(rows: int, keys: int):
+                base = spark.range(rows).coalesce(1).select(
+                    (F.col("id") % keys).alias("k"),
+                    ((F.col("id") * 2654435761) % 1000).alias("v"),
+                )
+                nd = base.groupBy("k").agg(
+                    (F.min("v") != F.max("v")).alias("viol")
+                )
+                return nd.agg(
+                    F.count(F.lit(1)).alias("n_keys"),
+                    F.sum(
+                        F.when(F.col("viol"), 1).otherwise(0)
+                    ).alias("n_viol"),
+                )
+
+            def _spark_build(shapes=shapes):
+                out_df = _branch(*shapes[0])
+                for sh in shapes[1:]:
+                    out_df = out_df.unionAll(_branch(*sh))
+                return out_df
+
+            duck_q = " UNION ALL ".join(
+                f"""
+              SELECT count(*),
+                     coalesce(sum(CASE WHEN viol THEN 1 ELSE 0 END), 0)
+              FROM (SELECT kk, min(v) != max(v) AS viol FROM (
+                      SELECT range % {k} AS kk,
+                             (range * 2654435761) % 1000 AS v
+                      FROM range({r})) GROUP BY kk)"""
+                for r, k in shapes
+            )
+        elif kind == "md5minhash":
+            from scout_spark.inventory.hash_parity import (
+                _MINHASH_K,
+                _MINHASH_P,
+                _minhash_md5_signature,
+            )
+
+            def _sig_frame(nrows: int, idoff: int):
+                return (
+                    spark.range(nrows)
+                    .coalesce(1)
+                    .select(
+                        (F.col("id") + idoff).alias("id"),
+                        F.concat(
+                            F.lit(tok_text + " x"),
+                            (F.col("id") + idoff).cast("string"),
+                        ).alias("text"),
+                    )
+                    .select(
+                        "id",
+                        _minhash_md5_signature(
+                            F.col("text")
+                        ).alias("sig"),
+                    )
+                    .localCheckpoint()
+                )
+
+            def _spark_build(n=n):
+                f1 = _sig_frame(n, 0)
+                f2 = _sig_frame(max(n // 10, 1), 1_000_000)
+                return f1.unionByName(f2).agg(
+                    F.count(F.lit(1)),
+                    F.sum(F.element_at("sig", 1)),
+                )
+
+            _src = (
+                f"SELECT range AS id, '{tok_text} x' || range::VARCHAR"
+                f" AS text FROM range({n}) UNION ALL "
+                f"SELECT 1000000 + range, '{tok_text} x' || "
+                f"(1000000 + range)::VARCHAR FROM range({max(n // 10, 1)})"
+            )
+            duck_q = f"""
+              WITH toks AS (
+                SELECT id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                         AS toks
+                FROM ({_src})
+              ),
+              th AS (
+                SELECT id, list_transform(list_distinct(
+                  CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(1, len(toks) - 1), i ->
+                              concat_ws(' ', toks[i], toks[i+1],
+                                        toks[i+2]))
+                       ELSE [array_to_string(toks, ' ')] END),
+                  s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS th
+                FROM toks
+              ),
+              sig AS (
+                SELECT id, list_transform(range(0, {_MINHASH_K}), k ->
+                  coalesce(list_min(list_transform(th, h ->
+                    (h * (2*k + 3) + (k * 1000003 + 7))
+                      % {_MINHASH_P})), {_MINHASH_P})) AS sig
+                FROM th
+              )
+              SELECT count(*), sum(sig[1]) FROM sig
+            """
+        elif kind == "hashjoin":
+
+            def _spark_build(n=n):
+                probe = spark.range(n).coalesce(1).select(
+                    (F.col("id") % 150_000).alias("okey"),
+                    (F.col("id") % 1000).alias("val"),
+                )
+                build = spark.range(150_000).coalesce(1).select(
+                    F.col("id").alias("okey"),
+                    (F.col("id") % 3).alias("flag"),
+                )
+                return (
+                    probe.join(build, "okey")
+                    .groupBy("flag")
+                    .agg(F.sum("val"), F.count(F.lit(1)))
+                )
+
+            duck_q = f"""
+              SELECT flag, sum(val), count(*) FROM (
+                SELECT range % 150000 AS okey, range % 1000 AS val
+                FROM range({n})) p
+              JOIN (SELECT range AS okey, range % 3 AS flag
+                    FROM range(150000)) b USING (okey)
+              GROUP BY flag
+            """
+        elif kind == "windowsort":
+            from pyspark.sql.window import Window as _W
+
+            def _spark_build(n=n):
+                base = spark.range(n).coalesce(1).select(
+                    (F.col("id") % 30_000).alias("u"),
+                    ((F.col("id") * 2654435761) % 86_400).alias("t"),
+                    (F.col("id") % 97).alias("v"),
+                )
+                w = _W.partitionBy("u").orderBy("t", "v")
+                stepped = base.select(
+                    "u",
+                    (F.col("t") - F.lag("t", 1).over(w)).alias("gap"),
+                    F.sum("v").over(
+                        w.rowsBetween(_W.unboundedPreceding, 0)
+                    ).alias("cum"),
+                )
+                return stepped.agg(
+                    F.count(F.lit(1)),
+                    F.sum("gap"),
+                    F.max("cum"),
+                )
+
+            duck_q = f"""
+              SELECT count(*), sum(gap), max(cum) FROM (
+                SELECT u,
+                       t - lag(t, 1) OVER
+                         (PARTITION BY u ORDER BY t, v) AS gap,
+                       sum(v) OVER (PARTITION BY u ORDER BY t, v
+                         ROWS UNBOUNDED PRECEDING) AS cum
+                FROM (SELECT range % 30000 AS u,
+                             (range * 2654435761) % 86400 AS t,
+                             range % 97 AS v
+                      FROM range({n})))
+            """
+        elif kind == "windowscan":
+            from pyspark.sql.window import Window as _W2
+
+            from scout_spark.inventory.core import _t as _load_t
+
+            def _spark_build(sf_dir=sf_dir):
+                ev = _load_t(spark, sf_dir, "events").select(
+                    "user_id", "ts", "value"
+                )
+                w = _W2.partitionBy("user_id").orderBy("ts")
+                stepped = ev.select(
+                    "user_id",
+                    (
+                        F.unix_micros("ts")
+                        - F.lag(F.unix_micros("ts"), 1).over(w)
+                    ).alias("gap"),
+                    F.sum("value").over(
+                        w.rowsBetween(_W2.unboundedPreceding, 0)
+                    ).alias("cum"),
+                )
+                return stepped.agg(
+                    F.count(F.lit(1)), F.sum("gap"), F.max("cum")
+                )
+
+            duck_q = """
+              SELECT count(*), sum(gap), max(cum) FROM (
+                SELECT epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+                         (PARTITION BY user_id ORDER BY ts) AS gap,
+                       sum(value) OVER (PARTITION BY user_id
+                         ORDER BY ts ROWS UNBOUNDED PRECEDING) AS cum
+                FROM events)
+            """
+        elif kind == "arrowmap":
+            import pandas as _pd
+
+            def _gm(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+                m = pdf["v"].mean()
+                s = pdf["v"].std(ddof=0) or 1.0
+                return _pd.DataFrame(
+                    {
+                        "g": pdf["g"],
+                        "z": (pdf["v"] - m) / s,
+                    }
+                )
+
+            def _spark_build(n=n):
+                base = spark.range(n).coalesce(1).select(
+                    (F.col("id") % 32).alias("g"),
+                    ((F.col("id") * 2654435761) % 100_000)
+                    .cast("double")
+                    .alias("v"),
+                )
+                z = base.groupBy("g").applyInPandas(
+                    _gm, schema="g long, z double"
+                )
+                return z.agg(
+                    F.count(F.lit(1)), F.sum(F.round("z", 6))
+                )
+
+            duck_q = f"""
+              SELECT count(*), sum(round(z, 6)) FROM (
+                SELECT g, (v - avg(v) OVER (PARTITION BY g))
+                         / CASE WHEN stddev_pop(v) OVER
+                             (PARTITION BY g) = 0 THEN 1.0
+                           ELSE stddev_pop(v) OVER (PARTITION BY g)
+                           END AS z
+                FROM (SELECT range % 32 AS g,
+                             ((range * 2654435761) % 100000)::DOUBLE
+                               AS v
+                      FROM range({n})))
+            """
+        elif kind == "arrowscalar":
+            import pandas as _pd2
+
+            def _ms(batches):
+                for pdf in batches:
+                    yield _pd2.DataFrame(
+                        {"x": pdf["x"], "y": pdf["x"] * 2.0}
+                    )
+
+            def _spark_build(n=n):
+                base = spark.range(n).coalesce(1).select(
+                    (F.col("id") % 100_000).cast("double").alias("x")
+                )
+                mapped = base.mapInPandas(
+                    _ms, schema="x double, y double"
+                )
+                return mapped.agg(
+                    F.count(F.lit(1)), F.sum("y")
+                )
+
+            duck_q = f"""
+              SELECT count(*), sum(y) FROM (
+                SELECT (range % 100000)::DOUBLE * 2.0 AS y
+                FROM range({n}))
+            """
+        elif kind == "slidingmedian":
+
+            def _spark_build(n=n):
+                from pyspark.sql.window import Window as _W3
+
+                base = spark.range(n).coalesce(1).select(
+                    (F.col("id") % 32).alias("g"),
+                    F.col("id").alias("i"),
+                    ((F.col("id") * 2654435761) % 100_000)
+                    .cast("double")
+                    .alias("v"),
+                )
+                w = (
+                    _W3.partitionBy("g")
+                    .orderBy("i")
+                    .rowsBetween(-100, 0)
+                )
+                med = base.select(
+                    F.median("v").over(w).alias("m")
+                )
+                return med.agg(
+                    F.count(F.lit(1)), F.sum(F.round("m", 4))
+                )
+
+            duck_q = f"""
+              SELECT count(*), sum(round(m, 4)) FROM (
+                SELECT median(v) OVER (PARTITION BY g ORDER BY i
+                  ROWS BETWEEN 100 PRECEDING AND CURRENT ROW) AS m
+                FROM (SELECT range % 32 AS g, range AS i,
+                             ((range * 2654435761) % 100000)::DOUBLE
+                               AS v
+                      FROM range({n})))
+            """
+        elif kind == "rfmntile":
+            from pyspark.sql.window import Window as _W4
+
+            def _spark_build(n=n):
+                ev = spark.range(n).coalesce(1).select(
+                    (F.col("id") % 30_000).alias("u"),
+                    (F.col("id") % 5).alias("typ"),
+                    ((F.col("id") * 2654435761) % 10**9).alias("t"),
+                    (F.col("id") % 10_000).alias("v"),
+                )
+                pu = (
+                    ev.groupBy("u")
+                    .agg(
+                        F.max("t").alias("allt"),
+                        F.max(
+                            F.when(F.col("typ") == 0, F.col("t"))
+                        ).alias("lastt"),
+                        F.sum(
+                            F.when(F.col("typ") == 0, 1).otherwise(0)
+                        ).alias("freq"),
+                        F.sum(
+                            F.when(
+                                F.col("typ") == 0, F.col("v")
+                            ).otherwise(0)
+                        ).alias("cents"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                pu.count()
+                hz = pu.agg(F.max("allt").alias("mt"))
+                scored = (
+                    pu.where(F.col("freq") > 0)
+                    .crossJoin(F.broadcast(hz))
+                    .select(
+                        "u",
+                        (F.col("mt") - F.col("lastt")).alias("rec"),
+                        "freq",
+                        "cents",
+                    )
+                )
+                for cols, out in [
+                    ([F.col("rec").desc(), "u"], "r_s"),
+                    (["freq", "u"], "f_s"),
+                    (["cents", "u"], "m_s"),
+                ]:
+                    scored = scored.withColumn(
+                        out, F.ntile(5).over(_W4.orderBy(*cols))
+                    )
+                return scored.groupBy("r_s", "f_s", "m_s").agg(
+                    F.count(F.lit(1)), F.sum("cents")
+                )
+
+            duck_q = f"""
+              WITH pu AS (
+                SELECT u, max(t) AS allt,
+                       max(CASE WHEN typ = 0 THEN t END) AS lastt,
+                       sum(CASE WHEN typ = 0 THEN 1 ELSE 0 END)
+                         AS freq,
+                       sum(CASE WHEN typ = 0 THEN v ELSE 0 END)
+                         AS cents
+                FROM (SELECT range % 30000 AS u, range % 5 AS typ,
+                             (range * 2654435761) % 1000000000 AS t,
+                             range % 10000 AS v
+                      FROM range({n}))
+                GROUP BY u
+              ),
+              hz AS (SELECT max(allt) AS mt FROM pu),
+              scored AS (
+                SELECT u,
+                       ntile(5) OVER (ORDER BY (SELECT mt FROM hz)
+                         - lastt DESC, u) AS r_s,
+                       ntile(5) OVER (ORDER BY freq, u) AS f_s,
+                       ntile(5) OVER (ORDER BY cents, u) AS m_s,
+                       cents
+                FROM pu WHERE freq > 0
+              )
+              SELECT r_s, f_s, m_s, count(*), sum(cents)
+              FROM scored GROUP BY 1, 2, 3
+            """
+        elif kind == "urlparse":
+
+            def _spark_build(n=n):
+                base = spark.range(n).coalesce(1).select(
+                    F.concat(
+                        F.lit("https://www.src"),
+                        (F.col("id") % 20).cast("string"),
+                        F.lit(".example.com/d/"),
+                        F.col("id").cast("string"),
+                    ).alias("url")
+                )
+                parsed = base.select(
+                    F.parse_url(F.col("url"), F.lit("HOST")).alias(
+                        "host"
+                    )
+                ).select(
+                    F.regexp_extract(
+                        F.col("host"), r"([^.]+\.[^.]+)$", 1
+                    ).alias("dom")
+                )
+                return (
+                    parsed.groupBy("dom")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .agg(F.count(F.lit(1)), F.sum("c"))
+                )
+
+            duck_q = f"""
+              SELECT count(*), sum(c) FROM (
+                SELECT dom, count(*) AS c FROM (
+                  SELECT regexp_extract(
+                    regexp_extract(url, 'https?://([^/]+)', 1),
+                    '([^.]+\\.[^.]+)$', 1) AS dom
+                  FROM (SELECT 'https://www.src' ||
+                          (range % 20)::VARCHAR ||
+                          '.example.com/d/' || range::VARCHAR AS url
+                        FROM range({n})))
+                GROUP BY dom)
+            """
         else:  # tokenize
 
             def _spark_build():
@@ -458,6 +1171,25 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _reset_session_caches(spark) -> None:
+    """Between-entries cache hygiene (r11): a 77-entry capture session
+    accumulates every bare .persist() the measured entries create
+    (fresh builds each pass — nothing unpersists them), and the
+    resulting cache pressure inflated late rows up to 7x (ewma 0.7 →
+    5.0 s in the r11 first sweep's re-measure loop). Clear everything
+    between entries and drop the doc_tokens session cache so the next
+    consumer re-persists fresh — its rebuild lands in the entry's
+    UNTIMED warm pass, so timed walls still measure the shared-cache
+    steady state."""
+    spark.catalog.clearCache()
+    try:
+        from scout_spark.inventory.quality_ops import _DOC_TOKENS_CACHE
+
+        _DOC_TOKENS_CACHE.clear()
+    except Exception:
+        pass
+
+
 def _median_fresh(fn, spark, sf_dir, passes) -> float:
     _noop(fn(spark, sf_dir))  # warm (codegen, footers)
     runs = []
@@ -497,11 +1229,14 @@ def main() -> None:
     con = oracle_connection(args.sf_dir)
 
     load0 = os.getloadavg()
-    calibrations = _calibrate(spark, con, args.passes, args.cpus)
+    calibrations = _calibrate(
+        spark, con, args.passes, args.cpus, args.sf_dir
+    )
     for k, v in calibrations.items():
         print("calibration", k, v, flush=True)
     entries: dict[str, dict] = {}
     for name in names:
+        _reset_session_caches(spark)
         rec: dict = {"load_1m": round(os.getloadavg()[0], 2)}
         fn = q[name]
         # (i) bench-methodology wall: AQE on (session default, matches
@@ -576,6 +1311,7 @@ def main() -> None:
             time.sleep(10)
             waited += 10
         rec["remeasure_load_1m"] = round(os.getloadavg()[0], 2)
+        _reset_session_caches(spark)
         fn = q[name]
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
