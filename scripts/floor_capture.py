@@ -162,6 +162,12 @@ CALIBRATIONS = {
     # rather than performing it; this calibration is the like-for-
     # like program the entry's duck wall does not represent).
     "url_parse_5k": {"kind": "urlparse", "n": 5_000},
+    # r11: the scan+histogram-collect minimal program — documents
+    # parquet scan -> per-length conditional counts -> driver
+    # collect (stats_psi_drift's identical structure after its r08
+    # one-collect contraction; everything downstream is a bounded
+    # driver contraction over |distinct lengths| rows).
+    "doc_scan_hist_collect": {"kind": "docscanagg", "n": 0},
 }
 
 # Entries adjudicated against a calibration. `variants` is the
@@ -451,6 +457,48 @@ THROUGHPUT_EVIDENCE = {
             "the entry's oracle PREDICTS the parse (r09 design), so "
             "its duck wall is not a like-for-like program; the "
             "calibration performs the REAL parse on both engines",
+        ],
+    },
+    "stats_psi_drift": {
+        "calibration": "doc_scan_hist_collect",
+        "variants_tried": [
+            "one-collect + bounded driver contraction (shipped r08: "
+            "three broadcast-materialized frames re-ran the "
+            "histogram lineage 3x, 1.17 -> 0.45 s); the remaining "
+            "wall IS the histogram job the calibration measures",
+        ],
+    },
+    "stats_mutual_information": {
+        "calibration": "doc_scan_hist_collect",
+        "variants_tried": [
+            "single (lang, source) count agg; MI terms are a "
+            "constant-size fold over the contingency table",
+        ],
+    },
+    "audit_referential_orphans": {
+        "calibration": "hashjoin_600k_x_150k",
+        "variants_tried": [
+            "left-anti joins on both directions (canonical orphan "
+            "audit shape); broadcast of the smaller side verified",
+        ],
+    },
+    "audit_snapshot_diff": {
+        "calibration": "hashjoin_600k_x_150k",
+        "variants_tried": [
+            "full-outer key-compare join (canonical snapshot diff); "
+            "the two deterministic snapshot frames derive from one "
+            "scan each",
+        ],
+    },
+    "sketch_hll_rolling_window_distinct": {
+        "calibration": "window_scan_events",
+        "variants_tried": [
+            "du (distinct day,user) eagerly checkpointed (shipped "
+            "r11): the HLL register build and the exact twin are "
+            "independent subtrees that re-ran the events scan + "
+            "distinct without the fence",
+            "the |days|-spine range joins are day-bounded (30-day "
+            "window), not data-sized",
         ],
     },
 }
@@ -1060,6 +1108,29 @@ def _calibrate(
                           '.example.com/d/' || range::VARCHAR AS url
                         FROM range({n})))
                 GROUP BY dom)
+            """
+        elif kind == "docscanagg":
+            from scout_spark.inventory.core import _t as _load_t2
+
+            def _spark_build(sf_dir=sf_dir):
+                d = _load_t2(spark, sf_dir, "documents")
+                return d.groupBy("n_chars").agg(
+                    F.sum(
+                        F.when(F.col("lang") == "en", 1).otherwise(0)
+                    ).alias("c1"),
+                    F.sum(
+                        F.when(F.col("lang") == "de", 1).otherwise(0)
+                    ).alias("c2"),
+                )
+
+            # (the entry collects this ~|distinct lengths|-row frame;
+            # collect-vs-noop is negligible at that size, so the
+            # standard noop timing path applies)
+            duck_q = """
+              SELECT n_chars,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END),
+                     sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+              FROM documents GROUP BY n_chars
             """
         else:  # tokenize
 
