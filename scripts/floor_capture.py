@@ -144,18 +144,22 @@ CALIBRATIONS = {
     # (the ray-cast verify kernel); no plan choice can remove it
     # while the entry demonstrates the vectorized-UDF operator.
     "arrow_scalar_roundtrip_15k": {"kind": "arrowscalar", "n": 15_000},
-    # r11: exact sliding-window aggregate (median over a 101-row
-    # frame) — IDENTICAL program both engines; DuckDB executes
-    # sliding exact aggregates with segment trees, Spark re-evaluates
-    # the frame per row. The algorithmic gap is the engine floor for
-    # the exact rolling-median/mode family.
-    "sliding_median_101_600k": {"kind": "slidingmedian", "n": 600_000},
-    # r11: events_rfm_segmentation's IDENTICAL minimal program — one
-    # synthetic 2M-row event stream -> per-user conditional agg
-    # (30k users) -> eager checkpoint + count -> three ntile(5)
-    # windows -> segment rollup. Matches the entry's action structure
-    # (checkpoint, count, final) with zero plan choices left.
-    "rfm_ntile3_2m_30k": {"kind": "rfmntile", "n": 2_000_000},
+    # r11: exact sliding-window aggregate (percentile-median over the
+    # rolling entries' 7-row trailing frame) — IDENTICAL program both
+    # engines; DuckDB executes sliding exact aggregates with segment
+    # trees, Spark re-evaluates the frame per row. The algorithmic
+    # gap is the engine floor for the exact rolling-median/mode
+    # family.
+    "sliding_median7_600k": {"kind": "slidingmedian", "n": 600_000},
+    # r11: events_rfm_segmentation's IDENTICAL minimal program over
+    # the REAL events parquet on BOTH engines (a synthetic-range
+    # variant mismeasured: DuckDB reads this parquet ~10x faster than
+    # it generates range() rows, and the adjudication compares
+    # ratios) — per-user conditional agg -> eager checkpoint + count
+    # -> three ntile(5) windows -> segment rollup. The bloom2job
+    # precedent: when an entry has zero plan choices left, the
+    # calibration IS its action structure.
+    "rfm_ntile3_events": {"kind": "rfmntile", "n": 0},
     # r11: URL synthesis + REAL host parse + registrable-domain regex
     # + domain rollup at the blocklist entry's 5k-doc shape — on BOTH
     # engines (unlike the entry's oracle, which predicts the parse
@@ -400,7 +404,7 @@ THROUGHPUT_EVIDENCE = {
         "variants_tried": ["lag pair + count rollup (canonical)"],
     },
     "events_rfm_segmentation": {
-        "calibration": "rfm_ntile3_2m_30k",
+        "calibration": "rfm_ntile3_events",
         "variants_tried": [
             "one-scan conditional agg folds the horizon pass into "
             "the per-user rollup (shipped r11; was 2 events scans)",
@@ -411,7 +415,7 @@ THROUGHPUT_EVIDENCE = {
         ],
     },
     "window_rolling_median": {
-        "calibration": "sliding_median_101_600k",
+        "calibration": "sliding_median7_600k",
         "variants_tried": [
             "exact sliding median has no incremental form in Spark "
             "(DuckDB: segment trees); approx percentile would "
@@ -419,7 +423,7 @@ THROUGHPUT_EVIDENCE = {
         ],
     },
     "window_rolling_mode": {
-        "calibration": "sliding_median_101_600k",
+        "calibration": "sliding_median7_600k",
         "variants_tried": [
             "same sliding exact-aggregate class as rolling median "
             "(frame re-evaluation per row vs DuckDB segment trees)",
@@ -974,10 +978,10 @@ def _calibrate(
                 w = (
                     _W3.partitionBy("g")
                     .orderBy("i")
-                    .rowsBetween(-100, 0)
+                    .rowsBetween(-6, 0)
                 )
                 med = base.select(
-                    F.median("v").over(w).alias("m")
+                    F.expr("percentile(v, 0.5)").over(w).alias("m")
                 )
                 return med.agg(
                     F.count(F.lit(1)), F.sum(F.round("m", 4))
@@ -985,8 +989,9 @@ def _calibrate(
 
             duck_q = f"""
               SELECT count(*), sum(round(m, 4)) FROM (
-                SELECT median(v) OVER (PARTITION BY g ORDER BY i
-                  ROWS BETWEEN 100 PRECEDING AND CURRENT ROW) AS m
+                SELECT quantile_cont(v, 0.5) OVER (PARTITION BY g
+                  ORDER BY i
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS m
                 FROM (SELECT range % 32 AS g, range AS i,
                              ((range * 2654435761) % 100000)::DOUBLE
                                AS v
@@ -995,27 +1000,29 @@ def _calibrate(
         elif kind == "rfmntile":
             from pyspark.sql.window import Window as _W4
 
-            def _spark_build(n=n):
-                ev = spark.range(n).coalesce(1).select(
-                    (F.col("id") % 30_000).alias("u"),
-                    (F.col("id") % 5).alias("typ"),
-                    ((F.col("id") * 2654435761) % 10**9).alias("t"),
-                    (F.col("id") % 10_000).alias("v"),
+            from scout_spark.inventory.core import _t as _load_t3
+
+            def _spark_build(sf_dir=sf_dir):
+                ev = _load_t3(spark, sf_dir, "events").select(
+                    "user_id",
+                    (F.col("event_type") == "purchase").alias("p"),
+                    F.unix_micros("ts").alias("t"),
+                    F.round(F.col("value") * 100)
+                    .cast("long")
+                    .alias("v"),
                 )
                 pu = (
-                    ev.groupBy("u")
+                    ev.groupBy("user_id")
                     .agg(
                         F.max("t").alias("allt"),
                         F.max(
-                            F.when(F.col("typ") == 0, F.col("t"))
+                            F.when(F.col("p"), F.col("t"))
                         ).alias("lastt"),
                         F.sum(
-                            F.when(F.col("typ") == 0, 1).otherwise(0)
+                            F.when(F.col("p"), 1).otherwise(0)
                         ).alias("freq"),
                         F.sum(
-                            F.when(
-                                F.col("typ") == 0, F.col("v")
-                            ).otherwise(0)
+                            F.when(F.col("p"), F.col("v")).otherwise(0)
                         ).alias("cents"),
                     )
                     .localCheckpoint(eager=True)
@@ -1026,16 +1033,16 @@ def _calibrate(
                     pu.where(F.col("freq") > 0)
                     .crossJoin(F.broadcast(hz))
                     .select(
-                        "u",
+                        "user_id",
                         (F.col("mt") - F.col("lastt")).alias("rec"),
                         "freq",
                         "cents",
                     )
                 )
                 for cols, out in [
-                    ([F.col("rec").desc(), "u"], "r_s"),
-                    (["freq", "u"], "f_s"),
-                    (["cents", "u"], "m_s"),
+                    ([F.col("rec").desc(), "user_id"], "r_s"),
+                    (["freq", "user_id"], "f_s"),
+                    (["cents", "user_id"], "m_s"),
                 ]:
                     scored = scored.withColumn(
                         out, F.ntile(5).over(_W4.orderBy(*cols))
@@ -1044,27 +1051,25 @@ def _calibrate(
                     F.count(F.lit(1)), F.sum("cents")
                 )
 
-            duck_q = f"""
+            duck_q = """
               WITH pu AS (
-                SELECT u, max(t) AS allt,
-                       max(CASE WHEN typ = 0 THEN t END) AS lastt,
-                       sum(CASE WHEN typ = 0 THEN 1 ELSE 0 END)
-                         AS freq,
-                       sum(CASE WHEN typ = 0 THEN v ELSE 0 END)
-                         AS cents
-                FROM (SELECT range % 30000 AS u, range % 5 AS typ,
-                             (range * 2654435761) % 1000000000 AS t,
-                             range % 10000 AS v
-                      FROM range({n}))
-                GROUP BY u
+                SELECT user_id, max(epoch_us(ts)) AS allt,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS lastt,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS freq,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN round(value * 100)::BIGINT
+                                ELSE 0 END) AS cents
+                FROM events GROUP BY user_id
               ),
               hz AS (SELECT max(allt) AS mt FROM pu),
               scored AS (
-                SELECT u,
+                SELECT user_id,
                        ntile(5) OVER (ORDER BY (SELECT mt FROM hz)
-                         - lastt DESC, u) AS r_s,
-                       ntile(5) OVER (ORDER BY freq, u) AS f_s,
-                       ntile(5) OVER (ORDER BY cents, u) AS m_s,
+                         - lastt DESC, user_id) AS r_s,
+                       ntile(5) OVER (ORDER BY freq, user_id) AS f_s,
+                       ntile(5) OVER (ORDER BY cents, user_id) AS m_s,
                        cents
                 FROM pu WHERE freq > 0
               )
