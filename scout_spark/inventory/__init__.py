@@ -127,6 +127,8 @@ def load_all() -> dict[str, Item]:
         r9_ops,
         # round-10 additions (held-out KN scoring, keyframe KPI)
         r10_ops,
+        # round-11 additions (dup-group keeper-policy audit)
+        r11_ops,
     )
 
     return REGISTRY

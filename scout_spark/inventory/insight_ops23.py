@@ -86,9 +86,13 @@ def sketch_hll_rolling_window_distinct(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # du feeds BOTH the HLL register build and the exact range-join
+    # twin — two independent subtrees in one action re-run the events
+    # scan + distinct without a fence (FLOOR_r11); eager checkpoint,
+    # not persist (capture-session leak trap). |days x users|-bounded.
     du = ev.selectExpr(
         "unix_micros(ts) div 86400000000 as day", "user_id"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     hv = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")

@@ -197,17 +197,10 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_groups_connected_components",
-    "Transitive dedup groups with a HARD oracle: the driver-green "
-    "blocked-Jaccard near-dup pairs closed under connectivity — Spark "
-    "side via iterative min-label propagation (operators/dedup.py::"
-    "connected_components, the scalable 100 TB formulation), oracle side "
-    "via a DuckDB recursive-CTE transitive closure over the identical "
-    "pair set. Output (id, component, keeper, is_duplicate) with "
-    "component = min reachable id, so both formulations provably agree.",
-    oracle=f"""
-      WITH RECURSIVE d AS (
+# Shared recursive-CTE body: documents -> blocked-Jaccard pairs ->
+# symmetric edges -> transitive reach. Both CC-family oracles read
+# this one string, so the pair predicate cannot diverge.
+_CC_REACH_CTES = f"""d AS (
         SELECT doc_id, lang, n_chars // 50 AS bkt,
                list_distinct({_tokens_sql_cc("text")}) AS toks
         FROM documents
@@ -229,13 +222,36 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT src, src FROM edges
         UNION
         SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
-      )
+      )"""
+
+
+@register(
+    "dedup_groups_connected_components",
+    "Transitive dedup groups with a HARD oracle: the driver-green "
+    "blocked-Jaccard near-dup pairs closed under connectivity — Spark "
+    "side via iterative min-label propagation (operators/dedup.py::"
+    "connected_components, the scalable 100 TB formulation), oracle side "
+    "via a DuckDB recursive-CTE transitive closure over the identical "
+    "pair set. Output (id, component, keeper, is_duplicate) with "
+    "component = min reachable id, so both formulations provably agree.",
+    oracle=f"""
+      WITH RECURSIVE {_CC_REACH_CTES}
       SELECT id, min(r) AS component, min(r) AS keeper,
              id <> min(r) AS is_duplicate
       FROM reach GROUP BY id
     """,
 )
 def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cc_components(spark, sf_dir)
+
+
+def cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, component, keeper, is_duplicate) — SHARED engine-side dup
+    components over the driver-green blocked-Jaccard pair predicate.
+    dedup_groups_connected_components and the r11 keeper-policy audit
+    both read this helper (and their oracles share _CC_REACH_CTES), so
+    the group semantics cannot diverge between entries (the r10
+    keyframe-KPI shared-helper discipline)."""
     from scout_spark.inventory.text_ops import _tokens_col
     from scout_spark.operators.dedup import dedup_groups, jaccard_pairs
 

@@ -695,26 +695,51 @@ def test_peak_concurrency_sweep_is_day_partitioned(spark):
     assert all("bd#" in ln for ln in unpart), "\n".join(unpart)
 
 
-def test_rfm_ntiles_partition_on_rank_pid(spark):
-    """events_rfm_segmentation formerly ran three unpartitioned
-    ntile(5) windows over every user; the global_ntile rewrite must
-    keep every row-level row_number window partitioned on the
-    range-shuffle partition id."""
-    from scout_spark.inventory import load_all
+def test_rfm_ntiles_gated_small_path_and_distributed_fallback(spark):
+    """events_rfm_segmentation's ntiles are gated on the MEASURED
+    per-user count (r11): below SMALL_NTILE_ROWS the single-partition
+    ntile definition runs (the distributed machinery's ~4 jobs/axis
+    are pure scheduler floor on a tiny frame — FLOOR_r11, 3.08 →
+    ~1.0 s); above it the range-shuffle row_number formulation
+    partitioned on __rank_pid remains the production plan. Both sides
+    of the gate are pinned here."""
+    from pyspark.sql import functions as F
 
+    from scout_spark.inventory import load_all
+    from scout_spark.operators import rank as rankmod
+
+    # (a) small path at test SF: plain ntile windows, NO distributed
+    # rank machinery in the plan
     df = load_all()["events_rfm_segmentation"].spark(
         spark, "/root/testdata/sf0.001"
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    row_windows = [
-        ln
-        for ln in plan.splitlines()
-        if "windowspecdefinition" in ln and "row_number" in ln
-    ]
-    assert row_windows, plan[:3000]
-    assert all("__rank_pid#" in ln for ln in row_windows), "\n".join(
-        row_windows
+    assert "ntile(5)" in plan, plan[:3000]
+    assert "__rank_pid#" not in plan, plan[:3000]
+    # (b) the gate is COUNT-driven, not SF-driven: force the
+    # threshold below the frame size and the distributed formulation
+    # must come back
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
     )
+    old = rankmod.SMALL_NTILE_ROWS
+    try:
+        rankmod.SMALL_NTILE_ROWS = 50
+        big = rankmod.global_ntile(
+            base, ["v", "id"], 5, out="t", known_count=100
+        )
+        bplan = big._jdf.queryExecution().executedPlan().toString()
+        assert "__rank_pid#" in bplan, bplan[:3000]
+        # and equality of bucket assignment between the two paths
+        rankmod.SMALL_NTILE_ROWS = 1_000_000
+        small = rankmod.global_ntile(
+            base, ["v", "id"], 5, out="t", known_count=100
+        )
+        assert sorted(map(tuple, big.collect())) == sorted(
+            map(tuple, small.collect())
+        )
+    finally:
+        rankmod.SMALL_NTILE_ROWS = old
 
 
 def test_simhash_verify_is_bucket_equi_join(spark):
