@@ -317,13 +317,15 @@ def url_flag_frame(docs: DataFrame) -> DataFrame:
         ).alias("url"),
     )
     host = F.expr("parse_url(url, 'HOST')")
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    reg = F.when(
-        # 2-label public suffix (co.uk): registrable = last 3 labels
-        host.endswith(".co.uk"),
-        F.concat_ws(".", F.slice(labels, n - 2, F.lit(3))),
-    ).otherwise(F.concat_ws(".", F.slice(labels, n - 1, F.lit(2))))
+    # Registrable-domain rule as ONE anchored regexp over ONE host
+    # reference: "(label).(2-label public suffix)" else
+    # "(label).(label)" at end-of-string — the same public-suffix+1
+    # rule as the previous split/slice form, which referenced the
+    # host expression 6x (labels x4, size, endswith) and so
+    # CollapseProject-inlined parse_url+split into every reference
+    # (FLOOR_r11: the k-eval trap, parse_url edition). Now host is
+    # referenced twice total (output column + this regexp).
+    reg = F.regexp_extract(host, r"([^.]+\.co\.uk|[^.]+\.[^.]+)$", 1)
     parsed = d.select(
         F.col("doc_id"), host.alias("host"), reg.alias("reg_domain")
     )

@@ -129,14 +129,20 @@ CALIBRATIONS = {
     # function cost, so the scan must be inside the program).
     "window_scan_events": {"kind": "windowscan", "n": 0},
     # r11: the grouped-map API-surface floor — applyInPandas with a
-    # trivial per-group normalize over the zscore entry's pinned
-    # shape (150k rows, 32 groups) vs DuckDB's native window z-score
-    # on identical data. NOT identical programs by design: the Spark
+    # trivial per-group normalize at the entries' MEASURED key shape
+    # (zscore's %32 slice: 4,591 rows over 469 custkeys at sf0.1;
+    # cogroup stats: 395 keys — the first arrowmap calibration ran
+    # 150k rows over 32 groups and under-represented the per-key
+    # invocation cost ~15x) vs DuckDB's native window z-score on
+    # identical data. NOT identical programs by design: the Spark
     # side is the X6 Python-interop surface itself (Arrow transfer +
-    # per-group kernel launch is what the entry demonstrates); the
-    # ratio measures the cost of that surface, which no plan choice
-    # can remove while the entry remains a grouped-map demonstration.
-    "arrow_grouped_map_150k_32g": {"kind": "arrowmap", "n": 150_000},
+    # per-group kernel launch ~3 ms/key is what the entry
+    # demonstrates); the ratio measures the cost of that surface,
+    # which no plan choice can remove while the entry remains a
+    # grouped-map demonstration.
+    "arrow_grouped_map_4k6_469g": {
+        "kind": "arrowmap", "n": 4_591, "groups": 469,
+    },
     # r11: the vectorized-UDF interop floor at the spatial entry's
     # shape — a numpy pass-through mapInPandas over 15k rows + agg vs
     # the same agg natively in DuckDB. Measures the Arrow roundtrip +
@@ -430,7 +436,7 @@ THROUGHPUT_EVIDENCE = {
         ],
     },
     "grouped_map_apply_in_pandas_zscore": {
-        "calibration": "arrow_grouped_map_150k_32g",
+        "calibration": "arrow_grouped_map_4k6_469g",
         "variants_tried": [
             "semi-join key-slice pin (r06) killed the 15k-group "
             "invocation overhead; the declarative window z-score is "
@@ -439,7 +445,7 @@ THROUGHPUT_EVIDENCE = {
         ],
     },
     "udf_cogrouped_pandas_stats": {
-        "calibration": "arrow_grouped_map_150k_32g",
+        "calibration": "arrow_grouped_map_4k6_469g",
         "variants_tried": [
             "same key-slice pin discipline (r06); cogroup surface "
             "demonstration, declarative twin is the production plan",
@@ -902,6 +908,8 @@ def _calibrate(
         elif kind == "arrowmap":
             import pandas as _pd
 
+            ngroups = spec.get("groups", 32)
+
             def _gm(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
                 m = pdf["v"].mean()
                 s = pdf["v"].std(ddof=0) or 1.0
@@ -912,9 +920,9 @@ def _calibrate(
                     }
                 )
 
-            def _spark_build(n=n):
+            def _spark_build(n=n, ngroups=ngroups):
                 base = spark.range(n).coalesce(1).select(
-                    (F.col("id") % 32).alias("g"),
+                    (F.col("id") % ngroups).alias("g"),
                     ((F.col("id") * 2654435761) % 100_000)
                     .cast("double")
                     .alias("v"),
@@ -933,7 +941,7 @@ def _calibrate(
                              (PARTITION BY g) = 0 THEN 1.0
                            ELSE stddev_pop(v) OVER (PARTITION BY g)
                            END AS z
-                FROM (SELECT range % 32 AS g,
+                FROM (SELECT range % {ngroups} AS g,
                              ((range * 2654435761) % 100000)::DOUBLE
                                AS v
                       FROM range({n})))
