@@ -348,20 +348,32 @@ def retrieval_prf_rocchio_expansion(
     from scout_spark.inventory.quality_ops import doc_tokens
     from scout_spark.inventory.retrieval import _BM25_TERMS, _bm25_all_scored
 
-    fb = (
-        _bm25_all_scored(spark, sf_dir)
+    # Top-k feedback doc_ids as a LITERAL cursor (bounded driver
+    # contraction, k=10 longs): the lazy broadcast form re-ran the
+    # whole BM25-scoring subtree under BOTH consumers' broadcast
+    # exchanges (~16 jobs/build, 3.3 s solo — FLOOR_r11); the
+    # deterministic rounded-score/doc_id selection is unchanged.
+    fb_ids = [
+        r.doc_id
+        for r in _bm25_all_scored(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_PRF_FEEDBACK_K)
         .select("doc_id")
-    )
+        .collect()
+    ]
     tok = doc_tokens(spark, sf_dir)
-    fbt = tok.join(F.broadcast(fb), "doc_id").where(
-        ~F.col("tok").isin(*_BM25_TERMS)
+    fbt = tok.where(
+        F.col("doc_id").isin(fb_ids) & ~F.col("tok").isin(*_BM25_TERMS)
     )
-    tfs = fbt.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("long").alias("sum_tf")
+    # feedback vocabulary == tfs's key set; the eager checkpoint of
+    # the vocab-bounded agg lets the fterms broadcast read |vocab|
+    # rows instead of re-evaluating the fbt lineage a second time
+    tfs = (
+        fbt.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("sum_tf"))
+        .localCheckpoint(eager=True)
     )
-    fterms = fbt.select("tok").distinct()
+    fterms = tfs.select("tok")
     dfr = (
         tok.join(F.broadcast(fterms), "tok")
         .groupBy("tok")

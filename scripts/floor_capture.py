@@ -1085,42 +1085,47 @@ def _calibrate(
               FROM scored GROUP BY 1, 2, 3
             """
         elif kind == "urlparse":
+            # The entry's FULL action structure (rfmntile/bloom2job
+            # precedent: zero plan choices left, so the calibration
+            # IS the structure): documents scan -> identical URL
+            # synthesis -> REAL host parse on BOTH engines (the
+            # entry's oracle predicts the parse, so the entry's own
+            # duck wall is not a like-for-like program) -> single-
+            # regexp registrable-domain rule -> broadcast blocklist
+            # flag -> (domain, blocked) rollup with countDistinct
+            # host -> ordered output. Spark side is the registered
+            # entry itself.
+            from scout_spark.inventory.r9_ops import (
+                _URL_BLOCKLIST as _UBL,
+                _url_expr_sql as _u_sql,
+                curation_url_domain_blocklist as _ub_entry,
+            )
 
-            def _spark_build(n=n):
-                base = spark.range(n).coalesce(1).select(
-                    F.concat(
-                        F.lit("https://www.src"),
-                        (F.col("id") % 20).cast("string"),
-                        F.lit(".example.com/d/"),
-                        F.col("id").cast("string"),
-                    ).alias("url")
-                )
-                parsed = base.select(
-                    F.parse_url(F.col("url"), F.lit("HOST")).alias(
-                        "host"
-                    )
-                ).select(
-                    F.regexp_extract(
-                        F.col("host"), r"([^.]+\.[^.]+)$", 1
-                    ).alias("dom")
-                )
-                return (
-                    parsed.groupBy("dom")
-                    .agg(F.count(F.lit(1)).alias("c"))
-                    .agg(F.count(F.lit(1)), F.sum("c"))
-                )
+            def _spark_build(sf_dir=sf_dir):
+                return _ub_entry(spark, sf_dir)
 
             duck_q = f"""
-              SELECT count(*), sum(c) FROM (
-                SELECT dom, count(*) AS c FROM (
-                  SELECT regexp_extract(
-                    regexp_extract(url, 'https?://([^/]+)', 1),
-                    '([^.]+\\.[^.]+)$', 1) AS dom
-                  FROM (SELECT 'https://www.src' ||
-                          (range % 20)::VARCHAR ||
-                          '.example.com/d/' || range::VARCHAR AS url
-                        FROM range({n})))
-                GROUP BY dom)
+              WITH d AS (
+                SELECT doc_id, {_u_sql()} AS url FROM documents
+              ),
+              parsed AS (
+                SELECT doc_id,
+                       regexp_extract(url, 'https?://([^/]+)', 1)
+                         AS host
+                FROM d
+              ),
+              reg AS (
+                SELECT doc_id, host,
+                       regexp_extract(host,
+                         '([^.]+\\.co\\.uk|[^.]+\\.[^.]+)$', 1)
+                         AS reg_domain
+                FROM parsed
+              )
+              SELECT reg_domain,
+                     (reg_domain IN {tuple(_UBL)}) AS blocked,
+                     count(*)::BIGINT AS n_docs,
+                     count(DISTINCT host)::BIGINT AS n_hosts
+              FROM reg GROUP BY reg_domain ORDER BY reg_domain
             """
         elif kind == "docscanagg":
             from scout_spark.inventory.core import _t as _load_t2
@@ -1447,6 +1452,19 @@ def main() -> None:
         "calibrations": calibrations,
         "entries": entries,
     }
+    # A --only run MERGES into an existing round artifact instead of
+    # overwriting it (r11: a single-entry re-measure clobbered the
+    # 77-entry sweep): prior entries are kept, re-measured ones
+    # replaced; calibrations/load fields reflect the newest run.
+    if args.only and os.path.exists(out):
+        try:
+            with open(out) as f:
+                prior = json.load(f)
+            merged = dict(prior.get("entries", {}))
+            merged.update(entries)
+            result["entries"] = merged
+        except (json.JSONDecodeError, OSError):
+            pass
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print("→", out, flush=True)
