@@ -186,8 +186,17 @@ def dist_lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = rev.agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
     )
+    # |per-custkey agg| <= |orders rows| (parquet-footer bound, no
+    # job) — the global_prefix_sum small-frame gate (FLOOR_r11)
+    from scout_spark.sources.tables import parquet_rows
+
     ranked = global_prefix_sum(
-        rev, ["cents", "o_custkey"], "cents", rn_out="rn", cum_out="cum"
+        rev,
+        ["cents", "o_custkey"],
+        "cents",
+        rn_out="rn",
+        cum_out="cum",
+        known_count=parquet_rows(sf_dir, "orders"),
     )
     decs = spark.range(1, 11).select(F.col("id").alias("dec"))
     pts = decs.crossJoin(F.broadcast(tot)).select(

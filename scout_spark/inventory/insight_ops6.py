@@ -77,8 +77,11 @@ def forecast_seasonal_naive_backtest(
 ) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     # the |hours| frame feeds four consumers (base, both lag sides,
-    # bounds) inside one job — overlapping consumers, so persist it
-    # (CLAUDE.md barrier rule); it is |hours| rows, trivially cached
+    # bounds — one of them a BROADCAST future): eager checkpoint, not
+    # lazy persist. Under AQE-off the broadcast future raced the lazy
+    # cache population and re-ran the events scan per consumer (the
+    # r10 lazy-fence trap; FLOOR_r11 measured sp1 2.36 s vs noop
+    # 0.99 s from exactly this). |hours| rows — trivially small.
     hours = (
         ev.groupBy(
             F.expr(
@@ -86,7 +89,7 @@ def forecast_seasonal_naive_backtest(
             ).alias("hi")
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     bounds = hours.agg(F.min("hi").alias("lo"), F.max("hi").alias("hih"))
     h24 = hours.select(
@@ -384,12 +387,18 @@ def agg_pareto_8020_contribution(
     totals = rev.agg(
         F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n")
     )
+    # gate bound: |per-custkey agg| <= |orders rows|, read from the
+    # parquet footer driver-side (no job) — fires the single-
+    # partition path at bench scale, no-op at real scale
+    from scout_spark.sources.tables import parquet_rows
+
     ranked = global_prefix_sum(
         rev,
         [F.col("cents").desc(), "o_custkey"],
         "cents",
         rn_out="rn",
         cum_out="cum",
+        known_count=parquet_rows(sf_dir, "orders"),
     ).crossJoin(F.broadcast(totals))
     k80 = F.min(
         F.when(F.col("cum") * 5 >= F.col("total") * 4, F.col("rn"))

@@ -188,13 +188,32 @@ def global_prefix_sum(
     rn_out: str = "rn",
     cum_out: str = "cum",
     num_partitions: int | None = None,
+    known_count: int | None = None,
 ) -> DataFrame:
     """Exact global ``row_number`` AND running ``sum(value_col)`` by
     ``order_cols``, fully parallel — the distributed prefix-sum
     companion to :func:`global_row_number` (one range shuffle serves
     both: the offset frame carries per-partition counts and value
-    sums together)."""
+    sums together).
+
+    ``known_count``: measured (or upper-bound — e.g. the source
+    table's parquet-footer row count via ``sources.tables.
+    parquet_rows``; a per-key agg can never exceed its input rows)
+    frame size. At or below ``SMALL_NTILE_ROWS`` the distributed
+    machinery's ~4 jobs (range sampling, counts, broadcast offsets,
+    main) are pure scheduler floor on a frame one partition sorts
+    in milliseconds — the single-partition window definition is the
+    identical computation (FLOOR_r11, same gate as global_ntile).
+    A no-op at real scale."""
     spark = df.sparkSession
+    if known_count is not None and known_count <= SMALL_NTILE_ROWS:
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(rn_out, F.row_number().over(w)).withColumn(
+            cum_out,
+            F.sum(value_col).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
     parts = num_partitions or spark.sparkContext.defaultParallelism
     ranged = _persist_bounded(
         df.repartitionByRange(parts, *order_cols)

@@ -89,6 +89,32 @@ def widen_if_narrow(df: DataFrame, target: int | None = None) -> DataFrame:
     return df.repartition(t)
 
 
+_parquet_rows_cache: dict[str, int] = {}
+
+
+def parquet_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a source table from the parquet FOOTER —
+    driver-side pyarrow metadata read, no Spark job. Used as a cheap
+    upper bound for measured small-frame gates (operators/rank.py):
+    a derived frame keyed by a subset of a table's rows can never
+    exceed the table's row count, so the gate can fire without a
+    count() action. Returns None for a missing/multi-file path (the
+    gate then takes the distributed branch — always safe)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if path in _parquet_rows_cache:
+        return _parquet_rows_cache[path]
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+    _parquet_rows_cache[path] = n
+    return n
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
