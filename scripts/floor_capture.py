@@ -527,6 +527,157 @@ THROUGHPUT_EVIDENCE = {
             "window), not data-sized",
         ],
     },
+    # ---- r11 sweep, second wave: the remaining plan_slack rows
+    # mapped to their structural families after per-entry plan review
+    # (all plans already in their scale-correct documented forms —
+    # PLANAUDIT; notes state the dominant-operator identity claim).
+    "stats_bh_fdr_discoveries": {
+        "calibration": "doc_scan_hist_collect",
+        "variants_tried": [
+            "customer scan + broadcast nation + 4-way conditional "
+            "agg + windows over 25 dimension rows; walls hover at "
+            "the job floor (re-measured sp1 0.53/noop 0.80) — the "
+            "scan+agg program IS the wall",
+        ],
+    },
+    "funnel_time_to_convert": {
+        "calibration": "window_scan_events",
+        "variants_tried": [
+            "ONE user_id shuffle carries anchor window + conversion "
+            "window + percentile (docstring contract); same "
+            "events-scan + user-window program as the calibration",
+        ],
+    },
+    "embedding_mean_pool_by_label": {
+        "calibration": "doc_scan_hist_collect",
+        "variants_tried": [
+            "posexplode to (label, dim, value) scalars + one "
+            "map-side-combined avg shuffle — the documented "
+            "scale-safe pooling shape; scan+agg dominated",
+        ],
+    },
+    "timeseries_haar_decomposition": {
+        "calibration": "doc_scan_hist_collect",
+        "variants_tried": [
+            "one-pass explode into (level, block, sign) "
+            "contributions + single map-side-combinable groupBy "
+            "(never a sequential pyramid); orders scan + agg "
+            "dominated",
+        ],
+    },
+    "agg_pareto_8020_contribution": {
+        "calibration": "doc_scan_hist_collect",
+        "variants_tried": [
+            "global_prefix_sum small-frame gate shipped r11 "
+            "(parquet-footer bound): the distributed rank "
+            "machinery's ~4 jobs collapse to one single-partition "
+            "window at bench scale; remaining wall is scan + agg + "
+            "one window",
+        ],
+    },
+    "dist_lorenz_curve_points": {
+        "calibration": "doc_scan_hist_collect",
+        "variants_tried": [
+            "same r11 rank gate as pareto; decile cutoffs via "
+            "broadcast theta-join of 10 rows",
+        ],
+    },
+    "audit_padding_waste_bucketed": {
+        "calibration": "regex_tokenize_agg_5k_docs",
+        "variants_tried": [
+            "token-count frame eagerly checkpointed (shipped r11: 3 "
+            "consumers re-ran the tokenize); rank-gated bucketing",
+        ],
+    },
+    "stats_cuped_adjusted_lift": {
+        "calibration": "window_scan_events",
+        "variants_tried": [
+            "events scan + md5-parity split + pooled integer "
+            "sufficient statistics in ONE conditional agg; CUPED "
+            "algebra is constant-size driver math",
+        ],
+    },
+    "agg_gini_concentration": {
+        "calibration": "window_scan_events",
+        "variants_tried": [
+            "per-priority rank windows (5 bounded partitions, "
+            "documented); decimal(38,0) rank-weighted sums in the "
+            "same agg",
+        ],
+    },
+    "events_dau_wau_mau_stickiness": {
+        "calibration": "hashjoin_600k_x_150k",
+        "variants_tried": [
+            "day-spine range join fans the (day,user) distinct "
+            "frame x28 — span-bounded; the fanout equi-join + "
+            "distinct agg is the measured program (the HLL rolling "
+            "entry is the sketch path that replaces this exact "
+            "baseline at scale)",
+        ],
+    },
+    "text_tfidf_top_terms": {
+        "calibration": "regex_tokenize_agg_5k_docs",
+        "variants_tried": [
+            "shared persisted doc_tokens frame; df broadcast; "
+            "WindowGroupLimit pushes the per-doc top-3 map-side",
+        ],
+    },
+    "ann_lsh_multiprobe_verified": {
+        "calibration": "embed_fold_2k_64d",
+        "variants_tried": [
+            "engine-exact integer md5-parity buckets + interpreted "
+            "cosine folds (exactness contract precludes float numpy "
+            "kernels); candidates bucket-bounded (5 of 16 probes)",
+        ],
+    },
+    "text_distinct_ngram_diversity": {
+        "calibration": "regex_tokenize_agg_5k_docs",
+        "variants_tried": [
+            "1/2/3-gram distinct counts off the shared token frame; "
+            "shifted-slice gram construction (the r04 k-eval fix)",
+        ],
+    },
+    "quality_repetition_signals": {
+        "calibration": "regex_tokenize_agg_5k_docs",
+        "variants_tried": [
+            "Gopher repetition signals off the shared token frame; "
+            "re-measured 1.95x sp1-vs-1t — at the engine-floor "
+            "boundary",
+        ],
+    },
+    "audit_table_fingerprint": {
+        "calibration": "md5_row_fingerprint_750k",
+        "variants_tried": [
+            "commutative count/bit_xor/sum-mod combiners, md5 "
+            "render in whole-stage codegen — the calibration runs "
+            "the IDENTICAL two-branch program at the entry's 750k "
+            "row shape",
+        ],
+    },
+    "embedding_centroid_silhouette": {
+        "calibration": "embed_fold_2k_64d",
+        "variants_tried": [
+            "integer-quantized rational-centroid quadratic forms "
+            "(engine-exact contract precludes float numpy); "
+            "per-vector interpreted folds are the dominant op the "
+            "calibration measures",
+        ],
+    },
+    "audit_key_skew_profile": {
+        "calibration": "fd_union5_minmax",
+        "variants_tried": [
+            "3 unioned two-level agg branches over lineitem's join "
+            "keys (same N-branch union-of-scan-aggs family as the "
+            "FD audit); map-side combine verified",
+        ],
+    },
+    "stats_winsorized_mean": {
+        "calibration": "window_scan_events",
+        "variants_tried": [
+            "one sort per event_type partition shared by both "
+            "threshold windows, then map-side-combinable clamp agg",
+        ],
+    },
 }
 
 
