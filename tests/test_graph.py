@@ -451,6 +451,27 @@ def test_boruvka_mst_matches_kruskal(spark):
     assert sum(w for _, _, w in got) == sum(w for _, _, w in want)
 
 
+def test_boruvka_mst_disconnected_forest(spark):
+    """r11 internals change (stateless relabel + single-root early
+    exit): the early exit only fires on CONNECTED graphs — a
+    disconnected graph must still terminate via the empty-selection
+    round and return one spanning tree PER component. Two components
+    with duplicate weights; forest checked against per-component
+    Kruskal."""
+    from scout_spark.operators.mst import boruvka_mst
+
+    # component A: path 0-1-2-3 + chord; component B: triangle 10-11-12
+    rows = [
+        (0, 1, 2), (1, 2, 2), (2, 3, 1), (0, 3, 5),
+        (10, 11, 1), (11, 12, 1), (10, 12, 3),
+    ]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {(r["src"], r["dst"], r["w"]) for r in boruvka_mst(df).collect()}
+    # Kruskal per (w, src, dst) order: A keeps (2,3,1),(0,1,2),(1,2,2);
+    # B keeps (10,11,1),(11,12,1)
+    assert got == {(2, 3, 1), (0, 1, 2), (1, 2, 2), (10, 11, 1), (11, 12, 1)}
+
+
 def test_mst_twin_oracle_matches_synthetic_kruskal(spark):
     """The r7 unrolled-CTE MST oracle == driver-side Kruskal on a
     synthetic graph injected as the lineitem co-purchase relation —
