@@ -233,6 +233,13 @@ E2E_REBUILD = {
     # time (b7d71ca — lazy raced under AQE-off) — rebuild per pass so
     # the model-build pass stays inside the timed wall
     "lm_kn3_heldout_doc_score",
+    # r12: the survivor frame EAGERLY localCheckpoints at build time
+    # (the single-scan fix — VERDICT r11 item 1) — rebuild per pass so
+    # the scan+tokenize+filter pass stays inside the timed wall.
+    # DECLARED methodology change: this entry was prepared-plan timed
+    # through r11 (2.1-2.8 s there); fresh-build AQE-off solo is
+    # 1.34 s after the fix (was 3.01 s like-for-like fresh).
+    "pipeline_curate_end_to_end",
 }
 
 

@@ -29,6 +29,13 @@ _PII_IP = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
 
 _PACK_CAPACITY = 2048  # tokens per training sequence
 _PACK_SHARDS = 16
+# Curate barrier gate (env-overridable): apply the tokenize
+# repartition barrier only above this many documents (r12 A/B: the
+# crossover sits between 5k docs — no-barrier 1.34 s vs barrier
+# 1.67 s — and 50k docs — barrier 3.51 s vs no-barrier 4.89 s).
+_CURATE_BARRIER_ROWS = int(
+    __import__("os").environ.get("SPARK_GRAFT_CURATE_BARRIER_ROWS", "20000")
+)
 
 _IMP_TARGET = ("spark", "stream", "query", "vector", "join")
 
@@ -736,25 +743,39 @@ def quality_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _th(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK), 0)
-    # repartition barrier (the CollapseProject rule): the token array
-    # feeds ~7 expression references across feat/filter and the DAG
-    # fans out into 4 consumer branches (keeper self-join, lang stats,
-    # accept join, final window) — without the barrier the optimized
-    # plan carried THIRTY-SEVEN regexp_extract_all instances over SIX
-    # parquet scans (one tokenize per inlined reference per branch;
-    # AQE-off fresh build 9.5 s). With it each branch reads its own
-    # copy of the shuffled token column (per-branch column pruning
-    # keeps the exchanges from merging, so the regex still runs once
-    # per BRANCH — but no longer once per reference): fresh-build
-    # median 9.47 -> 2.99 s, and 2.82 s with the slim fan-out
-    # projection below. AQE-on (engine default) reuses the
-    # materialized stages and was already ~2.2 s; this fixes the
-    # AQE-off latency path the bench measures.
-    f = (
-        d.select("doc_id", "lang", "text", toks.alias("toks"))
-        .repartition(max(spark.sparkContext.defaultParallelism, 8))
-        .where(F.size("toks") > 0)
-    )
+    # r12: the single-scan fix. The eager checkpoint of the slim
+    # `passed` frame below is now the fence that stops CollapseProject
+    # from re-inlining the tokenize into the 4 consumer branches
+    # (keeper self-join, lang stats, accept join, final window) — the
+    # r11 repartition barrier alone left a 4-scan residual (the filter
+    # pushdown re-inlined the regex under each branch's own documents
+    # scan: optimized plan 37 regexp_extract_all over 6 scans, executed
+    # 29 over 4 scans). With the checkpoint both counts are ZERO
+    # downstream and the corpus is scanned ONCE (plus 4 cheap reads of
+    # the checkpointed ~5-column survivor frame): AQE-off fresh build
+    # 3.01 -> 1.34 s at sf0.1, 10.19 -> 3.5-4.2 s at a 10x local SF
+    # (rows asserted identical at both SFs; plans/r12/).
+    #
+    # The barrier itself is now GATED (ADVICE r11 item 1): it shuffles
+    # ~2x corpus bytes and only pays when the scan is narrower than the
+    # executor (it redistributes the tokenize+feature stage onto all
+    # cores: 10x-SF A/B with checkpoint, barrier 3.51 s vs no-barrier
+    # 4.89 s) — while at bench SF the work is too small to repay the
+    # shuffle (no-barrier 1.34 s vs barrier 1.67 s). Gate: footer row
+    # count > _CURATE_BARRIER_ROWS AND scan narrower than
+    # defaultParallelism. At real scale the scan has thousands of
+    # splits >= defaultParallelism, so the barrier is a structural
+    # no-op there — exactly the _th/widen_if_narrow discipline.
+    from scout_spark.sources.tables import parquet_rows
+
+    f = d.select("doc_id", "lang", "text", toks.alias("toks"))
+    n_docs = parquet_rows(sf_dir, "documents")
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    if (n_docs is None or n_docs > _CURATE_BARRIER_ROWS) and (
+        d.rdd.getNumPartitions() < par
+    ):
+        f = f.repartition(par)
+    f = f.where(F.size("toks") > 0)
 
     def _len(x):
         return F.length(x)
@@ -798,6 +819,15 @@ def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     passed = passed.select(
         "doc_id", "lang", "n_tok", "score", F.md5("text").alias("fp")
     )
+    # EAGER checkpoint (r12): materializes the survivor frame once so
+    # the 4 consumer branches read it instead of re-scanning documents
+    # and re-running tokenize per branch (guide §2.4 — Spark has no
+    # cross-job common-subexpression reuse). Eager, not lazy: a lazy
+    # fence feeding multiple consumers races under AQE-off (the r10
+    # lesson). The checkpointed frame is row-bounded by the corpus's
+    # survivor set and ~5 narrow columns. Because the heavy work now
+    # runs at BUILD time, the entry is in bench.py's E2E_REBUILD set.
+    passed = passed.localCheckpoint()
     keepers = passed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     deduped = passed.join(keepers.select("doc_id"), "doc_id")
     stats = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
