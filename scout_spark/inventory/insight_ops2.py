@@ -27,6 +27,11 @@ _HOUR_US = 3_600_000_000
 # ~e*ln(n) (~26 at n=150k), far under the 2^6 = 64 the doubling rounds
 # cover.
 _PJ_ROUNDS = 6
+# r12: broadcast the per-round pointer table when the node frame is
+# small (slim 3-long columns, ~24 B/row -> <=24 MB at the bound). The
+# SSSP state-broadcast precedent; past the bound the shipped shuffle
+# self-join is the production plan (the gate is a no-op at real scale).
+_PJ_BROADCAST_ROWS = 1_000_000
 
 
 @register(
@@ -45,7 +50,8 @@ _PJ_ROUNDS = 6
     "(bounded by tree height). The DuckDB twin walks the same forest "
     "with WITH RECURSIVE — two independent traversal strategies, one "
     "exact integer answer. 100 TB: 6 self-joins of a slim (node, ptr, "
-    "d) frame, each checkpointed; no driver-side state.",
+    "d) frame, each checkpointed; no driver-side state (the per-round "
+    "broadcast is row-count-gated off past 1M nodes).",
     oracle="""
       WITH RECURSIVE nodes AS (
         SELECT c_custkey AS k,
@@ -77,12 +83,27 @@ def hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k >= 2, parent).otherwise(F.lit(1)).alias("ptr"),
         F.when(k >= 2, F.lit(1)).otherwise(F.lit(0)).alias("d"),
     ).localCheckpoint()
+    # r12 (VERDICT item 7, MST-lesson check): the per-round checkpoint
+    # STAYS — an unfenced doubling round references the previous frame
+    # on BOTH join sides, so lineage doubles per round (the PageRank
+    # chained-DAG A/B: 2.5x worse). What the A/B did find: broadcasting
+    # the round's pointer table turns the shuffle self-join into a
+    # map-side join (no sort, no probe-side exchange) — interleaved
+    # fresh-build medians 1.36-1.47 s -> 1.16-1.37 s across 3 blocks
+    # (rows identical). Gated on the footer row count: past the bound
+    # the shuffle join below is the production plan.
+    from scout_spark.sources.tables import parquet_rows
+
+    n_nodes = parquet_rows(sf_dir, "customer")
+    bcast = n_nodes is not None and n_nodes <= _PJ_BROADCAST_ROWS
     for _ in range(_PJ_ROUNDS):
         g = f.select(
             F.col("node").alias("g_node"),
             F.col("ptr").alias("g_ptr"),
             F.col("d").alias("g_d"),
         )
+        if bcast:
+            g = F.broadcast(g)
         f = (
             f.join(g, f.ptr == g.g_node)
             .select(
