@@ -109,7 +109,10 @@ def ann_recall_eval_quantized_vs_exact(
     )
     # integer dot product, JVM-side HOFs (bounded by dim=64 per row;
     # the production path uses the numpy matmul in operators/ann.py)
-    qarr = F.array(*[F.lit(int(v)) for v in qint])
+    # one array literal, not 64 py4j lit calls (r12 plan-build chatter
+    # fix; Python ints infer ArrayType(LongType) — zip_with promotes
+    # identically, values unchanged)
+    qarr = F.lit([int(v) for v in qint])
     dot = F.expr(
         "aggregate(zip_with(transform(embedding,"
         " x -> cast(floor(cast(x as double) * 1e6) as bigint)), qarr,"

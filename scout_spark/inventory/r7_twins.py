@@ -940,7 +940,11 @@ def mmr_greedy_integer_unrolled_twin(
     if not qrows:
         return spark.createDataFrame([], schema)
     qv = [int(x) for x in qrows[0]["q"]]
-    qcol = F.array(*[F.lit(x).cast("bigint") for x in qv])
+    # ONE array literal (r12): the per-element F.array(*[F.lit(x)
+    # .cast(...)]) form paid ~128 py4j round trips of plan-construction
+    # chatter per build (A/B: 1.286 -> 1.129 s fresh, rows identical).
+    # Python ints infer ArrayType(LongType) — the same bigint type.
+    qcol = F.lit(qv)
     cand = e.where(F.col("vec_id") != 0).select(
         "vec_id",
         F.transform(

@@ -267,7 +267,10 @@ def ann_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _proj(p: int):
-        cs = F.array(*[F.lit(c) for c in coefs[p]])
+        # one array literal per plane, not |dim| py4j lit calls
+        # (r12 plan-build chatter fix; ±1 ints -> ArrayType(LongType),
+        # the cast("long") below was already the target type)
+        cs = F.lit(coefs[p])
         return F.aggregate(
             F.zip_with(
                 F.col("embedding"),
@@ -597,7 +600,8 @@ def lsh_md5_bucket_col(dim: int, n_planes: int = _LSH_MD5_PLANES):
     and the planted-fixture recall tests."""
 
     def _proj(p: int):
-        cs = F.array(*[F.lit(_lsh_md5_coef(p, i)) for i in range(dim)])
+        # one array literal per plane (r12 plan-build chatter fix)
+        cs = F.lit([_lsh_md5_coef(p, i) for i in range(dim)])
         return F.aggregate(
             F.zip_with(
                 F.col("embedding"),
