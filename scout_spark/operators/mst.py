@@ -78,6 +78,28 @@ def boruvka_mst(
     e = edges.select("src", "dst", "w")
     if checkpoint_input:
         e = e.localCheckpoint()
+    else:
+        # ADVICE r11: best-effort recompute-trap guard — the stateless
+        # relabel re-executes an unmaterialized input's upstream
+        # pipeline EVERY round. The in-repo callers pass projections
+        # over the session-persisted _edges cache, so storageLevel on
+        # `edges` itself is useless (projections report NONE); check
+        # the optimized plan for a materialized ancestor instead
+        # (InMemoryRelation = persisted, LogicalRDD/ExistingRDD =
+        # checkpointed). Pure driver-side plan text, no job.
+        plan = edges._jdf.queryExecution().optimizedPlan().toString()
+        if "InMemoryRelation" not in plan and "LogicalRDD" not in plan:
+            import warnings
+
+            warnings.warn(
+                "boruvka_mst(checkpoint_input=False) with no persisted/"
+                "checkpointed ancestor in the input plan: the per-round "
+                "relabel will re-run the input's upstream pipeline every "
+                "round. Persist/checkpoint the input or pass "
+                "checkpoint_input=True.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

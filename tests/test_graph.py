@@ -636,3 +636,35 @@ def test_mmr_twin_diversification_fires(spark, sf_dir):
                 == _MMR_WREL * rels[r["vec_id"]] - _MMR_WSIM * ms
             )
         sel.append(r["vec_id"])
+
+
+def test_boruvka_unmaterialized_input_warns(spark):
+    """ADVICE r11: checkpoint_input=False with no persisted/
+    checkpointed ancestor must warn (the stateless relabel would
+    re-run the upstream pipeline every round); a checkpointed or
+    persisted-ancestor input must NOT warn."""
+    import warnings
+
+    from scout_spark.operators.mst import boruvka_mst
+
+    # plain computed lineage, nothing materialized (createDataFrame
+    # would plan as LogicalRDD — already driver-materialized — and
+    # correctly NOT warn)
+    raw = spark.range(1, 4).select(
+        F.col("id").alias("src"),
+        (F.col("id") % 3 + 1).alias("dst"),
+        (F.col("id") + 3).alias("w"),
+    ).where(F.col("src") < F.col("dst"))
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        boruvka_mst(raw, checkpoint_input=False).collect()
+    assert any("re-run the input" in str(w.message) for w in caught)
+
+    ck = raw.localCheckpoint()
+    proj = ck.select("src", "dst", "w")  # projection over materialized
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = boruvka_mst(proj, checkpoint_input=False).collect()
+    assert not any("re-run the input" in str(w.message) for w in caught)
+    assert {(r["src"], r["dst"]) for r in out} == {(1, 2), (2, 3)}
