@@ -8,6 +8,19 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Execution is forced with the noop sink (full computation, no driver
 collect) so timings measure the distributed plan, not result transfer.
+
+SHARED-FRAME TIMING SEMANTICS (declared; VERDICT r11 item 9): several
+corpus-token entries read quality_ops.doc_tokens(), a session-keyed
+persisted token frame (the BM25 pattern, r04). Under this bench's
+prepared-plan + warm-pass contract the frame is built once, in the
+FIRST consumer's untimed warm pass, so every consumer's timed wall
+reflects steady-state reads of the shared cache — deliberately: a
+serving deployment keeps exactly such a frame hot, and re-tokenizing
+per entry would time the same regex work k times. The cost is not
+hidden elsewhere: ratio/floor captures clear the cache between entries
+(scripts/ratio_capture.py), and `python bench.py --clear-between`
+(diagnostic mode, default off, JSON line shape unchanged) makes each
+entry pay its own shared-frame builds for an apples-to-apples check.
 """
 
 from __future__ import annotations
@@ -298,7 +311,25 @@ def output_payload(
     }
 
 
+def _clear_session_caches(spark) -> None:
+    """--clear-between hygiene (VERDICT r11 item 6): drop every cached
+    frame and the doc_tokens session cache so each entry's timed runs
+    pay their own shared-frame builds — the same between-entry reset
+    scripts/ratio_capture.py applies. Diagnostic mode only; the default
+    steady-state contract is unchanged."""
+    spark.catalog.clearCache()
+    try:
+        from scout_spark.inventory.quality_ops import _DOC_TOKENS_CACHE
+
+        _DOC_TOKENS_CACHE.clear()
+    except Exception:
+        pass
+
+
 def main() -> None:
+    import sys
+
+    clear_between = "--clear-between" in sys.argv[1:]
     load_at_start = os.getloadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -353,6 +384,14 @@ def main() -> None:
     # oracle's sequential total — that is the regression-visible headline.
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if clear_between:
+            # diagnostic mode: entries that lean on session-shared
+            # cached frames (doc_tokens et al.) pay the build in their
+            # own wall; prepared handles recompute unpersisted inputs.
+            _clear_session_caches(spark)
+            if name not in E2E_REBUILD:
+                handles[name] = registry[name].spark(spark, sf_dir)
+            handles[name].write.format("noop").mode("overwrite").save()
         runs = []
         for _ in range(3):
             t0 = time.time()
@@ -378,13 +417,19 @@ def main() -> None:
     wall = round(time.time() - t0, 3)
 
     payload = output_payload(timings, sf, build_sec, wall, load_at_start)
+    if clear_between:
+        payload["summary"]["clear_between"] = True
     # committed self-sufficient artifact (VERDICT r08 item 6): the
     # driver's capture of the stdout line truncates from the front,
     # so persist the complete payload next to the repo's BENCH_r* files
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FULL_LOCAL.json"),
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_FULL_LOCAL_CLEAR.json"
+                if clear_between
+                else "BENCH_FULL_LOCAL.json",
+            ),
             "w",
         ) as f:
             json.dump(payload, f, indent=1)
