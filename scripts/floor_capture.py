@@ -194,6 +194,12 @@ CALIBRATIONS = {
     # integer-fold entries (silhouette, multiprobe cosine verify)
     # whose exactness contract precludes float numpy kernels.
     "embed_fold_2k_64d": {"kind": "embedfold", "n": 2_000},
+    # r12 (VERDICT r11 item 4): the mmr-twin-shaped minimal program —
+    # 2-action structure matching the entry (query-vec point collect,
+    # then integer-code dot fold + top-20 pool cut), the interpreted
+    # zip_with fold vs DuckDB's native list kernels. n=0: reads the
+    # embeddings table at the entry's own stream shape.
+    "mmr_pool_2action_scan_topk": {"kind": "mmrpool", "n": 0},
 }
 
 # Entries adjudicated against a calibration. `variants` is the
@@ -369,6 +375,30 @@ THROUGHPUT_EVIDENCE = {
             "pointer-jumping rounds are join iterations by "
             "definition (log-depth); per-round checkpoint required "
             "for lineage truncation (r07 quadratic-replay trap)",
+            "r12: row-count-gated per-round broadcast of the pointer "
+            "table (rounds 2-6 were SortMergeJoin — checkpointed "
+            "join output loses small-size stats; shuffle_hash hint "
+            "alone: no change): 1.36-1.47 -> 1.16-1.37 s",
+        ],
+    },
+    # r12 (VERDICT r11 item 4): first adjudication of the mmr twin.
+    # Decomposition (solo, fresh builds): job1 query-vec collect
+    # ~0.12 s, job2 pool top-20 collect ~0.37 s, remainder of the
+    # 1.29-1.38 s wall is driver-side plan construction (py4j) +
+    # createDataFrame(5 rows) + the final noop job — per-query launch
+    # overhead, not plan slack.
+    "mmr_greedy_integer_unrolled_twin": {
+        "calibration": "mmr_pool_2action_scan_topk",
+        "variants_tried": [
+            "one F.lit(list) query-array literal instead of 64 "
+            "per-element lits (r12, shipped): 1.286 -> 1.129 s "
+            "fresh-build, rows identical",
+            "no per-candidate recomputation exists to hoist (plan "
+            "instance counts: transform/zip_with/aggregate all 1); "
+            "the driver greedy is pool-bounded (20 rows)",
+            "broadcast-join the query row instead of the 2-action "
+            "build: same job count (broadcast materialization is "
+            "itself a job), not taken",
         ],
     },
     "join_bloom_runtime_filter": {
@@ -1363,6 +1393,60 @@ def _calibrate(
                          x -> (x * 1000)::BIGINT
                               * (x * 1000)::BIGINT)) AS ss
                 FROM embeddings)
+            """
+        elif kind == "mmrpool":
+            from scout_spark.inventory.core import _t as _load_t6
+
+            def _spark_build(sf_dir=sf_dir):
+                e = _load_t6(spark, sf_dir, "embeddings")
+                qrows = (
+                    e.where(F.col("vec_id") == 0)
+                    .select(
+                        F.transform(
+                            "embedding",
+                            lambda x: F.floor(
+                                x.cast("double") * 1000
+                            ).cast("bigint"),
+                        ).alias("q")
+                    )
+                    .collect()  # action 1: the twin's query-vec job
+                )
+                qcol = F.lit([int(x) for x in qrows[0]["q"]])
+                cand = e.where(F.col("vec_id") != 0).select(
+                    "vec_id",
+                    F.transform(
+                        "embedding",
+                        lambda x: F.floor(
+                            x.cast("double") * 1000
+                        ).cast("bigint"),
+                    ).alias("v"),
+                )
+                rel = F.aggregate(
+                    F.zip_with("v", qcol, lambda a, b: a * b),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                )
+                # action 2 (via the shared noop): top-20 pool cut
+                return (
+                    cand.withColumn("rel", rel)
+                    .orderBy(F.col("rel").desc(), "vec_id")
+                    .limit(20)
+                )
+
+            duck_q = """
+              WITH q AS (
+                SELECT list_transform(embedding,
+                         x -> floor(x::DOUBLE * 1000)::BIGINT) AS qv
+                FROM embeddings WHERE vec_id = 0
+              )
+              SELECT vec_id FROM (
+                SELECT e.vec_id,
+                       list_sum(list_transform(
+                         range(1, len(e.embedding) + 1),
+                         i -> floor(e.embedding[i]::DOUBLE * 1000)
+                              ::BIGINT * q.qv[i]))::BIGINT AS rel
+                FROM embeddings e, q WHERE e.vec_id <> 0)
+              ORDER BY rel DESC, vec_id LIMIT 20
             """
         elif kind == "docscanagg":
             from scout_spark.inventory.core import _t as _load_t2
